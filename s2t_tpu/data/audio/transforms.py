@@ -1,0 +1,179 @@
+"""Feature transforms: CMVN and SpecAugment, as jittable on-device functions.
+
+Replaces the reference's numpy per-utterance transform pipeline
+(reference: fairseq/data/audio/feature_transforms/{utterance_cmvn,global_cmvn,
+specaugment}.py) with batched, static-shape device transforms that compose
+into the jitted train step — masked frames never contaminate statistics.
+
+Registry-compatible: each transform is built from a dict config like the
+reference's CompositeAudioFeatureTransform (feature_transforms/__init__.py:7-55).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2t_tpu.registry import FEATURE_TRANSFORMS, register_feature_transform
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+@register_feature_transform("utterance_cmvn")
+class UtteranceCMVN:
+    """Per-utterance mean/var normalisation over valid frames only
+    (reference: feature_transforms/utterance_cmvn.py:9)."""
+
+    def __init__(self, norm_means: bool = True, norm_vars: bool = True):
+        self.norm_means, self.norm_vars = norm_means, norm_vars
+
+    @classmethod
+    def from_config_dict(cls, cfg: Optional[Dict] = None):
+        cfg = cfg or {}
+        return cls(cfg.get("norm_means", True), cfg.get("norm_vars", True))
+
+    def __call__(self, feats: jnp.ndarray, lengths: jnp.ndarray, rng=None) -> jnp.ndarray:
+        # feats: (B, T, D); lengths: (B,)
+        mask = lengths_to_mask(lengths, feats.shape[1])[..., None]  # (B, T, 1)
+        n = jnp.maximum(lengths[:, None, None].astype(feats.dtype), 1.0)
+        mean = jnp.sum(jnp.where(mask, feats, 0.0), axis=1, keepdims=True) / n
+        out = feats
+        if self.norm_means:
+            out = out - mean
+        if self.norm_vars:
+            var = (
+                jnp.sum(jnp.where(mask, (feats - mean) ** 2, 0.0), axis=1, keepdims=True)
+                / n
+            )
+            out = out / jnp.sqrt(var + 1e-10)
+        return jnp.where(mask, out, 0.0)
+
+
+@register_feature_transform("global_cmvn")
+class GlobalCMVN:
+    """Dataset-level mean/std from precomputed stats npz
+    (reference: feature_transforms/global_cmvn.py:9)."""
+
+    def __init__(self, mean: np.ndarray, std: np.ndarray):
+        self.mean = jnp.asarray(mean, dtype=jnp.float32)
+        self.std = jnp.asarray(std, dtype=jnp.float32)
+
+    @classmethod
+    def from_config_dict(cls, cfg: Optional[Dict] = None):
+        cfg = cfg or {}
+        stats = np.load(cfg["stats_npz_path"])
+        return cls(stats["mean"], stats["std"])
+
+    def __call__(self, feats: jnp.ndarray, lengths: jnp.ndarray, rng=None) -> jnp.ndarray:
+        mask = lengths_to_mask(lengths, feats.shape[1])[..., None]
+        return jnp.where(mask, (feats - self.mean) / self.std, 0.0)
+
+
+@register_feature_transform("specaugment")
+class SpecAugment:
+    """SpecAugment (Park et al. 2019): frequency + time masking, batched.
+
+    (reference: feature_transforms/specaugment.py:13-131.  The optional cv2
+    time-warp — W>0 with a single-point sparse warp — contributes little per
+    the paper and needs image resampling; implemented here as the widely-used
+    no-warp policy, matching the reference recipes which set time_warp_W=0.)
+    """
+
+    def __init__(
+        self,
+        time_warp_w: int = 0,
+        freq_mask_n: int = 2,
+        freq_mask_f: int = 27,
+        time_mask_n: int = 2,
+        time_mask_t: int = 100,
+        time_mask_p: float = 1.0,
+        mask_value: Optional[float] = None,
+    ):
+        self.freq_mask_n = freq_mask_n
+        self.freq_mask_f = freq_mask_f
+        self.time_mask_n = time_mask_n
+        self.time_mask_t = time_mask_t
+        self.time_mask_p = time_mask_p
+        self.mask_value = mask_value  # None -> per-utterance mean
+
+    @classmethod
+    def from_config_dict(cls, cfg: Optional[Dict] = None):
+        cfg = cfg or {}
+        return cls(
+            time_warp_w=cfg.get("time_warp_W", 0),
+            freq_mask_n=cfg.get("freq_mask_N", 2),
+            freq_mask_f=cfg.get("freq_mask_F", 27),
+            time_mask_n=cfg.get("time_mask_N", 2),
+            time_mask_t=cfg.get("time_mask_T", 100),
+            time_mask_p=cfg.get("time_mask_p", 1.0),
+            mask_value=cfg.get("mask_value", None),
+        )
+
+    def __call__(
+        self, feats: jnp.ndarray, lengths: jnp.ndarray, rng: jax.Array
+    ) -> jnp.ndarray:
+        B, T, D = feats.shape
+        valid = lengths_to_mask(lengths, T)[..., None]
+        n = jnp.maximum(lengths[:, None, None].astype(feats.dtype), 1.0)
+        fill = (
+            jnp.sum(jnp.where(valid, feats, 0.0), axis=(1, 2), keepdims=True)
+            / (n * D)
+            if self.mask_value is None
+            else jnp.full((B, 1, 1), self.mask_value, feats.dtype)
+        )
+        keep = jnp.ones((B, T, D), dtype=bool)
+
+        k_f, k_t = jax.random.split(rng)
+        # frequency masks: mask [f0, f0+f) with f ~ U[0, F]
+        for i in range(self.freq_mask_n):
+            k_f, k1, k2 = jax.random.split(k_f, 3)
+            f = jax.random.randint(k1, (B, 1), 0, self.freq_mask_f + 1)
+            f0 = (
+                jax.random.uniform(k2, (B, 1)) * jnp.maximum(D - f, 1)
+            ).astype(jnp.int32)
+            d = jnp.arange(D)[None, :]
+            keep &= ~((d >= f0) & (d < f0 + f))[:, None, :]
+        # time masks: t ~ U[0, min(T_mask, p*len)]
+        max_t = jnp.minimum(
+            self.time_mask_t, (self.time_mask_p * lengths).astype(jnp.int32)
+        )[:, None]
+        for i in range(self.time_mask_n):
+            k_t, k1, k2 = jax.random.split(k_t, 3)
+            t = (jax.random.uniform(k1, (B, 1)) * (max_t + 1)).astype(jnp.int32)
+            t0 = (
+                jax.random.uniform(k2, (B, 1))
+                * jnp.maximum(lengths[:, None] - t, 1)
+            ).astype(jnp.int32)
+            ts = jnp.arange(T)[None, :]
+            keep &= ~((ts >= t0) & (ts < t0 + t))[:, :, None]
+
+        out = jnp.where(keep, feats, fill)
+        return jnp.where(valid, out, feats)
+
+
+class CompositeTransform:
+    """Compose transforms from a data-config dict, per split
+    (reference: CompositeAudioFeatureTransform, feature_transforms/__init__.py)."""
+
+    def __init__(self, transforms: List):
+        self.transforms = transforms
+
+    @classmethod
+    def from_config_dict(cls, names_and_cfg: Optional[Dict] = None):
+        names_and_cfg = names_and_cfg or {}
+        names = names_and_cfg.get("transforms", [])
+        ts = []
+        for name in names:
+            t_cls = FEATURE_TRANSFORMS.get(name)
+            ts.append(t_cls.from_config_dict(names_and_cfg.get(name)))
+        return cls(ts)
+
+    def __call__(self, feats, lengths, rng=None):
+        for i, t in enumerate(self.transforms):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            feats = t(feats, lengths, sub)
+        return feats

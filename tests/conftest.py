@@ -8,12 +8,20 @@ mesh/pjit/collective code paths run for real.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force local CPU: the ambient environment registers a remote-TPU PJRT plugin
+# at interpreter startup (sitecustomize) and force-sets jax_platforms to
+# "axon,cpu", which would make every test compile over the network.  Set
+# S2T_TEST_TPU=1 to deliberately run the suite on the real chip.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if not os.environ.get("S2T_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
