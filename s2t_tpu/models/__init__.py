@@ -1,0 +1,4 @@
+"""Model zoo. Importing this package registers all models/archs."""
+
+from s2t_tpu.models import s2t_transformer  # noqa: F401
+from s2t_tpu.models.build import build_model  # noqa: F401

@@ -1,0 +1,366 @@
+"""S2T Transformer / Conformer encoder-decoder — the workhorse model.
+
+(reference: fairseq/models/speech_to_text/s2t_transformer.py:41-2470 —
+S2TTransformerEncoder at :883, arch presets at :2256-2470.)
+
+TPU-first re-design:
+  * functional encoder returning a pytree (no mutable encoder_out dict)
+  * static shapes + valid masks end-to-end
+  * all matmuls batched (B, T, D) — attention/FFN/CTC projections hit the MXU
+  * inter-CTC + PAE adapters are pure functions of the layer stream
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.modules.adapter import Adapter
+from s2t_tpu.modules.attention import padding_bias
+from s2t_tpu.modules.ctc_head import CTCHead
+from s2t_tpu.modules.layers import S2TEncoderLayer
+from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
+from s2t_tpu.modules.subsampling import Conv1dSubsampling, Conv2dSubsampling
+from s2t_tpu.models.transformer_decoder import TransformerDecoder
+from s2t_tpu.registry import register_model, register_model_architecture
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+@dataclass(frozen=True)
+class S2TTransformerConfig:
+    # input
+    input_feat_per_channel: int = 80
+    input_channels: int = 1
+    # subsampling (reference defaults: s2t_transformer.py:2258-2264)
+    subsampling_type: str = "conv1d"
+    subsampling_layers: int = 2
+    subsampling_filter: int = 1024
+    subsampling_kernel: int = 5
+    subsampling_stride: int = 2
+    subsampling_norm: str = "none"
+    subsampling_activation: str = "glu"
+    # encoder
+    encoder_embed_dim: int = 256
+    encoder_ffn_embed_dim: int = 2048
+    encoder_layers: int = 12
+    encoder_attention_heads: int = 4
+    encoder_attention_type: str = "abs"  # abs | rel_pos | rope
+    encoder_normalize_before: bool = True
+    encoder_no_scale_embedding: bool = False
+    encoder_embed_linear: bool = False
+    encoder_embed_norm: bool = False
+    # conformer
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    cnn_module_kernel: int = 31
+    # decoder
+    decoder_embed_dim: int = 256
+    decoder_ffn_embed_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 4
+    decoder_normalize_before: bool = True
+    decoder_learned_pos: bool = False
+    share_decoder_input_output_embed: bool = True
+    # regularisation
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation_fn: str = "relu"
+    # CTC
+    use_ctc: bool = True
+    ctc_layer: int = 0  # 0 = top of encoder
+    share_ctc_and_embed: bool = False
+    inter_ctc_layers: Tuple[int, ...] = ()  # 1-indexed encoder layers
+    share_inter_ctc: bool = True  # share CTC head across inter layers
+    ctc_pae: str = "none"  # none|linear|context|league|inter_league|gated_league
+    pae_ctc_temperature: float = 1.0
+    share_pae_and_ctc: bool = False
+    # XCTC (target-language CTC, BiL-CTC; reference: s2t_transformer.py:1100-1244)
+    use_xctc: bool = False
+    xctc_layer: int = 0
+    inter_xctc_layers: Tuple[int, ...] = ()
+    xctc_pae: str = "none"
+    # sizes (filled by the task)
+    vocab_size: int = 1000
+    src_vocab_size: int = -1  # CTC vocab; -1 -> same as vocab_size
+    max_source_positions: int = 6000
+    max_target_positions: int = 1024
+    pad_id: int = 1
+    # compute
+    dtype_str: str = "float32"
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+    @property
+    def ctc_vocab_size(self):
+        return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
+
+
+class S2TTransformerEncoder(nn.Module):
+    """Speech encoder: conv subsampler → transformer/conformer stack → CTC.
+
+    Returns a dict:
+      encoder_out     (B, T', D)
+      encoder_lengths (B,) int32
+      ctc_logits      (B, T', V_src) or None
+      inter_ctc_logits tuple of (layer_idx, logits)
+      xctc_logits / inter_xctc_logits analogously for target-language CTC
+    (reference: S2TTransformerEncoder forward, s2t_transformer.py:1714+)
+    """
+
+    cfg: S2TTransformerConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.dtype
+        in_dim = cfg.input_feat_per_channel * cfg.input_channels
+        if cfg.subsampling_type == "conv1d":
+            self.subsample = Conv1dSubsampling(
+                cfg.subsampling_layers, cfg.subsampling_filter,
+                cfg.encoder_embed_dim, cfg.subsampling_kernel,
+                cfg.subsampling_stride, cfg.subsampling_norm,
+                cfg.subsampling_activation, dt, name="subsample",
+            )
+        else:
+            self.subsample = Conv2dSubsampling(
+                cfg.subsampling_layers, cfg.subsampling_filter,
+                cfg.encoder_embed_dim, in_dim, cfg.subsampling_kernel,
+                cfg.subsampling_stride, cfg.subsampling_activation, dt,
+                name="subsample",
+            )
+        if cfg.encoder_embed_linear:
+            self.embed_linear = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="embed_linear")
+        if cfg.encoder_embed_norm:
+            self.embed_norm = nn.LayerNorm(dtype=dt, name="embed_norm")
+        self.layers = [
+            S2TEncoderLayer(
+                cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
+                cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
+                cfg.activation_dropout, cfg.activation_fn,
+                cfg.encoder_normalize_before, cfg.encoder_attention_type,
+                cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
+                dt, name=f"layer{i}",
+            )
+            for i in range(cfg.encoder_layers)
+        ]
+        if cfg.encoder_normalize_before:
+            self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
+        if cfg.use_ctc:
+            self.ctc_head = CTCHead(cfg.ctc_vocab_size, cfg.dropout, dtype=dt, name="ctc_head")
+            if cfg.inter_ctc_layers and not cfg.share_inter_ctc:
+                self.inter_ctc_heads = {
+                    str(l): CTCHead(cfg.ctc_vocab_size, cfg.dropout, dtype=dt,
+                                    name=f"inter_ctc_head{l}")
+                    for l in cfg.inter_ctc_layers
+                }
+            if cfg.ctc_pae != "none":
+                self.pae = Adapter(
+                    cfg.encoder_embed_dim, cfg.ctc_vocab_size, cfg.ctc_pae,
+                    cfg.pae_ctc_temperature, dtype=dt, name="pae",
+                )
+            if cfg.inter_ctc_layers:
+                # per-layer norm applied before inter-CTC projection
+                self.inter_ctc_norm = nn.LayerNorm(dtype=dt, name="inter_ctc_norm")
+        if cfg.use_xctc:
+            self.xctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt, name="xctc_head")
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
+        if cfg.encoder_embed_linear:
+            x = self.embed_linear(x)
+        if cfg.encoder_embed_norm:
+            x = self.embed_norm(x)
+        if not cfg.encoder_no_scale_embedding:
+            x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
+        T = x.shape[1]
+        pos_emb = None
+        if cfg.encoder_attention_type == "abs":
+            pe = sinusoidal_encoding(T, cfg.encoder_embed_dim, x.dtype)
+            x = x + pe[None]
+        elif cfg.encoder_attention_type == "rel_pos":
+            pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
+        x = self.drop(x, deterministic=deterministic)
+
+        valid = lengths_to_mask(lengths, T)
+        bias = padding_bias(valid, x.dtype)
+
+        inter_ctc_logits = []
+        for i, layer in enumerate(self.layers):
+            x = layer(x, valid, bias, pos_emb, deterministic)
+            layer_idx = i + 1
+            if (
+                cfg.use_ctc
+                and layer_idx in cfg.inter_ctc_layers
+                and layer_idx != cfg.encoder_layers
+            ):
+                h = self.inter_ctc_norm(x)
+                if cfg.share_inter_ctc:
+                    logits = self.ctc_head(h, deterministic)
+                else:
+                    logits = self.inter_ctc_heads[str(layer_idx)](h, deterministic)
+                inter_ctc_logits.append((layer_idx, logits))
+                if cfg.ctc_pae != "none":
+                    x = self.pae(x, logits, deterministic=deterministic)
+
+        if cfg.encoder_normalize_before:
+            x = self.final_norm(x)
+
+        ctc_logits = None
+        if cfg.use_ctc:
+            ctc_logits = self.ctc_head(x, deterministic)
+        xctc_logits = None
+        if cfg.use_xctc:
+            xctc_logits = self.xctc_head(x, deterministic)
+
+        return {
+            "encoder_out": x,
+            "encoder_lengths": lengths,
+            "ctc_logits": ctc_logits,
+            "inter_ctc_logits": tuple(inter_ctc_logits),
+            "xctc_logits": xctc_logits,
+            "inter_xctc_logits": (),
+        }
+
+
+@register_model("s2t_transformer")
+class S2TTransformerModel(nn.Module):
+    """Encoder-decoder ST/ASR model (reference: s2t_transformer.py:41)."""
+
+    cfg: S2TTransformerConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoder = S2TTransformerEncoder(cfg, name="encoder")
+        self.decoder = TransformerDecoder(
+            vocab_size=cfg.vocab_size,
+            embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim,
+            num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            activation=cfg.activation_fn,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            learned_pos=cfg.decoder_learned_pos,
+            max_positions=cfg.max_target_positions,
+            pad_id=cfg.pad_id,
+            dtype=cfg.dtype,
+            name="decoder",
+        )
+
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        feat_lengths: jnp.ndarray,
+        prev_tokens: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        enc = self.encoder(features, feat_lengths, deterministic)
+        enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        logits = self.decoder(prev_tokens, enc["encoder_out"], enc_mask, deterministic)
+        return {"decoder_logits": logits, **enc}
+
+    # --- inference-facing methods (used by generators via method=...) -------
+    def encode(self, features, feat_lengths, deterministic: bool = True):
+        return self.encoder(features, feat_lengths, deterministic)
+
+    def decode(self, prev_tokens, encoder_out, encoder_valid_mask):
+        return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
+
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask):
+        return self.decoder.step(tokens, cache, index, encoder_out, encoder_valid_mask)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        return self.decoder.init_cache(batch_size, max_len)
+
+
+# --------------------------------------------------------------------------- #
+# architecture presets (reference: s2t_transformer.py:2256-2470)
+# --------------------------------------------------------------------------- #
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer")
+def base_architecture(**kw) -> S2TTransformerConfig:
+    return S2TTransformerConfig(
+        encoder_embed_dim=512, encoder_ffn_embed_dim=2048,
+        encoder_attention_heads=8, decoder_embed_dim=512,
+        decoder_ffn_embed_dim=2048, decoder_attention_heads=8,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_s")
+def s2t_transformer_s(**kw) -> S2TTransformerConfig:
+    return S2TTransformerConfig(
+        encoder_embed_dim=256, encoder_ffn_embed_dim=2048,
+        encoder_attention_heads=4, decoder_embed_dim=256,
+        decoder_ffn_embed_dim=2048, decoder_attention_heads=4, dropout=0.1,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_xs")
+def s2t_transformer_xs(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_s(
+        encoder_layers=6, decoder_layers=3, encoder_ffn_embed_dim=1024,
+        decoder_ffn_embed_dim=1024, dropout=0.3,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_sp")
+def s2t_transformer_sp(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_s(encoder_layers=16).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_m")
+def s2t_transformer_m(**kw) -> S2TTransformerConfig:
+    return S2TTransformerConfig(
+        encoder_embed_dim=512, encoder_ffn_embed_dim=2048,
+        encoder_attention_heads=8, decoder_embed_dim=512,
+        decoder_ffn_embed_dim=2048, decoder_attention_heads=8, dropout=0.15,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_mp")
+def s2t_transformer_mp(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_m(encoder_layers=16).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_l")
+def s2t_transformer_l(**kw) -> S2TTransformerConfig:
+    return S2TTransformerConfig(
+        encoder_embed_dim=1024, encoder_ffn_embed_dim=4096,
+        encoder_attention_heads=16, decoder_embed_dim=1024,
+        decoder_ffn_embed_dim=4096, decoder_attention_heads=16, dropout=0.2,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_lp")
+def s2t_transformer_lp(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_l(encoder_layers=16).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_conformer")
+def s2t_conformer(**kw) -> S2TTransformerConfig:
+    """Conformer-S style: macaron + conv module + relative positions."""
+    return s2t_transformer_s(
+        encoder_attention_type="rel_pos", macaron_style=True,
+        use_cnn_module=True, activation_fn="swish",
+    ).replace(**kw)

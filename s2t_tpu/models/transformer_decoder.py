@@ -1,0 +1,151 @@
+"""Transformer decoder with explicit incremental KV cache.
+
+(reference: fairseq/models/transformer.py TransformerDecoder +
+TransformerDecoderScriptable at s2t_transformer.py:2211.)
+
+Two entry points:
+  * ``__call__``     — full teacher-forced forward (training/validation)
+  * ``step``         — one incremental decode step given an explicit cache
+                       pytree; used inside jitted lax.scan beam search.
+``init_cache`` builds the zeroed cache for a given batch/beam size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.modules.attention import causal_bias, padding_bias
+from s2t_tpu.modules.layers import TransformerDecoderLayer
+from s2t_tpu.modules.positional import sinusoidal_encoding
+
+
+class TransformerDecoder(nn.Module):
+    vocab_size: int
+    embed_dim: int = 256
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    num_heads: int = 4
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    share_input_output_embed: bool = True
+    no_scale_embedding: bool = False
+    learned_pos: bool = False
+    max_positions: int = 1024
+    pad_id: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.vocab_size,
+            self.embed_dim,
+            embedding_init=nn.initializers.normal(self.embed_dim**-0.5),
+            dtype=self.dtype,
+            name="embed_tokens",
+        )
+        if self.learned_pos:
+            self.embed_positions = nn.Embed(
+                self.max_positions, self.embed_dim, dtype=self.dtype,
+                name="embed_positions",
+            )
+        self.layers = [
+            TransformerDecoderLayer(
+                self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
+                self.attention_dropout, self.activation_dropout, self.activation,
+                self.normalize_before, self.dtype, name=f"layer{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.normalize_before:
+            self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        if not self.share_input_output_embed:
+            self.output_proj = nn.Dense(
+                self.vocab_size, use_bias=False, dtype=self.dtype, name="output_proj"
+            )
+        self.drop = nn.Dropout(self.dropout)
+
+    def _embed(self, tokens: jnp.ndarray, pos_offset) -> jnp.ndarray:
+        x = self.embed_tokens(tokens)
+        if not self.no_scale_embedding:
+            x = x * jnp.sqrt(self.embed_dim).astype(x.dtype)
+        T = tokens.shape[1]
+        if self.learned_pos:
+            pos = pos_offset + jnp.arange(T)
+            x = x + self.embed_positions(pos)[None]
+        else:
+            pe = sinusoidal_encoding(self.max_positions, self.embed_dim, x.dtype)
+            x = x + jax.lax.dynamic_slice_in_dim(pe, pos_offset, T, axis=0)[None]
+        return x
+
+    def _output(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.share_input_output_embed:
+            return self.embed_tokens.attend(x)
+        return self.output_proj(x)
+
+    def __call__(
+        self,
+        prev_tokens: jnp.ndarray,
+        encoder_out: jnp.ndarray,
+        encoder_valid_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward: (B, U) tokens -> (B, U, V) logits."""
+        B, U = prev_tokens.shape
+        x = self._embed(prev_tokens, 0)
+        x = self.drop(x, deterministic=deterministic)
+        self_bias = causal_bias(U, x.dtype)
+        # padded target positions masked out of self-attention keys
+        tgt_valid = prev_tokens != self.pad_id
+        self_bias = self_bias + padding_bias(tgt_valid, x.dtype)
+        cross_bias = padding_bias(encoder_valid_mask, x.dtype)
+        for layer in self.layers:
+            x, _ = layer(
+                x, encoder_out, self_bias, cross_bias, deterministic=deterministic
+            )
+        if self.normalize_before:
+            x = self.final_norm(x)
+        return self._output(x)
+
+    def init_cache(self, batch_size: int, max_len: int) -> dict:
+        """Zeroed KV cache pytree: per layer (B, max_len, H, Dh) k/v arrays."""
+        head_dim = self.embed_dim // self.num_heads
+        return {
+            f"layer{i}": {
+                "k": jnp.zeros((batch_size, max_len, self.num_heads, head_dim), self.dtype),
+                "v": jnp.zeros((batch_size, max_len, self.num_heads, head_dim), self.dtype),
+            }
+            for i in range(self.num_layers)
+        }
+
+    def step(
+        self,
+        tokens: jnp.ndarray,
+        cache: dict,
+        index: jnp.ndarray,
+        encoder_out: jnp.ndarray,
+        encoder_valid_mask: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """One decode step: (B, 1) tokens at position ``index`` -> (B, V) logits.
+
+        The causal structure comes from the cache-index mask inside
+        MultiHeadAttention; dropout is always off here (inference).
+        """
+        x = self._embed(tokens, index)
+        cross_bias = padding_bias(encoder_valid_mask, x.dtype)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, lc = layer(
+                x, encoder_out, None, cross_bias,
+                deterministic=True, cache=cache[f"layer{i}"], cache_index=index,
+            )
+            new_cache[f"layer{i}"] = lc
+        if self.normalize_before:
+            x = self.final_norm(x)
+        return self._output(x)[:, 0], new_cache

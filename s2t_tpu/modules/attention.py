@@ -1,0 +1,194 @@
+"""Multi-head attention zoo with explicit functional KV caches.
+
+Replaces the reference attention variants (fairseq/modules/
+multihead_attention.py:643, espnet_multihead_attention.py:23-576 incl. rotary,
+rel_position_multihead_attention.py) with a single flax module family.
+
+TPU design:
+  * one fused QKV projection where possible — bigger matmuls for the MXU
+  * attention bias is an additive float mask computed once per batch
+  * incremental decoding uses an *explicit* cache pytree (k, v arrays of
+    static shape (B, T_max, H, Dh) + an index) threaded through lax.scan —
+    never flax mutable state, so beam reorder is a plain gather
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.modules.positional import apply_rope, rope_tables
+
+NEG = -1e9
+
+
+def dot_attention_weights(q, k, bias, dtype):
+    """q: (B, Tq, H, Dh), k: (B, Tk, H, Dh), bias: (B, 1|H, Tq, Tk) additive."""
+    depth = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(depth).astype(q.dtype)
+    if bias is not None:
+        scores = scores + bias
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard / rotary multi-head attention.
+
+    attention_type: "abs" (plain dot-product) or "rope" (rotary on q,k).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    attention_type: str = "abs"
+    max_positions: int = 4096
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.embed_dim % self.num_heads == 0
+        self.head_dim = self.embed_dim // self.num_heads
+        self.q_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")
+        self.drop = nn.Dropout(self.dropout)
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.num_heads, self.head_dim)
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Optional[dict]]:
+        """Returns (output (B, Tq, D), new_cache).
+
+        Incremental mode: pass ``cache`` = {"k": (B, Tmax, H, Dh), "v": ...}
+        and ``cache_index`` (scalar int32).  query must then have Tq == 1 and
+        key/value are the *new* step only; cached keys up to index are used.
+        """
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
+
+        if self.attention_type == "rope":
+            cos, sin = rope_tables(self.max_positions, self.head_dim, dtype=q.dtype)
+            if cache is not None:
+                q_pos = cache_index
+                q = apply_rope(q, jax.lax.dynamic_slice_in_dim(cos, q_pos, 1),
+                               jax.lax.dynamic_slice_in_dim(sin, q_pos, 1))
+                k = apply_rope(k, jax.lax.dynamic_slice_in_dim(cos, q_pos, 1),
+                               jax.lax.dynamic_slice_in_dim(sin, q_pos, 1))
+            else:
+                Tq, Tk = q.shape[1], k.shape[1]
+                q = apply_rope(q, cos[:Tq], sin[:Tq])
+                k = apply_rope(k, cos[:Tk], sin[:Tk])
+
+        new_cache = None
+        if cache is not None:
+            # write this step's k/v at cache_index, then attend over the cache
+            k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
+            Tk = k.shape[1]
+            step_mask = jnp.arange(Tk)[None, None, None, :] <= cache_index
+            step_bias = jnp.where(step_mask, 0.0, NEG).astype(q.dtype)
+            bias = step_bias if bias is None else bias + step_bias
+
+        w = dot_attention_weights(q, k, bias, q.dtype)
+        w = self.drop(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+        out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
+        return self.out_proj(out), new_cache
+
+
+class RelPositionMultiHeadAttention(nn.Module):
+    """Transformer-XL style relative-position attention (ESPnet variant used
+    by Conformer; reference: espnet_multihead_attention.py RelPositionMHA).
+
+    Expects ``pos_emb``: (2T-1, D) relative encoding table for the current T.
+    Learnable content/position biases u, v (pos_bias_u / pos_bias_v).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.embed_dim % self.num_heads == 0
+        self.head_dim = self.embed_dim // self.num_heads
+        self.q_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")
+        self.pos_proj = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="pos_proj")
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")
+        self.pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (self.num_heads, self.head_dim)
+        )
+        self.pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (self.num_heads, self.head_dim)
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    @staticmethod
+    def _rel_shift(x):
+        """(B, H, T, 2T-1) -> (B, H, T, T): pick diagonal bands so that
+        position j-i indexes the table at (T-1) + (j - i)."""
+        B, H, T, L = x.shape  # L == 2T-1
+        # pad one on the left of last dim, reshape trick (Transformer-XL)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(B, H, L + 1, T)
+        x = x[:, :, 1:, :].reshape(B, H, T, L)
+        return x[..., :T]
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, T, _ = query.shape
+        q = self.q_proj(query).reshape(B, T, self.num_heads, self.head_dim)
+        k = self.k_proj(key).reshape(B, T, self.num_heads, self.head_dim)
+        v = self.v_proj(value).reshape(B, T, self.num_heads, self.head_dim)
+        p = self.pos_proj(pos_emb).reshape(-1, self.num_heads, self.head_dim)  # (2T-1, H, Dh)
+
+        q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
+        q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
+        # content score
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        # position score: (B, H, T, 2T-1) -> shift -> (B, H, T, T)
+        bd = jnp.einsum("bqhd,lhd->bhql", q_v, p)
+        bd = self._rel_shift(bd)
+        scores = (ac + bd) / jnp.sqrt(self.head_dim).astype(q.dtype)
+        if bias is not None:
+            scores = scores + bias
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        w = self.drop(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, self.embed_dim)
+        return self.out_proj(out)
+
+
+def padding_bias(valid_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, Tk) valid-mask -> (B, 1, 1, Tk) additive attention bias."""
+    return jnp.where(valid_mask[:, None, None, :], 0.0, NEG).astype(dtype)
+
+
+def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, T, T) additive causal mask."""
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+    return jnp.where(mask, 0.0, NEG).astype(dtype)[None, None]

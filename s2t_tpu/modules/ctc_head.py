@@ -1,0 +1,35 @@
+"""CTC projection head (reference: fairseq/modules/speech_to_text/ctc.py:17-136).
+
+LayerNorm (optional) → dropout → Dense to vocab.  The projection can be weight-
+shared with a token embedding (``share_ctc_and_embed``,
+reference: s2t_transformer.py:965-972) by passing ``embedding`` at call time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class CTCHead(nn.Module):
+    vocab_size: int
+    dropout: float = 0.0
+    norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        embedding: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if self.norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if embedding is not None:
+            # shared with embedding table: logits = x @ E^T
+            return jnp.einsum("btd,vd->btv", x, embedding.astype(x.dtype))
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(x)

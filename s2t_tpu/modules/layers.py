@@ -1,0 +1,229 @@
+"""Transformer encoder/decoder layers (optionally Conformer).
+
+(reference: fairseq/modules/s2t_transformer_layer.py:69-322 — pre/post-norm
+self-attention with optional macaron FFN and conv module;
+fairseq/modules/transformer_layer.py decoder layer.)
+
+All layers are pre-norm by default (the reference recipes set
+encoder_normalize_before=true).  Dropout uses the flax "dropout" rng
+collection gated by ``deterministic``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2t_tpu.modules.attention import (
+    MultiHeadAttention,
+    RelPositionMultiHeadAttention,
+)
+from s2t_tpu.modules.subsampling import get_activation
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+class FeedForward(nn.Module):
+    dim: int
+    ffn_dim: int
+    activation: str = "relu"
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        h = get_activation(self.activation)(h)
+        h = nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return h
+
+
+class ConformerConvModule(nn.Module):
+    """Conformer convolution module: pointwise → GLU → depthwise → norm →
+    swish → pointwise (reference: fairseq/modules/convolution.py:8-120).
+
+    Uses LayerNorm in place of the reference's BatchNorm1d: functionally
+    stateless (no running stats to thread through pjit) and standard in
+    recent Conformer implementations.
+    """
+
+    dim: int
+    kernel_size: int = 31
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid_mask, deterministic: bool = True):
+        # x: (B, T, D); valid_mask: (B, T) — padded frames zeroed so the
+        # depthwise conv never mixes padding into valid frames.
+        x = jnp.where(valid_mask[..., None], x, 0.0)
+        h = nn.Dense(2 * self.dim, dtype=self.dtype, name="pointwise_conv1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)
+        h = jnp.where(valid_mask[..., None], h, 0.0)
+        h = nn.Conv(
+            features=self.dim,
+            kernel_size=(self.kernel_size,),
+            padding=[((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)],
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = nn.swish(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="pointwise_conv2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class S2TEncoderLayer(nn.Module):
+    """Speech encoder layer: [macaron FFN ·½] → self-attn → [conv module] →
+    FFN (·½ if macaron) with pre- or post-norm
+    (reference: modules/s2t_transformer_layer.py:69-229)."""
+
+    dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    attention_type: str = "abs"  # abs | rel_pos | rope
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    cnn_kernel: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        valid_mask: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray] = None,
+        pos_emb: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        drop = nn.Dropout(self.dropout)
+        ffn_scale = 0.5 if self.macaron_style else 1.0
+
+        if self.macaron_style:
+            res = x
+            norm_macaron = nn.LayerNorm(dtype=self.dtype, name="macaron_norm")
+            h = norm_macaron(x) if self.normalize_before else x
+            h = FeedForward(
+                self.dim, self.ffn_dim, self.activation, self.dropout,
+                self.activation_dropout, self.dtype, name="macaron_ffn",
+            )(h, deterministic)
+            x = res + ffn_scale * drop(h, deterministic=deterministic)
+            if not self.normalize_before:
+                x = norm_macaron(x)
+
+        res = x
+        norm_attn_norm = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
+        h = norm_attn_norm(x) if self.normalize_before else x
+        if self.attention_type == "rel_pos":
+            h = RelPositionMultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout, self.dtype,
+                name="self_attn",
+            )(h, h, h, pos_emb, attn_bias, deterministic)
+        else:
+            h, _ = MultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout,
+                attention_type=self.attention_type, dtype=self.dtype,
+                name="self_attn",
+            )(h, h, h, attn_bias, deterministic)
+        x = res + drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_attn_norm(x)
+
+        if self.use_cnn_module:
+            res = x
+            norm_conv = nn.LayerNorm(dtype=self.dtype, name="conv_norm")
+            h = norm_conv(x) if self.normalize_before else x
+            h = ConformerConvModule(
+                self.dim, self.cnn_kernel, self.dropout, self.dtype, name="conv_module"
+            )(h, valid_mask, deterministic)
+            x = res + drop(h, deterministic=deterministic)
+            if not self.normalize_before:
+                x = norm_conv(x)
+
+        res = x
+        norm_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
+        h = norm_ffn_norm(x) if self.normalize_before else x
+        h = FeedForward(
+            self.dim, self.ffn_dim, self.activation, self.dropout,
+            self.activation_dropout, self.dtype, name="ffn",
+        )(h, deterministic)
+        x = res + ffn_scale * drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_ffn_norm(x)
+
+        if self.use_cnn_module:
+            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre-norm decoder layer: causal self-attn (cacheable) → cross-attn → FFN
+    (reference: fairseq/modules/transformer_layer.py TransformerDecoderLayer)."""
+
+    dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        encoder_out: jnp.ndarray,
+        self_bias: Optional[jnp.ndarray] = None,
+        cross_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Optional[dict]]:
+        drop = nn.Dropout(self.dropout)
+
+        res = x
+        norm_self_attn_norm = nn.LayerNorm(dtype=self.dtype, name="self_attn_norm")
+        h = norm_self_attn_norm(x) if self.normalize_before else x
+        h, new_cache = MultiHeadAttention(
+            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
+            name="self_attn",
+        )(h, h, h, self_bias, deterministic, cache=cache, cache_index=cache_index)
+        x = res + drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_self_attn_norm(x)
+
+        res = x
+        norm_cross_attn_norm = nn.LayerNorm(dtype=self.dtype, name="cross_attn_norm")
+        h = norm_cross_attn_norm(x) if self.normalize_before else x
+        h, _ = MultiHeadAttention(
+            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
+            name="cross_attn",
+        )(h, encoder_out, encoder_out, cross_bias, deterministic)
+        x = res + drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_cross_attn_norm(x)
+
+        res = x
+        norm_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
+        h = norm_ffn_norm(x) if self.normalize_before else x
+        h = FeedForward(
+            self.dim, self.ffn_dim, self.activation, self.dropout,
+            self.activation_dropout, self.dtype, name="ffn",
+        )(h, deterministic)
+        x = res + drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_ffn_norm(x)
+        return x, new_cache

@@ -1,0 +1,135 @@
+"""Convolutional subsampling front-ends.
+
+(reference: fairseq/modules/speech_to_text/subsampling.py:106-247 —
+Conv1dSubsampling / Conv2dSubsampling: N strided convs + norm + activation.)
+
+TPU notes: XLA lowers strided 1-D convs onto the MXU as implicit GEMMs; GLU is
+fused into the conv epilogue.  Padded frames are zeroed before each conv so
+batch statistics and edges are deterministic regardless of bucket padding.
+Length recurrence per layer (stride 2, 'same'-ish padding (k-1)//2):
+L' = (L - 1) // 2 + 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+def get_activation(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return nn.gelu
+    if name == "swish":
+        return nn.swish
+    if name in ("none", None):
+        return lambda x: x
+    raise ValueError(f"activation {name!r} not supported")
+
+
+class Conv1dSubsampling(nn.Module):
+    """Stack of strided 1-D convs with GLU (default), halving T per layer.
+
+    Channel plan mirrors the reference (subsampling.py:130-142): intermediate
+    layers output ``filters``, the last outputs ``out_dim``; with GLU each conv
+    emits 2x channels which the gate halves.
+    """
+
+    num_layers: int = 2
+    filters: int = 1024
+    out_dim: int = 512
+    kernel_size: int = 5
+    stride: int = 2
+    norm: str = "none"  # none | layer
+    activation: str = "glu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # x: (B, T, D_in); lengths: (B,)
+        for i in range(self.num_layers):
+            mask = lengths_to_mask(lengths, x.shape[1])[..., None]
+            x = jnp.where(mask, x, 0.0)
+            ch = self.out_dim if i == self.num_layers - 1 else self.filters
+            glu = self.activation == "glu"
+            feat = ch * 2 if glu else ch
+            x = nn.Conv(
+                features=feat,
+                kernel_size=(self.kernel_size,),
+                strides=(self.stride,),
+                padding=[((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)],
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+            if self.norm == "layer":
+                x = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
+            if glu:
+                a, b = jnp.split(x, 2, axis=-1)
+                x = a * nn.sigmoid(b)
+            else:
+                x = get_activation(self.activation)(x)
+            lengths = (lengths - 1) // self.stride + 1
+        mask = lengths_to_mask(lengths, x.shape[1])[..., None]
+        x = jnp.where(mask, x, 0.0)
+        return x, lengths
+
+
+class Conv2dSubsampling(nn.Module):
+    """2-D conv subsampling (freq axis also strided), ESPnet style
+    (reference: subsampling.py:162-229)."""
+
+    num_layers: int = 2
+    filters: int = 176
+    out_dim: int = 512
+    in_dim: int = 80
+    kernel_size: int = 5
+    stride: int = 2
+    activation: str = "glu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, T, D = x.shape
+        h = x[..., None]  # (B, T, D, 1) — NHWC
+        freq = self.in_dim
+        for i in range(self.num_layers):
+            mask = lengths_to_mask(lengths, h.shape[1])[:, :, None, None]
+            h = jnp.where(mask, h, 0.0)
+            glu = self.activation == "glu"
+            feat = self.filters * 2 if glu else self.filters
+            # VALID padding matches the reference (no padding on conv2d)
+            h = nn.Conv(
+                features=feat,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(h)
+            if glu:
+                a, b = jnp.split(h, 2, axis=-1)
+                h = a * nn.sigmoid(b)
+            else:
+                h = get_activation(self.activation)(h)
+            lengths = (lengths - self.kernel_size) // self.stride + 1
+            freq = (freq - self.kernel_size) // self.stride + 1
+        B2, T2, F2, C2 = h.shape
+        h = h.reshape(B2, T2, F2 * C2)
+        out = nn.Dense(self.out_dim, dtype=self.dtype, name="out")(h)
+        mask = lengths_to_mask(lengths, out.shape[1])[..., None]
+        return jnp.where(mask, out, 0.0), lengths
+
+
+def subsampled_length(length: int, num_layers: int = 2, stride: int = 2) -> int:
+    for _ in range(num_layers):
+        length = (length - 1) // stride + 1
+    return length
