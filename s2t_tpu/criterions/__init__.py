@@ -1,0 +1,8 @@
+"""Criterions: pure functions (model_out, batch, cfg) -> (loss, sample_size, logs).
+
+Importing registers all criterions.
+"""
+
+from s2t_tpu.criterions import label_smoothed_ce  # noqa: F401
+from s2t_tpu.criterions import ctc  # noqa: F401
+from s2t_tpu.criterions.build import build_criterion  # noqa: F401

@@ -1,0 +1,200 @@
+"""CTC criterion family — the S2T centerpiece.
+
+(reference: fairseq/criterions/ctc.py:156-1341 and
+label_smoothed_cross_entropy_with_ctc.py:25 — weights for ctc / inter-CTC /
+XCTC / inter-XCTC, entropy regularisation, inter-layer self-distillation,
+composed under label-smoothed CE.)
+
+Blank convention follows the reference: blank = index 0 (``<s>``) unless the
+dictionary defines a dedicated symbol (reference: criterions/ctc.py:191-195).
+CTC targets are transcript tokens with pad/eos stripped (:365).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.criterions.label_smoothed_ce import LabelSmoothedCE, label_smoothed_nll_loss
+from s2t_tpu.ops.ctc import ctc_loss
+from s2t_tpu.registry import register_criterion
+
+
+def _masked_log_softmax(logits, axis=-1):
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
+
+
+@register_criterion("ctc")
+class CTCCriterion:
+    @dataclass
+    class Config:
+        ctc_weight: float = 1.0
+        inter_ctc_weight: float = 0.0
+        xctc_weight: float = 0.0
+        inter_xctc_weight: float = 0.0
+        ctc_entropy_weight: float = 0.0
+        ctc_self_distill_weight: float = 0.0
+        ctc_self_distill_temperature: float = 1.0
+        sentence_avg: bool = False
+        pad_id: int = 1
+        eos_id: int = 2
+        blank_id: int = 0
+        zero_infinity: bool = True
+
+    def __init__(self, cfg: "CTCCriterion.Config"):
+        self.cfg = cfg
+
+    def _one_ctc(self, logits, enc_lengths, tokens, token_lengths):
+        log_probs = _masked_log_softmax(logits)
+        return ctc_loss(
+            log_probs,
+            tokens,
+            enc_lengths,
+            token_lengths,
+            blank_id=self.cfg.blank_id,
+            reduction="sum",
+            zero_infinity=self.cfg.zero_infinity,
+        )
+
+    def compute_ctc_loss(
+        self, model_out: Dict[str, Any], batch: Dict[str, Any]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Compose all CTC branches (reference: criterions/ctc.py:542-1103)."""
+        cfg = self.cfg
+        enc_lengths = model_out["encoder_lengths"]
+        logs: Dict[str, jnp.ndarray] = {}
+        total = jnp.asarray(0.0, jnp.float32)
+
+        transcript = batch.get("transcript")
+        transcript_lengths = batch.get("transcript_lengths")
+        if transcript is None:  # ASR: CTC over the target tokens
+            transcript = batch["target_no_eos"] if "target_no_eos" in batch else batch["target"]
+            transcript_lengths = batch.get(
+                "target_lengths",
+                jnp.sum((transcript != cfg.pad_id).astype(jnp.int32), axis=1),
+            )
+
+        if cfg.ctc_weight > 0 and model_out.get("ctc_logits") is not None:
+            l = self._one_ctc(
+                model_out["ctc_logits"], enc_lengths, transcript, transcript_lengths
+            )
+            logs["ctc_loss"] = l
+            total = total + cfg.ctc_weight * l
+
+        inter = model_out.get("inter_ctc_logits") or ()
+        if cfg.inter_ctc_weight > 0 and len(inter) > 0:
+            il = jnp.asarray(0.0, jnp.float32)
+            for _, logits in inter:
+                il = il + self._one_ctc(logits, enc_lengths, transcript, transcript_lengths)
+            il = il / len(inter)
+            logs["inter_ctc_loss"] = il
+            total = total + cfg.inter_ctc_weight * il
+
+        if cfg.xctc_weight > 0 and model_out.get("xctc_logits") is not None:
+            tgt = batch["target"]
+            # strip EOS for CTC over target text (reference: ctc.py:365)
+            tgt_ctc = jnp.where((tgt == cfg.eos_id), cfg.pad_id, tgt)
+            tgt_lengths = jnp.sum((tgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
+            l = self._one_ctc(model_out["xctc_logits"], enc_lengths, tgt_ctc, tgt_lengths)
+            logs["xctc_loss"] = l
+            total = total + cfg.xctc_weight * l
+
+        inter_x = model_out.get("inter_xctc_logits") or ()
+        if cfg.inter_xctc_weight > 0 and len(inter_x) > 0:
+            tgt = batch["target"]
+            tgt_ctc = jnp.where((tgt == cfg.eos_id), cfg.pad_id, tgt)
+            tgt_lengths = jnp.sum((tgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
+            il = jnp.asarray(0.0, jnp.float32)
+            for _, logits in inter_x:
+                il = il + self._one_ctc(logits, enc_lengths, tgt_ctc, tgt_lengths)
+            il = il / len(inter_x)
+            logs["inter_xctc_loss"] = il
+            total = total + cfg.inter_xctc_weight * il
+
+        if cfg.ctc_entropy_weight > 0 and model_out.get("ctc_logits") is not None:
+            # mean per-frame entropy of the CTC posterior (reference :640+)
+            lp = _masked_log_softmax(model_out["ctc_logits"])
+            p = jnp.exp(lp)
+            ent = -jnp.sum(p * lp, axis=-1)  # (B, T)
+            T = ent.shape[1]
+            mask = jnp.arange(T)[None, :] < enc_lengths[:, None]
+            ent = jnp.sum(jnp.where(mask, ent, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
+            logs["ctc_entropy"] = ent
+            total = total + cfg.ctc_entropy_weight * ent
+
+        if (
+            cfg.ctc_self_distill_weight > 0
+            and len(inter) > 0
+            and model_out.get("ctc_logits") is not None
+        ):
+            # KL(final || inter) per frame, averaged (reference :477-541)
+            tau = cfg.ctc_self_distill_temperature
+            teacher = _masked_log_softmax(model_out["ctc_logits"] / tau)
+            T = teacher.shape[1]
+            mask = (jnp.arange(T)[None, :] < enc_lengths[:, None])[..., None]
+            kd = jnp.asarray(0.0, jnp.float32)
+            for _, logits in inter:
+                student = _masked_log_softmax(logits / tau)
+                kl = jnp.exp(teacher) * (teacher - student)
+                kd = kd + jnp.sum(jnp.where(mask, kl, 0.0))
+            kd = kd / len(inter)
+            logs["ctc_self_distill_loss"] = kd
+            total = total + cfg.ctc_self_distill_weight * kd
+
+        return total, logs
+
+    def __call__(self, model_out, batch):
+        loss, logs = self.compute_ctc_loss(model_out, batch)
+        ntokens = jnp.asarray(batch.get("ntokens", 1), jnp.float32)
+        nsent = jnp.asarray(batch["target"].shape[0], jnp.float32)
+        sample_size = nsent if self.cfg.sentence_avg else ntokens
+        logs.update({"loss": loss, "ntokens": ntokens, "nsentences": nsent})
+        return loss, sample_size, logs
+
+
+@register_criterion("label_smoothed_cross_entropy_with_ctc")
+class LabelSmoothedCEWithCTC:
+    """Default ST loss: label-smoothed CE + weighted CTC branches
+    (reference: criterions/label_smoothed_cross_entropy_with_ctc.py:74-156)."""
+
+    @dataclass
+    class Config:
+        label_smoothing: float = 0.1
+        sentence_avg: bool = False
+        report_accuracy: bool = True
+        pad_id: int = 1
+        ctc: "CTCCriterion.Config" = field(default_factory=lambda: CTCCriterion.Config())
+
+    def __init__(self, cfg: "LabelSmoothedCEWithCTC.Config"):
+        self.cfg = cfg
+        self.ctc = CTCCriterion(cfg.ctc)
+
+    def __call__(self, model_out, batch):
+        logits = model_out["decoder_logits"]
+        targets = batch["target"]
+        ce, nll = label_smoothed_nll_loss(
+            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id
+        )
+        ctc_total, ctc_logs = self.ctc.compute_ctc_loss(model_out, batch)
+        loss = ce + ctc_total
+        ntokens = jnp.sum((targets != self.cfg.pad_id).astype(jnp.float32))
+        nsent = jnp.asarray(targets.shape[0], jnp.float32)
+        sample_size = nsent if self.cfg.sentence_avg else ntokens
+        logs = {
+            "loss": loss,
+            "ce_loss": ce,
+            "nll_loss": nll,
+            "ntokens": ntokens,
+            "nsentences": nsent,
+            **ctc_logs,
+        }
+        if self.cfg.report_accuracy:
+            from s2t_tpu.criterions.label_smoothed_ce import ce_accuracy
+
+            correct, total = ce_accuracy(logits, targets, self.cfg.pad_id)
+            logs["n_correct"] = correct
+            logs["total"] = total
+        return loss, sample_size, logs

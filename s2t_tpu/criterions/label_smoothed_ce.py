@@ -1,0 +1,76 @@
+"""Label-smoothed cross-entropy (reference: fairseq/criterions/
+label_smoothed_cross_entropy.py:63 — same epsilon semantics: uniform smoothing
+over the full vocab excluding only padding positions from the loss).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.registry import register_criterion
+
+
+def label_smoothed_nll_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    epsilon: float,
+    pad_id: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (smoothed_loss_sum, nll_loss_sum) over non-pad positions.
+
+    Matches fairseq's formulation: eps_i = eps / (V - 1);
+    loss = (1 - eps - eps_i) * nll + eps_i * sum_neg_logprob.
+    """
+    lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    V = lprobs.shape[-1]
+    nll = -jnp.take_along_axis(lprobs, targets[..., None], axis=-1)[..., 0]
+    smooth = -jnp.sum(lprobs, axis=-1)
+    mask = targets != pad_id
+    nll = jnp.where(mask, nll, 0.0)
+    smooth = jnp.where(mask, smooth, 0.0)
+    eps_i = epsilon / (V - 1)
+    loss = (1.0 - epsilon - eps_i) * nll + eps_i * smooth
+    return jnp.sum(loss), jnp.sum(nll)
+
+
+def ce_accuracy(logits, targets, pad_id=1):
+    mask = targets != pad_id
+    pred = jnp.argmax(logits, axis=-1)
+    correct = jnp.sum(jnp.where(mask, (pred == targets).astype(jnp.float32), 0.0))
+    total = jnp.sum(mask.astype(jnp.float32))
+    return correct, total
+
+
+@register_criterion("label_smoothed_cross_entropy")
+class LabelSmoothedCE:
+    @dataclass
+    class Config:
+        label_smoothing: float = 0.1
+        sentence_avg: bool = False
+        report_accuracy: bool = True
+        pad_id: int = 1
+
+    def __init__(self, cfg: "LabelSmoothedCE.Config"):
+        self.cfg = cfg
+
+    def __call__(
+        self, model_out: Dict[str, Any], batch: Dict[str, Any]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        logits = model_out["decoder_logits"]
+        targets = batch["target"]
+        loss, nll = label_smoothed_nll_loss(
+            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id
+        )
+        ntokens = jnp.sum((targets != self.cfg.pad_id).astype(jnp.float32))
+        nsent = jnp.asarray(targets.shape[0], jnp.float32)
+        sample_size = nsent if self.cfg.sentence_avg else ntokens
+        logs = {"loss": loss, "nll_loss": nll, "ntokens": ntokens, "nsentences": nsent}
+        if self.cfg.report_accuracy:
+            correct, total = ce_accuracy(logits, targets, self.cfg.pad_id)
+            logs["n_correct"] = correct
+            logs["total"] = total
+        return loss, sample_size, logs

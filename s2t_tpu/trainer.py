@@ -1,0 +1,228 @@
+"""Trainer: jit-compiled train/valid steps over a device mesh.
+
+(reference: fairseq/trainer.py:611-925 — train_step with grad accumulation,
+clip, overflow skip; valid_step; plus fairseq_cli/train.py's epoch loop.)
+
+TPU-first design:
+  * ONE jitted ``train_step`` — forward, loss, backward, clip, update — with
+    donated state; XLA inserts all data-parallel collectives from shardings.
+  * gradient accumulation = a ``lax.scan`` over a leading microbatch axis
+    inside the same compiled step (update_freq semantics, trainer.py:625-637)
+  * non-finite grads skip the update (optax.apply_if_finite), replacing the
+    reference's DynamicLossScaler/OverflowError dance — bf16 needs no scale
+  * grad-norm consistency across ranks is structural (grads are computed on a
+    global batch), covering trainer.py:1204-1238's cross-rank check
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from s2t_tpu.config import OptimizationConfig
+from s2t_tpu.optim import build_lr_schedule, build_optimizer
+from s2t_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def s2t_forward(model, params, batch, deterministic, rngs=None):
+    """Default forward adapter for speech-to-text batches."""
+    return model.apply(
+        {"params": params},
+        batch["features"],
+        batch["feat_lengths"],
+        batch["prev_tokens"],
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        criterion,
+        opt_cfg: OptimizationConfig,
+        mesh=None,
+        forward_fn: Callable = s2t_forward,
+        seed: int = 1,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.opt_cfg = opt_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.forward_fn = forward_fn
+        self.schedule = build_lr_schedule(opt_cfg)
+        self.tx = optax.apply_if_finite(
+            build_optimizer(opt_cfg, self.schedule), max_consecutive_errors=8
+        )
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._train_step = None
+        self._valid_step = None
+
+    # --------------------------------------------------------------------- #
+    # state
+    # --------------------------------------------------------------------- #
+    def init_state(self, example_batch: Dict[str, Any]) -> TrainState:
+        ex = jax.tree.map(lambda x: jnp.asarray(x), example_batch)
+        variables = jax.eval_shape(
+            lambda: self.model.init(
+                jax.random.PRNGKey(0), ex["features"], ex["feat_lengths"], ex["prev_tokens"]
+            )
+        )
+        # materialise params replicated on the mesh
+        def init_fn():
+            v = self.model.init(
+                self.base_rng, ex["features"], ex["feat_lengths"], ex["prev_tokens"]
+            )
+            return v["params"]
+
+        params = jax.jit(init_fn, out_shardings=replicated(self.mesh))()
+        opt_state = jax.jit(
+            self.tx.init, out_shardings=replicated(self.mesh)
+        )(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    def state_dict(self, state: TrainState) -> Dict[str, Any]:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": jax.tree.map(lambda x: x, state.opt_state),
+        }
+
+    def load_state_dict(self, tree: Dict[str, Any], state: TrainState) -> TrainState:
+        """Restore from a checkpoint pytree, keeping opt_state structure."""
+        import numpy as np
+        from flax import serialization
+
+        params = serialization.from_state_dict(state.params, tree["params"])
+        opt_state = serialization.from_state_dict(
+            jax.tree.map(np.asarray, state.opt_state), tree["opt_state"]
+        )
+        return TrainState(
+            step=jnp.asarray(tree["step"], jnp.int32),
+            params=jax.tree.map(jnp.asarray, params),
+            opt_state=jax.tree.map(jnp.asarray, opt_state),
+        )
+
+    # --------------------------------------------------------------------- #
+    # compiled steps
+    # --------------------------------------------------------------------- #
+    def _loss_fn(self, params, batch, rng):
+        out = self.forward_fn(
+            self.model, params, batch, deterministic=False, rngs={"dropout": rng}
+        )
+        loss, sample_size, logs = self.criterion(out, batch)
+        # normalise by global sample size (token average), fp32
+        norm = jnp.maximum(sample_size, 1.0)
+        return loss.astype(jnp.float32) / norm, (sample_size, logs)
+
+    def _batch_shardings(self, batch, skip_leading_axes: int = 0):
+        """Per-leaf sharding: arrays with a batch dim shard over "data",
+        scalars replicate.  With grad accumulation the leading accum axis is
+        replicated and the second axis is the batch dim."""
+        bs_spec = P(*([None] * skip_leading_axes), "data")
+        bs = NamedSharding(self.mesh, bs_spec)
+        rep = replicated(self.mesh)
+
+        def leaf(x):
+            return bs if jnp.ndim(x) > skip_leading_axes else rep
+
+        return jax.tree.map(leaf, batch)
+
+    def _make_train_step(self, accum: int):
+        def one_micro(params, batch, rng):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (sample_size, logs)), grads = grad_fn(params, batch, rng)
+            return grads, loss, sample_size, logs
+
+        def step_fn(state: TrainState, batch, rng):
+            if accum == 1:
+                grads, loss, sample_size, logs = one_micro(state.params, batch, rng)
+            else:
+                # batch has leading axis (accum, ...); scan to bound memory
+                def body(carry, micro):
+                    g_acc, l_acc, s_acc, logs_acc, i = carry
+                    sub = jax.random.fold_in(rng, i)
+                    g, l, s, logs = one_micro(state.params, micro, sub)
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    logs_acc = jax.tree.map(jnp.add, logs_acc, logs)
+                    return (g_acc, l_acc + l, s_acc + s, logs_acc, i + 1), None
+
+                zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+                first = jax.tree.map(lambda x: x[0], batch)
+                _, _, _, zero_logs = jax.eval_shape(
+                    lambda p, b, r: one_micro(p, b, r), state.params, first, rng
+                )
+                zero_logs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zero_logs)
+                (grads, loss, sample_size, logs, _), _ = jax.lax.scan(
+                    body, (zeros_g, 0.0, 0.0, zero_logs, 0), batch
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = loss / accum
+
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state
+            )
+            metrics = {
+                "loss": loss,
+                "gnorm": gnorm,
+                "lr": self.schedule(state.step + 1),
+                "sample_size": sample_size,
+                **{k: v for k, v in logs.items()},
+            }
+            return new_state, metrics
+
+        return step_fn
+
+    def train_step(
+        self, state: TrainState, batch: Dict[str, Any]
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        accum = self.opt_cfg.update_freq
+        if self._train_step is None:
+            rep = replicated(self.mesh)
+            self._train_step = jax.jit(
+                self._make_train_step(accum),
+                in_shardings=(
+                    rep,
+                    self._batch_shardings(batch, skip_leading_axes=1 if accum > 1 else 0),
+                    rep,
+                ),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        rng = jax.random.fold_in(self.base_rng, int(state.step))
+        return self._train_step(state, batch, rng)
+
+    def _make_valid_step(self):
+        def step_fn(state: TrainState, batch):
+            out = self.forward_fn(self.model, state.params, batch, deterministic=True)
+            loss, sample_size, logs = self.criterion(out, batch)
+            return {"loss": loss, "sample_size": sample_size, **logs}
+
+        return step_fn
+
+    def valid_step(self, state: TrainState, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        if self._valid_step is None:
+            rep = replicated(self.mesh)
+            self._valid_step = jax.jit(
+                self._make_valid_step(),
+                in_shardings=(rep, self._batch_shardings(batch)),
+                out_shardings=rep,
+            )
+        return self._valid_step(state, batch)
