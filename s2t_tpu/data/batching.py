@@ -1,0 +1,99 @@
+"""Token-budget batch packing over a static bucket lattice.
+
+Replaces the reference's Cython ``batch_by_size_vec`` (reference:
+fairseq/data/data_utils_fast.pyx:178, called from data/data_utils.py:272-310)
+with numpy host code, and adds the TPU-critical twist: **shape bucketing**.
+
+Every batch is padded to a (T_bucket, U_bucket, B_bucket) triple drawn from a
+small geometric lattice, so the number of distinct compiled shapes is bounded
+(the reference merely *warns* about XLA recompiles, trainer.py:1283; here the
+shape discipline is structural).  Cost accounting uses the padded sizes, so
+the token budget reflects what the TPU actually computes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def make_buckets(max_val: int, num_buckets: int, min_val: int = 16) -> np.ndarray:
+    """Geometric bucket boundaries from min_val to max_val (inclusive)."""
+    if num_buckets <= 1:
+        return np.asarray([max_val], dtype=np.int64)
+    ratios = np.geomspace(min_val, max_val, num_buckets)
+    buckets = np.unique(np.ceil(ratios).astype(np.int64))
+    buckets[-1] = max_val
+    return buckets
+
+
+def bucketize(values: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+    """Smallest bucket >= value (values above the top bucket get the top)."""
+    idx = np.searchsorted(buckets, values, side="left")
+    idx = np.minimum(idx, len(buckets) - 1)
+    return buckets[idx]
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def batch_by_size(
+    indices: np.ndarray,
+    frame_lengths: np.ndarray,
+    token_lengths: Optional[np.ndarray] = None,
+    max_tokens: Optional[int] = 40000,
+    max_sentences: Optional[int] = None,
+    frame_buckets: Optional[np.ndarray] = None,
+    required_batch_size_multiple: int = 8,
+) -> List[np.ndarray]:
+    """Pack ``indices`` (pre-sorted by caller) into batches under the budget.
+
+    Cost of a batch = B_padded * T_bucket(max frame len) — the padded compute.
+    Returns a list of index arrays.
+    """
+    batches: List[np.ndarray] = []
+    cur: List[int] = []
+    cur_max_frames = 0
+
+    def cost(n, max_frames):
+        b = round_up(n, required_batch_size_multiple)
+        t = (
+            int(bucketize(np.asarray([max_frames]), frame_buckets)[0])
+            if frame_buckets is not None
+            else max_frames
+        )
+        return b * t
+
+    for i in indices:
+        fl = int(frame_lengths[i])
+        new_max = max(cur_max_frames, fl)
+        if cur and (
+            (max_tokens is not None and cost(len(cur) + 1, new_max) > max_tokens)
+            or (max_sentences is not None and len(cur) >= max_sentences)
+        ):
+            batches.append(np.asarray(cur, dtype=np.int64))
+            cur, cur_max_frames = [], 0
+            new_max = fl
+        cur.append(int(i))
+        cur_max_frames = new_max
+    if cur:
+        batches.append(np.asarray(cur, dtype=np.int64))
+    return batches
+
+
+def filter_by_size(
+    frame_lengths: np.ndarray,
+    token_lengths: Optional[np.ndarray],
+    max_frames: int,
+    max_tokens: int,
+    min_frames: int = 1,
+) -> np.ndarray:
+    """Indices of samples within size limits (reference:
+    --max-source-positions / --skip-invalid-size-inputs,
+    tasks/fairseq_task.py get_batch_iterator filter step)."""
+    keep = (frame_lengths <= max_frames) & (frame_lengths >= min_frames)
+    if token_lengths is not None:
+        keep &= token_lengths <= max_tokens
+    return np.nonzero(keep)[0]

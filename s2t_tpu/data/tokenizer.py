@@ -1,0 +1,122 @@
+"""Subword tokenizers: SPM-style unigram/BPE with ▁ word-boundary pieces.
+
+(reference: fairseq/data/encoders/sentencepiece_bpe.py + the recipes' SPM
+vocab generation, examples/speech_to_text/data_utils.py gen_vocab.)
+
+sentencepiece is not in this image; the HF ``tokenizers`` library provides
+equivalent Unigram/BPE models with metaspace (▁) pre-tokenisation, trained
+the same way.  A ``char`` tokenizer covers tests and fallback.  All
+tokenizers emit/consume space-separated piece strings so Dictionary and
+post_process('sentencepiece') round-trip identically to the reference.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, List, Optional
+
+from s2t_tpu.registry import TOKENIZERS, register_tokenizer
+
+
+@register_tokenizer("unigram")
+@register_tokenizer("spm")
+class SPMTokenizer:
+    """Unigram (SPM-default) subword model via HF tokenizers."""
+
+    kind = "unigram"
+
+    def __init__(self, model_path: Optional[str] = None, tok=None):
+        if tok is not None:
+            self.tok = tok
+        else:
+            from tokenizers import Tokenizer
+
+            self.tok = Tokenizer.from_file(str(model_path))
+
+    @classmethod
+    def train(
+        cls,
+        lines: Iterable[str],
+        vocab_size: int,
+        model_path: str | Path,
+        character_coverage: float = 1.0,
+        special_tokens: Optional[List[str]] = None,
+    ) -> "SPMTokenizer":
+        from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+        if cls.kind == "unigram":
+            tok = Tokenizer(models.Unigram())
+            trainer = trainers.UnigramTrainer(
+                vocab_size=vocab_size,
+                special_tokens=special_tokens or [],
+                unk_token=None,
+                shrinking_factor=0.75,
+            )
+        else:
+            tok = Tokenizer(models.BPE())
+            trainer = trainers.BpeTrainer(
+                vocab_size=vocab_size, special_tokens=special_tokens or []
+            )
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+        tok.decoder = decoders.Metaspace(replacement="▁")
+        tok.train_from_iterator(lines, trainer)
+        tok.save(str(model_path))
+        return cls(tok=tok)
+
+    def encode(self, text: str) -> List[str]:
+        return self.tok.encode(text).tokens
+
+    def encode_line(self, text: str) -> str:
+        return " ".join(self.encode(text))
+
+    def decode(self, pieces: List[str] | str) -> str:
+        if isinstance(pieces, str):
+            pieces = pieces.split()
+        return "".join(pieces).replace("▁", " ").strip()
+
+    def vocab(self) -> List[str]:
+        v = self.tok.get_vocab()
+        return sorted(v, key=lambda s: v[s])
+
+
+@register_tokenizer("bpe")
+class BPETokenizer(SPMTokenizer):
+    kind = "bpe"
+
+
+@register_tokenizer("char")
+class CharTokenizer:
+    """Character tokenizer with ▁ word boundaries (test/fallback path)."""
+
+    def __init__(self, model_path: Optional[str] = None):
+        pass
+
+    @classmethod
+    def train(cls, lines, vocab_size=None, model_path=None, **kw):
+        return cls()
+
+    def encode(self, text: str) -> List[str]:
+        return list("▁" + text.strip().replace(" ", "▁"))
+
+    def encode_line(self, text: str) -> str:
+        return " ".join(self.encode(text))
+
+    def decode(self, pieces: List[str] | str) -> str:
+        if isinstance(pieces, str):
+            pieces = pieces.split()
+        return "".join(pieces).replace("▁", " ").strip()
+
+
+def build_tokenizer(cfg: Optional[dict]) -> Optional[object]:
+    """Build from a data-config dict like {"bpe_tokenizer": {"bpe": "unigram",
+    "model_path": ...}} (reference: S2TDataConfig.bpe_tokenizer)."""
+    if not cfg:
+        return None
+    kind = cfg.get("bpe") or cfg.get("tokenizer") or "unigram"
+    cls = TOKENIZERS.get(kind)
+    if kind == "char":
+        return cls()
+    path = cfg.get("model_path") or cfg.get("sentencepiece_model")
+    if not path:
+        raise ValueError(f"tokenizer {kind!r} requires model_path")
+    return cls(model_path=path)

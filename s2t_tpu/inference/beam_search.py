@@ -1,0 +1,237 @@
+"""Batched beam search as a single jitted ``lax.scan`` over decode steps.
+
+Replaces the reference's Python-loop SequenceGenerator
+(reference: fairseq/sequence_generator.py:176-786): the entire beam loop —
+incremental decode, top-k, beam reorder, EOS finalisation — compiles to one
+XLA program; the KV cache is preallocated and reordered on device with
+gathers (the reference reorders python dicts per step, :900-935).
+
+Layout: everything is (B, K, ...) reshaped to (B*K, ...) for the model.
+Scores follow fairseq semantics: cumulative log-prob; finalised hypotheses
+ranked by score / length**lenpen (reference: search.py BeamSearch +
+sequence_generator.py finalize_hypos :650-786).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class BeamState(NamedTuple):
+    alive_tokens: jnp.ndarray  # (B, K, L)
+    alive_scores: jnp.ndarray  # (B, K) cumulative logprob
+    finished_tokens: jnp.ndarray  # (B, K, L)
+    finished_scores: jnp.ndarray  # (B, K) length-normalised
+    finished_mask: jnp.ndarray  # (B, K) bool
+    cache: Any  # pytree with leading dim B*K
+
+
+def _flatten_beam(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beam(x, B, K):
+    return x.reshape((B, K) + x.shape[1:])
+
+
+def _gather_beams(tree, indices, B, K):
+    """Gather beam dim: indices (B, K) select along old beam axis."""
+
+    def gather_leaf(x):
+        xb = x.reshape((B, -1) + x.shape[1:])
+        out = jnp.take_along_axis(
+            xb, indices.reshape(indices.shape + (1,) * (xb.ndim - 2)), axis=1
+        )
+        return out.reshape((-1,) + x.shape[1:])
+
+    return jax.tree.map(gather_leaf, tree)
+
+
+def length_penalty(lengths, lenpen: float):
+    return jnp.power(lengths.astype(jnp.float32), lenpen)
+
+
+def beam_search(
+    decode_step: Callable[[jnp.ndarray, Any, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    init_cache: Any,
+    batch_size: int,
+    beam_size: int,
+    max_len: int,
+    eos_id: int = 2,
+    pad_id: int = 1,
+    bos_id: int = 2,
+    vocab_size: int = 0,
+    lenpen: float = 1.0,
+    min_len: int = 1,
+    no_repeat_ngram_size: int = 0,
+    step_scores_fn: Optional[Callable] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search.
+
+    Args:
+      decode_step: fn(tokens (N,1) int32, cache, index scalar) -> (logprobs
+        (N, V) float32, new_cache), where N = batch*beam.  Must already apply
+        temperature/log_softmax.
+      init_cache: cache pytree with leading dim batch*beam.
+      step_scores_fn: optional hook(logprobs, tokens_so_far, index) -> logprobs
+        to blend external scores (CTC prefix, LM fusion) in.
+
+    Returns:
+      tokens: (B, K, max_len) int32 — finished hypotheses, EOS-terminated,
+        sorted best-first; pad after EOS.
+      scores: (B, K) float32 — length-normalised scores, descending.
+    """
+    B, K = batch_size, beam_size
+    L = max_len
+
+    alive_tokens = jnp.full((B, K, L), pad_id, jnp.int32)
+    # first input token is BOS/EOS (fairseq starts with EOS, generator :616)
+    alive_scores = jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.full((B, K - 1), NEG_INF)], axis=1
+    )
+    finished_tokens = jnp.full((B, K, L), pad_id, jnp.int32)
+    finished_scores = jnp.full((B, K), NEG_INF)
+    finished_mask = jnp.zeros((B, K), bool)
+
+    state = BeamState(
+        alive_tokens, alive_scores, finished_tokens, finished_scores,
+        finished_mask, init_cache,
+    )
+
+    def step(state: BeamState, i):
+        prev_tok = jnp.where(
+            i == 0,
+            jnp.full((B, K), bos_id, jnp.int32),
+            state.alive_tokens[:, :, jnp.maximum(i - 1, 0)],
+        )
+        logprobs, new_cache = decode_step(
+            _flatten_beam(prev_tok)[:, None], state.cache, i
+        )  # (B*K, V)
+        V = logprobs.shape[-1]
+        logprobs = _unflatten_beam(logprobs, B, K)  # (B, K, V)
+        if step_scores_fn is not None:
+            logprobs = step_scores_fn(logprobs, state.alive_tokens, i)
+
+        # min-len: no EOS before min_len
+        logprobs = jnp.where(
+            (i < min_len) & (jnp.arange(V)[None, None, :] == eos_id),
+            NEG_INF,
+            logprobs,
+        )
+        # never emit pad
+        logprobs = logprobs.at[:, :, pad_id].set(NEG_INF)
+        # at max_len, force EOS so every hypothesis terminates
+        # (reference: sequence_generator.py max-len forcing)
+        logprobs = jnp.where(
+            (i == L - 1) & (jnp.arange(V)[None, None, :] != eos_id),
+            NEG_INF,
+            logprobs,
+        )
+
+        if no_repeat_ngram_size > 0:
+            logprobs = _ngram_block(
+                logprobs, state.alive_tokens, i, no_repeat_ngram_size, NEG_INF
+            )
+
+        total = state.alive_scores[:, :, None] + logprobs  # (B, K, V)
+
+        # take top 2K over K*V so that K non-EOS survive even if K EOS appear
+        flat = total.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+
+        # candidate token rows
+        cand_tokens = jnp.take_along_axis(state.alive_tokens, beam_idx[..., None], axis=1)
+        cand_tokens = jnp.where(
+            (jnp.arange(L)[None, None, :] == i), tok_idx[..., None], cand_tokens
+        )
+        is_eos = tok_idx == eos_id
+
+        # ---- update finished set with EOS candidates -----------------------
+        norm = length_penalty(jnp.asarray(i + 1), lenpen)
+        eos_norm_scores = jnp.where(is_eos, top_scores / norm, NEG_INF)
+        # merge (finished_K, 2K candidates) -> keep top K
+        all_fin_scores = jnp.concatenate([state.finished_scores, eos_norm_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([state.finished_tokens, cand_tokens], axis=1)
+        all_fin_mask = jnp.concatenate(
+            [state.finished_mask, is_eos], axis=1
+        )
+        fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_sel[..., None], axis=1)
+        fin_mask = jnp.take_along_axis(all_fin_mask, fin_sel, axis=1) & (
+            fin_scores > NEG_INF / 2
+        )
+
+        # ---- alive set: top K non-EOS candidates ---------------------------
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        alive_sel_scores, alive_sel = jax.lax.top_k(alive_cand_scores, K)
+        new_alive_tokens = jnp.take_along_axis(
+            cand_tokens, alive_sel[..., None], axis=1
+        )
+        new_beam_idx = jnp.take_along_axis(beam_idx, alive_sel, axis=1)
+        new_cache = _gather_beams(new_cache, new_beam_idx, B, K)
+
+        return (
+            BeamState(
+                new_alive_tokens, alive_sel_scores, fin_tokens, fin_scores,
+                fin_mask, new_cache,
+            ),
+            None,
+        )
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(L))
+
+    # any still-alive beams compete with finished ones at final length norm
+    final_norm = length_penalty(jnp.asarray(L), lenpen)
+    alive_final = state.alive_scores / final_norm
+    all_scores = jnp.concatenate([state.finished_scores, alive_final], axis=1)
+    all_tokens = jnp.concatenate([state.finished_tokens, state.alive_tokens], axis=1)
+    best_scores, sel = jax.lax.top_k(all_scores, K)
+    best_tokens = jnp.take_along_axis(all_tokens, sel[..., None], axis=1)
+
+    # pad everything after the first EOS
+    eos_pos = jnp.argmax(best_tokens == eos_id, axis=-1)
+    has_eos = jnp.any(best_tokens == eos_id, axis=-1)
+    eos_pos = jnp.where(has_eos, eos_pos, L - 1)
+    pos = jnp.arange(L)[None, None, :]
+    best_tokens = jnp.where(pos > eos_pos[..., None], pad_id, best_tokens)
+    return best_tokens, best_scores
+
+
+def _ngram_block(logprobs, tokens, i, n, neg):
+    """Mask continuations that would repeat an n-gram (in-XLA replacement for
+    the reference's CUDA ngram_repeat_block, fairseq/clib/cuda/*)."""
+    B, K, V = logprobs.shape
+    L = tokens.shape[-1]
+    if n <= 1:
+        return logprobs
+    # context: last n-1 tokens ending at i-1
+    def ctx_at(offset_start):
+        idx = offset_start[None, None, :] if offset_start.ndim == 1 else offset_start
+        return idx
+
+    # gather previous (n-1)-gram for the current position
+    prev_idx = i - (n - 1) + jnp.arange(n - 1)  # positions of current context
+    prev_idx = jnp.clip(prev_idx, 0, L - 1)
+    cur_ctx = tokens[:, :, prev_idx]  # (B, K, n-1)
+
+    # all historical n-gram starts s in [0, i-n]: context tokens[s:s+n-1], next tokens[s+n-1]
+    starts = jnp.arange(L)  # static upper bound; mask invalid
+    ctx_idx = starts[:, None] + jnp.arange(n - 1)[None, :]  # (L, n-1)
+    ctx_idx = jnp.clip(ctx_idx, 0, L - 1)
+    hist_ctx = tokens[:, :, ctx_idx]  # (B, K, L, n-1)
+    next_idx = jnp.clip(starts + (n - 1), 0, L - 1)
+    hist_next = tokens[:, :, next_idx]  # (B, K, L)
+    valid = (starts + (n - 1) <= i - 1)[None, None, :]  # n-gram fully in history
+    match = jnp.all(hist_ctx == cur_ctx[:, :, None, :], axis=-1) & valid  # (B, K, L)
+    # mask each matched next token
+    banned = jax.nn.one_hot(hist_next, V, dtype=bool) & match[..., None]
+    banned = jnp.any(banned, axis=2)  # (B, K, V)
+    return jnp.where(banned, neg, logprobs)

@@ -1,0 +1,120 @@
+"""SequenceGenerator: encoder-once + jitted beam search over the decoder.
+
+(reference: fairseq/sequence_generator.py:21-786.  The reference's per-step
+Python loop with host-side CTC prefix numpy state (:355-386) is replaced by a
+single compiled program per batch shape.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.inference.beam_search import beam_search
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+def _expand_to_beam(x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """(B, ...) -> (B*K, ...) by repeat."""
+    return jnp.repeat(x, K, axis=0)
+
+
+class SequenceGenerator:
+    def __init__(
+        self,
+        model,
+        beam_size: int = 5,
+        max_len_a: float = 0.0,
+        max_len_b: int = 200,
+        min_len: int = 1,
+        lenpen: float = 1.0,
+        temperature: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        eos_id: int = 2,
+        pad_id: int = 1,
+        max_target_positions: Optional[int] = None,
+    ):
+        self.model = model
+        self.beam_size = beam_size
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.min_len = min_len
+        self.lenpen = lenpen
+        self.temperature = temperature
+        self.no_repeat_ngram_size = no_repeat_ngram_size
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.max_target_positions = max_target_positions or getattr(
+            model.cfg, "max_target_positions", 1024
+        )
+        self._jitted = {}
+
+    def _max_len_for(self, enc_T: int) -> int:
+        return int(
+            min(self.max_len_a * enc_T + self.max_len_b, self.max_target_positions - 1)
+        )
+
+    def _build(self, max_len: int):
+        K = self.beam_size
+
+        def run(params, features, feat_lengths):
+            enc = self.model.apply(
+                {"params": params}, features, feat_lengths, method=self.model.encode
+            )
+            enc_out = enc["encoder_out"]
+            B = enc_out.shape[0]
+            enc_mask = lengths_to_mask(enc["encoder_lengths"], enc_out.shape[1])
+            enc_out_b = _expand_to_beam(enc_out, K)
+            enc_mask_b = _expand_to_beam(enc_mask, K)
+            cache = self.model.apply(
+                {"params": params}, B * K, max_len, method=self.model.init_cache
+            )
+
+            def decode_step(tokens, cache, index):
+                logits, new_cache = self.model.apply(
+                    {"params": params},
+                    tokens,
+                    cache,
+                    index,
+                    enc_out_b,
+                    enc_mask_b,
+                    method=self.model.decode_step,
+                )
+                logits = logits.astype(jnp.float32) / self.temperature
+                return jax.nn.log_softmax(logits, axis=-1), new_cache
+
+            tokens, scores = beam_search(
+                decode_step,
+                cache,
+                batch_size=B,
+                beam_size=K,
+                max_len=max_len,
+                eos_id=self.eos_id,
+                pad_id=self.pad_id,
+                bos_id=self.eos_id,  # fairseq seeds generation with EOS
+                lenpen=self.lenpen,
+                min_len=self.min_len,
+                no_repeat_ngram_size=self.no_repeat_ngram_size,
+            )
+            return tokens, scores, enc
+
+        return jax.jit(run)
+
+    def generate(
+        self, params, batch: Dict[str, Any]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, Any]]:
+        """Returns (tokens (B, K, L), scores (B, K), encoder_out dict)."""
+        features = batch["features"]
+        T = features.shape[1]
+        # conservative encoder length (subsampling ratio from model config)
+        enc_T = T
+        for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
+            enc_T = (enc_T - 1) // getattr(self.model.cfg, "subsampling_stride", 2) + 1
+        max_len = self._max_len_for(enc_T)
+        key = (features.shape, max_len)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(max_len)
+        return self._jitted[key](params, features, batch["feat_lengths"])
