@@ -1,0 +1,228 @@
+"""Training CLI (reference: fairseq_cli/train.py:46-483).
+
+Usage:
+    python -m s2t_tpu.cli.train DATA_DIR \
+        --config conf/base.yaml --config conf/ctc.yaml \
+        optimization.lr=0.002 arch=s2t_transformer_s
+
+Stacked --config files merge left-to-right (the reference's --train-configN,
+options.py:95-145); trailing key.path=value pairs override everything.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("s2t_tpu.train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("data", nargs="?", default=None)
+    p.add_argument("--config", action="append", default=[], help="YAML config (repeatable)")
+    p.add_argument("overrides", nargs="*", default=[], help="key.path=value overrides")
+    return p.parse_args(argv)
+
+
+def build_cfg(args):
+    from s2t_tpu.config import TrainConfig, apply_overrides, from_dict, load_yaml_stack
+
+    d = load_yaml_stack(args.config)
+    d = apply_overrides(d, args.overrides)
+    cfg = from_dict(TrainConfig, d)
+    if args.data:
+        cfg.dataset.data = args.data
+    return cfg
+
+
+def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    drop = {"ids", "nsentences"}
+    return {
+        k: jnp.asarray(v) for k, v in batch.items() if k not in drop
+    }
+
+
+def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, float]:
+    from s2t_tpu.utils.scoring import build_scorer
+
+    itr = task.get_batch_iterator(
+        valid_ds, max_tokens=cfg.dataset.max_tokens, seed=cfg.common.seed,
+        shuffle=False, batch_size_multiple=int(trainer.mesh.shape["data"]),
+    ).next_epoch_itr()
+    tot: Dict[str, float] = {}
+    n = 0.0
+    scorer = None
+    if generator is not None and (cfg.eval.eval_wer or cfg.eval.eval_bleu):
+        scorer = build_scorer("wer" if cfg.eval.eval_wer else "sacrebleu")
+    for batch in itr:
+        dev = to_device_batch(batch)
+        logs = trainer.valid_step(state, dev)
+        ss = float(logs.get("sample_size", 1.0))
+        tot["loss"] = tot.get("loss", 0.0) + float(logs["loss"])
+        tot["nll_loss"] = tot.get("nll_loss", 0.0) + float(logs.get("nll_loss", logs["loss"]))
+        n += ss
+        if scorer is not None:
+            tokens, scores, _ = generator.generate(state.params, dev)
+            hyp_toks = np.asarray(tokens)[:, 0]
+            B_real = batch["nsentences"]
+            for b in range(B_real):
+                hyp = task.decode_tokens(hyp_toks[b])
+                ref = task.decode_tokens(np.asarray(batch["target"])[b])
+                scorer.add(ref, hyp)
+    out = {k: v / max(n, 1.0) for k, v in tot.items()}
+    if scorer is not None:
+        key = "wer" if cfg.eval.eval_wer else "bleu"
+        out[key] = scorer.score()
+    return out
+
+
+def main(cfg) -> Dict[str, Any]:
+    from s2t_tpu.parallel.mesh import make_mesh
+    from s2t_tpu.tasks import setup_task
+    from s2t_tpu.trainer import Trainer
+    from s2t_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(name)s | %(message)s")
+    task = setup_task(cfg)
+    train_ds = task.load_dataset(cfg.dataset.train_subset, is_train=True)
+    valid_ds = task.load_dataset(cfg.dataset.valid_subset)
+    model = task.build_model()
+    criterion = task.build_criterion()
+    mesh = make_mesh(cfg.distributed)
+    trainer = Trainer(
+        model, criterion, cfg.optimization, mesh,
+        forward_fn=task.forward_fn(), seed=cfg.common.seed,
+    )
+    logger.info(
+        "mesh: %s | model params: (lazy init) | arch: %s", dict(mesh.shape), cfg.arch
+    )
+
+    epoch_itr = task.get_batch_iterator(
+        train_ds, max_tokens=cfg.dataset.max_tokens, seed=cfg.common.seed,
+        shuffle=cfg.dataset.shuffle, buffer_size=cfg.dataset.data_buffer_size,
+        batch_size_multiple=int(mesh.shape["data"]),
+    )
+
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        keep_last_epochs=cfg.checkpoint.keep_last_epochs,
+        keep_interval_updates=cfg.checkpoint.keep_interval_updates,
+        keep_best_checkpoints=cfg.checkpoint.keep_best_checkpoints,
+        best_metric=cfg.checkpoint.best_checkpoint_metric,
+        maximize_best=cfg.checkpoint.maximize_best_checkpoint_metric,
+        async_save=cfg.checkpoint.async_save,
+    )
+
+    # peek a batch for state init
+    peek_itr = epoch_itr.next_epoch_itr()
+    first_batch = to_device_batch(next(iter(peek_itr)))
+    state = trainer.init_state(first_batch)
+    epoch_itr._consumed = 0  # the peeked batch is re-consumed
+
+    # resume
+    last = Path(cfg.checkpoint.save_dir) / (cfg.checkpoint.restore_file + ".pt")
+    if last.exists() and not cfg.checkpoint.finetune_from_model:
+        tree, meta = load_checkpoint(last)
+        if not cfg.checkpoint.reset_optimizer:
+            state = trainer.load_state_dict(tree, state)
+        else:
+            from flax import serialization
+
+            params = serialization.from_state_dict(state.params, tree["params"])
+            state = state.replace(params=jax.tree.map(jnp.asarray, params))
+        if not cfg.checkpoint.reset_dataloader and "epoch_itr" in meta:
+            epoch_itr.load_state_dict(meta["epoch_itr"])
+        logger.info("resumed from %s at step %d", last, int(state.step))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info("num. model params: %s", f"{n_params:,}")
+
+    generator = None
+    if cfg.eval.eval_wer or cfg.eval.eval_bleu:
+        gen_cfg = cfg.generation
+        generator = task.build_generator(model)
+        generator.beam_size = cfg.eval.eval_gen_beam
+
+    max_epoch = cfg.optimization.max_epoch or math.inf
+    max_update = cfg.optimization.max_update or math.inf
+    patience_left = cfg.optimization.patience
+    best_val = None
+    history = []
+
+    while epoch_itr.epoch <= max_epoch and int(state.step) < max_update:
+        itr = epoch_itr.next_epoch_itr()
+        t0 = time.time()
+        interval_logs: Dict[str, float] = {}
+        interval_n = 0
+        for batch in itr:
+            state, metrics = trainer.train_step(state, to_device_batch(batch))
+            interval_n += 1
+            for k in ("loss", "gnorm"):
+                interval_logs[k] = interval_logs.get(k, 0.0) + float(metrics[k])
+            if int(state.step) % cfg.common.log_interval == 0:
+                ups = interval_n / (time.time() - t0 + 1e-9)
+                logger.info(
+                    "epoch %d | step %d | loss %.3f | gnorm %.2f | lr %.2e | ups %.2f",
+                    epoch_itr.epoch, int(state.step),
+                    interval_logs["loss"] / interval_n,
+                    interval_logs["gnorm"] / interval_n,
+                    float(metrics["lr"]), ups,
+                )
+                interval_logs, interval_n, t0 = {}, 0, time.time()
+            if (
+                cfg.checkpoint.save_interval_updates > 0
+                and int(state.step) % cfg.checkpoint.save_interval_updates == 0
+            ):
+                ckpt.save(trainer.state_dict(state), int(state.step),
+                          epoch_itr.epoch, end_of_epoch=False)
+            if int(state.step) >= max_update:
+                break
+
+        val = validate(cfg, task, trainer, state, valid_ds, generator)
+        metric_name = cfg.checkpoint.best_checkpoint_metric
+        val_metric = val.get(metric_name, val.get("loss"))
+        logger.info(
+            "epoch %d done | valid: %s", epoch_itr.epoch,
+            " ".join(f"{k} {v:.3f}" for k, v in val.items()),
+        )
+        history.append(val)
+        if not cfg.checkpoint.no_save:
+            meta_extra = {"epoch_itr": epoch_itr.state_dict()}
+            ckpt.save(trainer.state_dict(state), int(state.step), epoch_itr.epoch,
+                      val_metric=val_metric)
+        # patience-based early stop (reference: fairseq_cli/train.py:206-232)
+        better = (
+            best_val is None
+            or (val_metric > best_val
+                if cfg.checkpoint.maximize_best_checkpoint_metric
+                else val_metric < best_val)
+        )
+        if better:
+            best_val = val_metric
+            patience_left = cfg.optimization.patience
+        elif cfg.optimization.patience > 0:
+            patience_left -= 1
+            if patience_left <= 0:
+                logger.info("early stop: patience exhausted")
+                break
+        epoch_itr.next_epoch()
+
+    return {"state": state, "history": history, "task": task, "model": model}
+
+
+def cli_main():
+    args = parse_args()
+    main(build_cfg(args))
+
+
+if __name__ == "__main__":
+    cli_main()

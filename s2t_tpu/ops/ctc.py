@@ -147,6 +147,8 @@ def ctc_loss(
         # feasibility: need input_lengths >= label path length
         bad = bad | (input_lengths < label_lengths)
         nll = jnp.where(bad, 0.0, nll)
+    # dummy rows (batch padded to a multiple for the mesh) have zero frames
+    nll = jnp.where(input_lengths > 0, nll, 0.0)
     if reduction == "sum":
         return jnp.sum(nll)
     if reduction == "mean":

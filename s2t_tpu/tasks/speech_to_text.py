@@ -1,0 +1,140 @@
+"""Speech-to-text task: ASR and end-to-end ST.
+
+(reference: fairseq/tasks/speech_to_text.py:28-652 — dictionary loading from
+the data config.yaml (:277-305), dataset creation (:316-357), model build with
+vocab plumbing (:376), generator wiring CTCDecoder vs SequenceGenerator
+(:500-530), eval WER/BLEU during validation (:418-499).)
+
+On-device twist: feature transforms (CMVN/SpecAugment) and — when
+``use_audio_input`` — fbank extraction run inside the jitted step via the
+forward adapter, not in DataLoader workers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.config import TrainConfig
+from s2t_tpu.data.audio.fbank import fbank_jax
+from s2t_tpu.data.audio.transforms import CompositeTransform
+from s2t_tpu.data.dataset import S2TDataConfig, SpeechToTextDataset
+from s2t_tpu.data.dictionary import Dictionary
+from s2t_tpu.inference.ctc_decoder import CTCDecoder
+from s2t_tpu.inference.generator import SequenceGenerator
+from s2t_tpu.registry import register_task
+from s2t_tpu.tasks.base import Task
+
+
+@register_task("speech_to_text")
+class SpeechToTextTask(Task):
+    def __init__(self, cfg: TrainConfig, data_cfg: S2TDataConfig,
+                 tgt_dict: Dictionary, src_dict: Optional[Dictionary]):
+        super().__init__(cfg)
+        self.data_cfg = data_cfg
+        self.tgt_dict = tgt_dict
+        self.src_dict = src_dict or tgt_dict
+
+    @classmethod
+    def setup(cls, cfg: TrainConfig) -> "SpeechToTextTask":
+        root = Path(cfg.dataset.data)
+        data_cfg_path = root / "config.yaml"
+        data_cfg = (
+            S2TDataConfig.from_yaml(data_cfg_path)
+            if data_cfg_path.exists()
+            else S2TDataConfig()
+        )
+        tgt_dict = Dictionary.load(root / data_cfg.vocab_filename)
+        src_dict = None
+        if data_cfg.src_vocab_filename:
+            src_dict = Dictionary.load(root / data_cfg.src_vocab_filename)
+        return cls(cfg, data_cfg, tgt_dict, src_dict)
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        root = Path(self.cfg.dataset.data)
+        ds = SpeechToTextDataset(
+            root / f"{split}.tsv",
+            self.data_cfg,
+            self.tgt_dict,
+            self.src_dict,
+            is_train=is_train,
+            root=str(root),
+        )
+        self.datasets[split] = ds
+        return ds
+
+    def build_model(self):
+        from s2t_tpu.models import build_model
+
+        return build_model(
+            self.cfg.arch or "s2t_transformer_s",
+            self.cfg.model,
+            vocab_size=len(self.tgt_dict),
+            src_vocab_size=len(self.src_dict),
+            input_feat_per_channel=self.data_cfg.input_feat_per_channel,
+            input_channels=self.data_cfg.input_channels,
+            max_source_positions=self.cfg.dataset.max_source_positions,
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
+
+    def forward_fn(self):
+        train_transforms = CompositeTransform.from_config_dict(
+            self.data_cfg.get_transforms("train", True)
+        )
+        eval_transforms = CompositeTransform.from_config_dict(
+            self.data_cfg.get_transforms("eval", False)
+        )
+        use_audio = self.data_cfg.use_audio_input
+        n_mels = self.data_cfg.input_feat_per_channel
+
+        def fwd(model, params, batch, deterministic, rngs=None):
+            feats = batch["features"]
+            lengths = batch["feat_lengths"]
+            if use_audio:
+                # on-device fused feature extraction (replaces the reference's
+                # host DataLoader fbank path, audio_utils.py:82)
+                feats, lengths = fbank_jax(feats, lengths, num_mel_bins=n_mels)
+            tf = eval_transforms if deterministic else train_transforms
+            if tf.transforms:
+                rng = None
+                if rngs is not None and not deterministic:
+                    rng = jax.random.fold_in(rngs["dropout"], 7)
+                feats = tf(feats, lengths, rng)
+            return model.apply(
+                {"params": params},
+                feats,
+                lengths,
+                batch["prev_tokens"],
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+
+        return fwd
+
+    def build_generator(self, model, gen_cfg=None):
+        g = gen_cfg or self.cfg.generation
+        if getattr(model.cfg, "decoder_layers", 1) == 0:
+            # encoder-only (NAST-style) model: decode from CTC
+            return CTCDecoder(beam_size=g.beam, pad_id=self.tgt_dict.pad())
+        return SequenceGenerator(
+            model,
+            beam_size=g.beam,
+            max_len_a=g.max_len_a,
+            max_len_b=g.max_len_b,
+            min_len=g.min_len,
+            lenpen=g.lenpen,
+            temperature=g.temperature,
+            no_repeat_ngram_size=g.no_repeat_ngram_size,
+            eos_id=self.tgt_dict.eos(),
+            pad_id=self.tgt_dict.pad(),
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
+
+    def decode_tokens(self, tokens) -> str:
+        """ids -> detokenised text (for scoring/output files)."""
+        return self.tgt_dict.string(
+            tokens, bpe_symbol=self.cfg.generation.post_process
+        )

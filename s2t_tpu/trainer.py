@@ -96,10 +96,12 @@ class Trainer:
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
     def state_dict(self, state: TrainState) -> Dict[str, Any]:
+        from flax import serialization
+
         return {
             "step": state.step,
-            "params": state.params,
-            "opt_state": jax.tree.map(lambda x: x, state.opt_state),
+            "params": serialization.to_state_dict(state.params),
+            "opt_state": serialization.to_state_dict(state.opt_state),
         }
 
     def load_state_dict(self, tree: Dict[str, Any], state: TrainState) -> TrainState:

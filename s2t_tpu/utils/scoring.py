@@ -1,0 +1,114 @@
+"""Scoring: WER/CER (edit distance) and BLEU.
+
+(reference: fairseq/scoring/{wer.py,bleu.py,chrf.py} — WER via the
+``editdistance`` package, BLEU via sacrebleu or the C libbleu.)
+
+Edit distance here is a numpy DP (vectorised over the shorter string); a
+C++ kernel (clib) can be slotted in later — scoring is host-side and far
+from the critical path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+from s2t_tpu.registry import register_scorer
+
+
+def edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance: numpy row recurrence with a short inner pass for
+    the insertion prefix-min (strings are sentence-length; host-side)."""
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    hyp_arr = np.asarray([hash(h) for h in hyp])
+    prev = np.arange(m + 1, dtype=np.int32)
+    for i, r in enumerate(ref, 1):
+        cur = np.empty(m + 1, dtype=np.int32)
+        cur[0] = i
+        # substitution/deletion part is vectorised
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (hyp_arr != hash(r)))
+        # insertion (cur[j-1]+1) is a running prefix dependency
+        for j in range(1, m + 1):
+            if cur[j] > cur[j - 1] + 1:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[m])
+
+
+@register_scorer("wer")
+class WERScorer:
+    """Word error rate accumulator (reference: fairseq/scoring/wer.py)."""
+
+    def __init__(self, char_level: bool = False):
+        self.char_level = char_level
+        self.distance = 0
+        self.ref_length = 0
+
+    def add(self, ref: str, hyp: str):
+        if self.char_level:
+            r, h = list(ref.replace(" ", "")), list(hyp.replace(" ", ""))
+        else:
+            r, h = ref.split(), hyp.split()
+        self.distance += edit_distance(r, h)
+        self.ref_length += len(r)
+
+    def score(self) -> float:
+        return 100.0 * self.distance / max(self.ref_length, 1)
+
+    def result_string(self) -> str:
+        return f"WER: {self.score():.2f}"
+
+
+@register_scorer("cer")
+class CERScorer(WERScorer):
+    def __init__(self):
+        super().__init__(char_level=True)
+
+
+@register_scorer("sacrebleu")
+@register_scorer("bleu")
+class BLEUScorer:
+    """Corpus BLEU via sacrebleu (reference: fairseq/scoring/bleu.py +
+    tasks/speech_to_text.py:582 _cal_bleu)."""
+
+    def __init__(self, tokenize: str = "13a", lowercase: bool = False):
+        self.refs: List[str] = []
+        self.hyps: List[str] = []
+        self.tokenize = tokenize
+        self.lowercase = lowercase
+
+    def add(self, ref: str, hyp: str):
+        self.refs.append(ref)
+        self.hyps.append(hyp)
+
+    def score(self) -> float:
+        import sacrebleu
+
+        if not self.hyps:
+            return 0.0
+        return sacrebleu.corpus_bleu(
+            self.hyps, [self.refs], tokenize=self.tokenize, lowercase=self.lowercase
+        ).score
+
+    def result_string(self) -> str:
+        import sacrebleu
+
+        if not self.hyps:
+            return "BLEU: 0.0"
+        return str(
+            sacrebleu.corpus_bleu(
+                self.hyps, [self.refs], tokenize=self.tokenize, lowercase=self.lowercase
+            )
+        )
+
+
+def build_scorer(name: str):
+    from s2t_tpu.registry import SCORERS
+
+    return SCORERS.get(name)()
