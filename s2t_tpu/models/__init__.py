@@ -1,4 +1,7 @@
 """Model zoo. Importing this package registers all models/archs."""
 
+from s2t_tpu.models import pds  # noqa: F401
+from s2t_tpu.models import s2t_ctc  # noqa: F401
 from s2t_tpu.models import s2t_transformer  # noqa: F401
+from s2t_tpu.models import sate  # noqa: F401
 from s2t_tpu.models.build import build_model  # noqa: F401

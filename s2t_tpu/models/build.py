@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from dataclasses import fields
 from typing import Any, Dict
 
 from s2t_tpu.registry import ARCHS, MODELS
@@ -18,11 +17,11 @@ def build_model(arch: str, overrides: Dict[str, Any] | None = None, **ctx):
     """
     model_name, preset = ARCHS.get(arch)
     model_cls = MODELS.get(model_name)
-    cfg = preset()
-    known = {f.name for f in fields(cfg)}
     merged = {**(overrides or {}), **ctx}
-    unknown = set(merged) - known
-    if unknown:
-        raise ValueError(f"unknown model config keys for {arch}: {sorted(unknown)}")
-    cfg = cfg.replace(**merged) if hasattr(cfg, "replace") else cfg
+    # lists from YAML -> tuples (config fields are hashable tuples)
+    merged = {k: tuple(v) if isinstance(v, list) else v for k, v in merged.items()}
+    try:
+        cfg = preset(**merged)
+    except TypeError as e:
+        raise ValueError(f"unknown model config key for arch {arch!r}: {e}") from e
     return model_cls(cfg=cfg)

@@ -173,6 +173,13 @@ class S2TTransformerEncoder(nn.Module):
                 self.inter_ctc_norm = nn.LayerNorm(dtype=dt, name="inter_ctc_norm")
         if cfg.use_xctc:
             self.xctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt, name="xctc_head")
+            if cfg.inter_xctc_layers:
+                self.inter_xctc_norm = nn.LayerNorm(dtype=dt, name="inter_xctc_norm")
+            if cfg.xctc_pae != "none":
+                self.xpae = Adapter(
+                    cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
+                    cfg.pae_ctc_temperature, dtype=dt, name="xpae",
+                )
         self.drop = nn.Dropout(cfg.dropout)
 
     def __call__(
@@ -202,6 +209,7 @@ class S2TTransformerEncoder(nn.Module):
         bias = padding_bias(valid, x.dtype)
 
         inter_ctc_logits = []
+        inter_xctc_logits = []
         for i, layer in enumerate(self.layers):
             x = layer(x, valid, bias, pos_emb, deterministic)
             layer_idx = i + 1
@@ -218,6 +226,18 @@ class S2TTransformerEncoder(nn.Module):
                 inter_ctc_logits.append((layer_idx, logits))
                 if cfg.ctc_pae != "none":
                     x = self.pae(x, logits, deterministic=deterministic)
+            if (
+                cfg.use_xctc
+                and layer_idx in cfg.inter_xctc_layers
+                and layer_idx != cfg.encoder_layers
+            ):
+                # inter-XCTC with PAE re-injection (BiL-CTC,
+                # reference: s2t_transformer.py:1100-1244)
+                h = self.inter_xctc_norm(x)
+                xlogits = self.xctc_head(h, deterministic)
+                inter_xctc_logits.append((layer_idx, xlogits))
+                if cfg.xctc_pae != "none":
+                    x = self.xpae(x, xlogits, deterministic=deterministic)
 
         if cfg.encoder_normalize_before:
             x = self.final_norm(x)
@@ -235,7 +255,7 @@ class S2TTransformerEncoder(nn.Module):
             "ctc_logits": ctc_logits,
             "inter_ctc_logits": tuple(inter_ctc_logits),
             "xctc_logits": xctc_logits,
-            "inter_xctc_logits": (),
+            "inter_xctc_logits": tuple(inter_xctc_logits),
         }
 
 
