@@ -87,7 +87,8 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
         scores = np.asarray(scores)
         B_real = batch["nsentences"]
         n_utts += B_real
-        total_frames += int(np.asarray(batch["feat_lengths"])[:B_real].sum())
+        len_key = "feat_lengths" if "feat_lengths" in batch else "src_lengths"
+        total_frames += int(np.asarray(batch[len_key])[:B_real].sum())
         for b in range(B_real):
             sid = int(batch["ids"][b])
             hyp_tok = tokens[b, 0] if tokens.ndim == 3 else tokens[b]

@@ -45,6 +45,7 @@ def ce_accuracy(logits, targets, pad_id=1):
     return correct, total
 
 
+@register_criterion("cross_entropy")
 @register_criterion("label_smoothed_cross_entropy")
 class LabelSmoothedCE:
     @dataclass

@@ -36,6 +36,7 @@ class SequenceGenerator:
         eos_id: int = 2,
         pad_id: int = 1,
         max_target_positions: Optional[int] = None,
+        input_keys: Tuple[str, str] = ("features", "feat_lengths"),
     ):
         self.model = model
         self.beam_size = beam_size
@@ -50,6 +51,7 @@ class SequenceGenerator:
         self.max_target_positions = max_target_positions or getattr(
             model.cfg, "max_target_positions", 1024
         )
+        self.input_keys = input_keys
         self._jitted = {}
 
     def _max_len_for(self, enc_T: int) -> int:
@@ -107,7 +109,7 @@ class SequenceGenerator:
         self, params, batch: Dict[str, Any]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, Any]]:
         """Returns (tokens (B, K, L), scores (B, K), encoder_out dict)."""
-        features = batch["features"]
+        features = batch[self.input_keys[0]]
         T = features.shape[1]
         # conservative encoder length (subsampling ratio from model config)
         enc_T = T
@@ -117,4 +119,4 @@ class SequenceGenerator:
         key = (features.shape, max_len)
         if key not in self._jitted:
             self._jitted[key] = self._build(max_len)
-        return self._jitted[key](params, features, batch["feat_lengths"])
+        return self._jitted[key](params, features, batch[self.input_keys[1]])

@@ -1,0 +1,208 @@
+"""Text transformer for MT (+ CTC variant for NAST-on-text).
+
+(reference: fairseq/models/transformer.py:52 (1,682 LoC) and
+transformer_ctc.py:45 — encoder-decoder over token embeddings; the CTC
+variant adds a target-vocabulary CTC head on the encoder for
+non-autoregressive text translation.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2t_tpu.modules.attention import padding_bias
+from s2t_tpu.modules.ctc_head import CTCHead
+from s2t_tpu.modules.layers import S2TEncoderLayer
+from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
+from s2t_tpu.models.transformer_decoder import TransformerDecoder
+from s2t_tpu.registry import register_model, register_model_architecture
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+@dataclass(frozen=True)
+class TransformerMTConfig:
+    encoder_embed_dim: int = 512
+    encoder_ffn_embed_dim: int = 2048
+    encoder_layers: int = 6
+    encoder_attention_heads: int = 8
+    encoder_attention_type: str = "abs"
+    encoder_normalize_before: bool = False  # fairseq MT default is post-norm
+    encoder_learned_pos: bool = False
+    decoder_embed_dim: int = 512
+    decoder_ffn_embed_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 8
+    decoder_normalize_before: bool = False
+    decoder_learned_pos: bool = False
+    share_decoder_input_output_embed: bool = True
+    share_all_embeddings: bool = False
+    no_scale_embedding: bool = False
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation_fn: str = "relu"
+    # CTC variant (reference: transformer_ctc.py)
+    use_ctc: bool = False
+    inter_ctc_layers: Tuple[int, ...] = ()
+    # sizes
+    vocab_size: int = 1000
+    src_vocab_size: int = -1
+    max_source_positions: int = 1024
+    max_target_positions: int = 1024
+    pad_id: int = 1
+    dtype_str: str = "float32"
+    # generator plumbing parity
+    subsampling_layers: int = 0
+    subsampling_stride: int = 1
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+    @property
+    def src_vocab(self):
+        return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
+
+
+class TransformerTextEncoder(nn.Module):
+    cfg: TransformerMTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.dtype
+        self.embed_tokens = nn.Embed(
+            cfg.src_vocab, cfg.encoder_embed_dim,
+            embedding_init=nn.initializers.normal(cfg.encoder_embed_dim**-0.5),
+            dtype=dt, name="embed_tokens",
+        )
+        self.layers = [
+            S2TEncoderLayer(
+                cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
+                cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
+                cfg.activation_dropout, cfg.activation_fn,
+                cfg.encoder_normalize_before, cfg.encoder_attention_type,
+                dtype=dt, name=f"layer{i}",
+            )
+            for i in range(cfg.encoder_layers)
+        ]
+        if cfg.encoder_normalize_before:
+            self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
+        if cfg.use_ctc:
+            self.ctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt, name="ctc_head")
+            if cfg.inter_ctc_layers:
+                self.inter_ctc_norm = nn.LayerNorm(dtype=dt, name="inter_ctc_norm")
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def __call__(self, src_tokens, src_lengths=None, deterministic: bool = True):
+        cfg = self.cfg
+        if src_lengths is None:
+            src_lengths = jnp.sum((src_tokens != cfg.pad_id).astype(jnp.int32), axis=1)
+        x = self.embed_tokens(src_tokens)
+        if not cfg.no_scale_embedding:
+            x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
+        T = x.shape[1]
+        pos_emb = None
+        if cfg.encoder_attention_type == "rel_pos":
+            pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
+        else:
+            x = x + sinusoidal_encoding(T, cfg.encoder_embed_dim, x.dtype)[None]
+        x = self.drop(x, deterministic=deterministic)
+        valid = src_tokens != cfg.pad_id
+        bias = padding_bias(valid, x.dtype)
+
+        inter_ctc_logits = []
+        for i, layer in enumerate(self.layers):
+            x = layer(x, valid, bias, pos_emb, deterministic)
+            if cfg.use_ctc and (i + 1) in cfg.inter_ctc_layers:
+                logits = self.ctc_head(self.inter_ctc_norm(x), deterministic)
+                inter_ctc_logits.append((i + 1, logits))
+        if cfg.encoder_normalize_before:
+            x = self.final_norm(x)
+        ctc_logits = self.ctc_head(x, deterministic) if cfg.use_ctc else None
+        return {
+            "encoder_out": x,
+            "encoder_lengths": src_lengths,
+            "ctc_logits": ctc_logits,
+            "inter_ctc_logits": tuple(inter_ctc_logits),
+            "xctc_logits": None,
+            "inter_xctc_logits": (),
+        }
+
+
+@register_model("transformer")
+class TransformerModel(nn.Module):
+    cfg: TransformerMTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoder = TransformerTextEncoder(cfg, name="encoder")
+        self.decoder = TransformerDecoder(
+            vocab_size=cfg.vocab_size, embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim, num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads, dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout, activation=cfg.activation_fn,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            learned_pos=cfg.decoder_learned_pos,
+            max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
+            dtype=cfg.dtype, name="decoder",
+        )
+
+    def __call__(self, src_tokens, src_lengths, prev_tokens, deterministic=True):
+        enc = self.encoder(src_tokens, src_lengths, deterministic)
+        enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        logits = self.decoder(prev_tokens, enc["encoder_out"], enc_mask, deterministic)
+        return {"decoder_logits": logits, **enc}
+
+    def encode(self, src_tokens, src_lengths, deterministic: bool = True):
+        return self.encoder(src_tokens, src_lengths, deterministic)
+
+    def decode(self, prev_tokens, encoder_out, encoder_valid_mask):
+        return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
+
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask):
+        return self.decoder.step(tokens, cache, index, encoder_out, encoder_valid_mask)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        return self.decoder.init_cache(batch_size, max_len)
+
+
+@register_model_architecture("transformer", "transformer")
+def transformer_base(**kw) -> TransformerMTConfig:
+    return TransformerMTConfig().replace(**kw)
+
+
+@register_model_architecture("transformer", "transformer_iwslt_de_en")
+def transformer_iwslt(**kw) -> TransformerMTConfig:
+    return TransformerMTConfig(
+        encoder_embed_dim=512, encoder_ffn_embed_dim=1024,
+        encoder_attention_heads=4, decoder_embed_dim=512,
+        decoder_ffn_embed_dim=1024, decoder_attention_heads=4,
+    ).replace(**kw)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big")
+def transformer_big(**kw) -> TransformerMTConfig:
+    return TransformerMTConfig(
+        encoder_embed_dim=1024, encoder_ffn_embed_dim=4096,
+        encoder_attention_heads=16, decoder_embed_dim=1024,
+        decoder_ffn_embed_dim=4096, decoder_attention_heads=16,
+        dropout=0.3,
+    ).replace(**kw)
+
+
+@register_model_architecture("transformer", "transformer_ctc")
+def transformer_ctc(**kw) -> TransformerMTConfig:
+    """MT with target-vocab CTC on the encoder (reference: transformer_ctc.py)."""
+    return TransformerMTConfig(
+        use_ctc=True, encoder_normalize_before=True, decoder_normalize_before=True,
+    ).replace(**kw)

@@ -41,6 +41,7 @@ class TransformerDecoder(nn.Module):
     max_positions: int = 1024
     pad_id: int = 1
     dtype: jnp.dtype = jnp.float32
+    no_cross_attention: bool = False  # decoder-only LM mode
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -59,7 +60,8 @@ class TransformerDecoder(nn.Module):
             TransformerDecoderLayer(
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
                 self.attention_dropout, self.activation_dropout, self.activation,
-                self.normalize_before, self.dtype, name=f"layer{i}",
+                self.normalize_before, self.dtype,
+                has_cross_attention=not self.no_cross_attention, name=f"layer{i}",
             )
             for i in range(self.num_layers)
         ]

@@ -1,0 +1,92 @@
+"""Decoder-only transformer language model.
+
+(reference: fairseq/models/transformer_lm.py:172 — used for eval_lm and
+shallow-fusion decoding (--lm-path/--lm-weight in SequenceGenerator).)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2t_tpu.models.transformer_decoder import TransformerDecoder
+from s2t_tpu.registry import register_model, register_model_architecture
+
+
+@dataclass(frozen=True)
+class TransformerLMConfig:
+    decoder_embed_dim: int = 512
+    decoder_ffn_embed_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 8
+    decoder_normalize_before: bool = True
+    decoder_learned_pos: bool = False
+    share_decoder_input_output_embed: bool = True
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation_fn: str = "relu"
+    vocab_size: int = 1000
+    max_target_positions: int = 1024
+    pad_id: int = 1
+    dtype_str: str = "float32"
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+
+@register_model("transformer_lm")
+class TransformerLM(nn.Module):
+    cfg: TransformerLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.decoder = TransformerDecoder(
+            vocab_size=cfg.vocab_size, embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim, num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads, dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout, activation=cfg.activation_fn,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            learned_pos=cfg.decoder_learned_pos,
+            max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
+            dtype=cfg.dtype, no_cross_attention=True, name="decoder",
+        )
+
+    def __call__(self, prev_tokens, deterministic: bool = True) -> Dict[str, Any]:
+        B, U = prev_tokens.shape
+        dummy_enc = jnp.zeros((B, 1, self.cfg.decoder_embed_dim), self.cfg.dtype)
+        dummy_mask = jnp.zeros((B, 1), bool)
+        logits = self.decoder(prev_tokens, dummy_enc, dummy_mask, deterministic)
+        return {"decoder_logits": logits}
+
+    def decode_step(self, tokens, cache, index):
+        B = tokens.shape[0]
+        dummy_enc = jnp.zeros((B, 1, self.cfg.decoder_embed_dim), self.cfg.dtype)
+        dummy_mask = jnp.zeros((B, 1), bool)
+        return self.decoder.step(tokens, cache, index, dummy_enc, dummy_mask)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        return self.decoder.init_cache(batch_size, max_len)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm")
+def transformer_lm_base(**kw) -> TransformerLMConfig:
+    return TransformerLMConfig().replace(**kw)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_big")
+def transformer_lm_big(**kw) -> TransformerLMConfig:
+    return TransformerLMConfig(
+        decoder_embed_dim=1024, decoder_ffn_embed_dim=4096,
+        decoder_attention_heads=16, decoder_layers=12,
+    ).replace(**kw)

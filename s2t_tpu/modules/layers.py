@@ -180,6 +180,7 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
+    has_cross_attention: bool = True
 
     @nn.compact
     def __call__(
@@ -205,16 +206,17 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = norm_self_attn_norm(x)
 
-        res = x
-        norm_cross_attn_norm = nn.LayerNorm(dtype=self.dtype, name="cross_attn_norm")
-        h = norm_cross_attn_norm(x) if self.normalize_before else x
-        h, _ = MultiHeadAttention(
-            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
-            name="cross_attn",
-        )(h, encoder_out, encoder_out, cross_bias, deterministic)
-        x = res + drop(h, deterministic=deterministic)
-        if not self.normalize_before:
-            x = norm_cross_attn_norm(x)
+        if self.has_cross_attention:
+            res = x
+            norm_cross_attn_norm = nn.LayerNorm(dtype=self.dtype, name="cross_attn_norm")
+            h = norm_cross_attn_norm(x) if self.normalize_before else x
+            h, _ = MultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
+                name="cross_attn",
+            )(h, encoder_out, encoder_out, cross_bias, deterministic)
+            x = res + drop(h, deterministic=deterministic)
+            if not self.normalize_before:
+                x = norm_cross_attn_norm(x)
 
         res = x
         norm_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")

@@ -98,18 +98,16 @@ class SpeechToTextTask(Task):
                 # host DataLoader fbank path, audio_utils.py:82)
                 feats, lengths = fbank_jax(feats, lengths, num_mel_bins=n_mels)
             tf = eval_transforms if deterministic else train_transforms
-            if tf.transforms:
+            if tf.transforms and params is not None:
                 rng = None
                 if rngs is not None and not deterministic:
                     rng = jax.random.fold_in(rngs["dropout"], 7)
                 feats = tf(feats, lengths, rng)
+            args = (feats, lengths, batch["prev_tokens"])
+            if params is None:  # init mode
+                return model.init(rngs["params"], *args, deterministic=True)
             return model.apply(
-                {"params": params},
-                feats,
-                lengths,
-                batch["prev_tokens"],
-                deterministic=deterministic,
-                rngs=rngs,
+                {"params": params}, *args, deterministic=deterministic, rngs=rngs
             )
 
         return fwd

@@ -1,0 +1,113 @@
+"""Translation tasks: raw-text MT with on-the-fly subword tokenisation.
+
+(reference: fairseq/tasks/translation.py:263 and the S2T fork's
+translation_with_tokenizer.py:316 — MT over raw text with SPM applied on the
+fly so dictionaries can be shared with the ST task for SATE pretraining.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+from s2t_tpu.config import TrainConfig
+from s2t_tpu.data.dictionary import Dictionary
+from s2t_tpu.data.text_dataset import TranslationDataset
+from s2t_tpu.data.tokenizer import build_tokenizer
+from s2t_tpu.inference.generator import SequenceGenerator
+from s2t_tpu.registry import register_task
+from s2t_tpu.tasks.base import Task
+
+
+@dataclass
+class TransDataConfig:
+    """Per-dataset config.yaml for MT (reference: TransDataConfig,
+    tasks/translation_with_tokenizer.py:237)."""
+
+    vocab_filename: str = "dict.txt"
+    src_vocab_filename: Optional[str] = None
+    bpe_tokenizer: Optional[dict] = None
+    src_bpe_tokenizer: Optional[dict] = None
+    src_lang: str = "en"
+    tgt_lang: str = "de"
+
+    @classmethod
+    def from_yaml(cls, path):
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+
+@register_task("translation")
+@register_task("translation_with_tokenizer")
+class TranslationTask(Task):
+    def __init__(self, cfg, data_cfg, tgt_dict, src_dict):
+        super().__init__(cfg)
+        self.data_cfg = data_cfg
+        self.tgt_dict = tgt_dict
+        self.src_dict = src_dict or tgt_dict
+        self.bpe = build_tokenizer(data_cfg.bpe_tokenizer)
+        self.src_bpe = build_tokenizer(data_cfg.src_bpe_tokenizer) or self.bpe
+
+    @classmethod
+    def setup(cls, cfg: TrainConfig):
+        root = Path(cfg.dataset.data)
+        dc_path = root / "config.yaml"
+        data_cfg = TransDataConfig.from_yaml(dc_path) if dc_path.exists() else TransDataConfig()
+        tgt_dict = Dictionary.load(root / data_cfg.vocab_filename)
+        src_dict = None
+        if data_cfg.src_vocab_filename:
+            src_dict = Dictionary.load(root / data_cfg.src_vocab_filename)
+        return cls(cfg, data_cfg, tgt_dict, src_dict)
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        root = Path(self.cfg.dataset.data)
+        src = root / f"{split}.{self.data_cfg.src_lang}"
+        tgt = root / f"{split}.{self.data_cfg.tgt_lang}"
+        ds = TranslationDataset(
+            src, tgt if tgt.exists() else None, self.src_dict, self.tgt_dict,
+            self.src_bpe, self.bpe,
+        )
+        self.datasets[split] = ds
+        return ds
+
+    def build_model(self):
+        from s2t_tpu.models import build_model
+
+        return build_model(
+            self.cfg.arch or "transformer",
+            self.cfg.model,
+            vocab_size=len(self.tgt_dict),
+            src_vocab_size=len(self.src_dict),
+            max_source_positions=self.cfg.dataset.max_source_positions,
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
+
+    def forward_fn(self):
+        def fwd(model, params, batch, deterministic, rngs=None):
+            args = (batch["src_tokens"], batch["src_lengths"], batch["prev_tokens"])
+            if params is None:  # init mode
+                return model.init(rngs["params"], *args, deterministic=True)
+            return model.apply(
+                {"params": params}, *args, deterministic=deterministic, rngs=rngs
+            )
+
+        return fwd
+
+    def build_generator(self, model, gen_cfg=None):
+        g = gen_cfg or self.cfg.generation
+        return SequenceGenerator(
+            model, beam_size=g.beam, max_len_a=g.max_len_a, max_len_b=g.max_len_b,
+            min_len=g.min_len, lenpen=g.lenpen, temperature=g.temperature,
+            no_repeat_ngram_size=g.no_repeat_ngram_size,
+            eos_id=self.tgt_dict.eos(), pad_id=self.tgt_dict.pad(),
+            max_target_positions=self.cfg.dataset.max_target_positions,
+            input_keys=("src_tokens", "src_lengths"),
+        )
+
+    def decode_tokens(self, tokens) -> str:
+        return self.tgt_dict.string(tokens, bpe_symbol=self.cfg.generation.post_process)

@@ -38,14 +38,17 @@ class TrainState(struct.PyTreeNode):
 
 
 def s2t_forward(model, params, batch, deterministic, rngs=None):
-    """Default forward adapter for speech-to-text batches."""
+    """Default forward adapter for speech-to-text batches.
+
+    ``params=None`` runs flax init and returns the variables dict instead —
+    every adapter supports this so the Trainer can initialise any task's
+    model from an example batch.
+    """
+    args = (batch["features"], batch["feat_lengths"], batch["prev_tokens"])
+    if params is None:
+        return model.init(rngs["params"], *args, deterministic=True)
     return model.apply(
-        {"params": params},
-        batch["features"],
-        batch["feat_lengths"],
-        batch["prev_tokens"],
-        deterministic=deterministic,
-        rngs=rngs,
+        {"params": params}, *args, deterministic=deterministic, rngs=rngs
     )
 
 
@@ -77,15 +80,12 @@ class Trainer:
     # --------------------------------------------------------------------- #
     def init_state(self, example_batch: Dict[str, Any]) -> TrainState:
         ex = jax.tree.map(lambda x: jnp.asarray(x), example_batch)
-        variables = jax.eval_shape(
-            lambda: self.model.init(
-                jax.random.PRNGKey(0), ex["features"], ex["feat_lengths"], ex["prev_tokens"]
-            )
-        )
-        # materialise params replicated on the mesh
+
+        # materialise params replicated on the mesh (forward adapter in init
+        # mode, so any task's batch layout works)
         def init_fn():
-            v = self.model.init(
-                self.base_rng, ex["features"], ex["feat_lengths"], ex["prev_tokens"]
+            v = self.forward_fn(
+                self.model, None, ex, True, {"params": self.base_rng}
             )
             return v["params"]
 
