@@ -102,6 +102,7 @@ def main(cfg) -> Dict[str, Any]:
     trainer = Trainer(
         model, criterion, cfg.optimization, mesh,
         forward_fn=task.forward_fn(), seed=cfg.common.seed,
+        dist_cfg=cfg.distributed,
     )
     logger.info(
         "mesh: %s | model params: (lazy init) | arch: %s", dict(mesh.shape), cfg.arch

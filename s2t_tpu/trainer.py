@@ -26,9 +26,10 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from s2t_tpu.config import OptimizationConfig
+from s2t_tpu.config import DistributedConfig, OptimizationConfig
 from s2t_tpu.optim import build_lr_schedule, build_optimizer
 from s2t_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from s2t_tpu.parallel.tp_rules import param_sharding_tree
 
 
 class TrainState(struct.PyTreeNode):
@@ -61,11 +62,14 @@ class Trainer:
         mesh=None,
         forward_fn: Callable = s2t_forward,
         seed: int = 1,
+        dist_cfg: DistributedConfig = None,
     ):
         self.model = model
         self.criterion = criterion
         self.opt_cfg = opt_cfg
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_mesh(dist_cfg)
+        self.tp = int(self.mesh.shape.get("model", 1)) > 1
+        self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
         self.forward_fn = forward_fn
         self.schedule = build_lr_schedule(opt_cfg)
         self.tx = optax.apply_if_finite(
@@ -89,10 +93,14 @@ class Trainer:
             )
             return v["params"]
 
-        params = jax.jit(init_fn, out_shardings=replicated(self.mesh))()
-        opt_state = jax.jit(
-            self.tx.init, out_shardings=replicated(self.mesh)
-        )(params)
+        # TP/FSDP: path-based PartitionSpecs; GSPMD propagates the rest
+        shapes = jax.eval_shape(init_fn)
+        self.param_specs = param_sharding_tree(
+            shapes, self.mesh, tp=self.tp, fsdp=self.fsdp
+        )
+        params = jax.jit(init_fn, out_shardings=self.param_specs)()
+        # optimizer state inherits the param shardings through propagation
+        opt_state = jax.jit(self.tx.init)(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
     def state_dict(self, state: TrainState) -> Dict[str, Any]:
@@ -201,11 +209,11 @@ class Trainer:
             self._train_step = jax.jit(
                 self._make_train_step(accum),
                 in_shardings=(
-                    rep,
+                    None,  # state keeps its committed (TP/FSDP) shardings
                     self._batch_shardings(batch, skip_leading_axes=1 if accum > 1 else 0),
                     rep,
                 ),
-                out_shardings=(rep, rep),
+                out_shardings=(None, rep),
                 donate_argnums=(0,),
             )
         rng = jax.random.fold_in(self.base_rng, int(state.step))
@@ -224,7 +232,7 @@ class Trainer:
             rep = replicated(self.mesh)
             self._valid_step = jax.jit(
                 self._make_valid_step(),
-                in_shardings=(rep, self._batch_shardings(batch)),
+                in_shardings=(None, self._batch_shardings(batch)),
                 out_shardings=rep,
             )
         return self._valid_step(state, batch)
