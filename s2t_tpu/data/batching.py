@@ -53,6 +53,25 @@ def batch_by_size(
     Cost of a batch = B_padded * T_bucket(max frame len) — the padded compute.
     Returns a list of index arrays.
     """
+    # native fast path (C++ equivalent of the reference's Cython kernel)
+    from s2t_tpu import clib
+
+    lens = np.asarray(frame_lengths, np.int64)[indices]
+    if frame_buckets is not None:
+        lens = bucketize(lens, frame_buckets)
+    offsets = clib.batch_by_size_native(
+        lens,
+        int(max_tokens) if max_tokens else 0,
+        int(max_sentences) if max_sentences else 0,
+        required_batch_size_multiple,
+    )
+    if offsets is not None:
+        out, start = [], 0
+        for end in offsets:
+            out.append(np.asarray(indices[start:end], dtype=np.int64))
+            start = int(end)
+        return out
+
     batches: List[np.ndarray] = []
     cur: List[int] = []
     cur_max_frames = 0

@@ -55,8 +55,24 @@ class WERScorer:
             r, h = list(ref.replace(" ", "")), list(hyp.replace(" ", ""))
         else:
             r, h = ref.split(), hyp.split()
-        self.distance += edit_distance(r, h)
+        self.distance += self._distance(r, h)
         self.ref_length += len(r)
+
+    @staticmethod
+    def _distance(r, h) -> int:
+        from s2t_tpu import clib
+
+        if clib.get_lib() is not None and r and h:
+            vocab = {}
+            rid = np.asarray([[vocab.setdefault(t, len(vocab)) for t in r]], np.int32)
+            hid = np.asarray([[vocab.setdefault(t, len(vocab)) for t in h]], np.int32)
+            return int(
+                clib.batch_edit_distance(
+                    rid, np.asarray([len(r)], np.int32),
+                    hid, np.asarray([len(h)], np.int32),
+                )[0]
+            )
+        return edit_distance(r, h)
 
     def score(self) -> float:
         return 100.0 * self.distance / max(self.ref_length, 1)
@@ -106,6 +122,32 @@ class BLEUScorer:
                 self.hyps, [self.refs], tokenize=self.tokenize, lowercase=self.lowercase
             )
         )
+
+
+@register_scorer("fast_bleu")
+class FastBLEUScorer:
+    """Tokenised corpus BLEU via the native n-gram counter (the libbleu
+    equivalent; reference: fairseq/scoring/bleu.py Scorer)."""
+
+    def __init__(self):
+        self.vocab = {}
+        self.refs = []
+        self.hyps = []
+
+    def _ids(self, s: str):
+        return [self.vocab.setdefault(t, len(self.vocab)) for t in s.split()]
+
+    def add(self, ref: str, hyp: str):
+        self.refs.append(self._ids(ref))
+        self.hyps.append(self._ids(hyp))
+
+    def score(self) -> float:
+        from s2t_tpu import clib
+
+        return clib.bleu_from_stats(clib.bleu_stats(self.refs, self.hyps))
+
+    def result_string(self) -> str:
+        return f"BLEU4 = {self.score():.2f}"
 
 
 def build_scorer(name: str):
