@@ -30,6 +30,7 @@ class BeamState(NamedTuple):
     finished_scores: jnp.ndarray  # (B, K) length-normalised
     finished_mask: jnp.ndarray  # (B, K) bool
     cache: Any  # pytree with leading dim B*K
+    ctc_state: Any = ()  # CTCPrefixState when joint decoding, else ()
 
 
 def _flatten_beam(x):
@@ -71,6 +72,9 @@ def beam_search(
     min_len: int = 1,
     no_repeat_ngram_size: int = 0,
     step_scores_fn: Optional[Callable] = None,
+    ctc_scorer=None,
+    ctc_weight: float = 0.0,
+    ctc_prune_k: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -80,7 +84,12 @@ def beam_search(
         temperature/log_softmax.
       init_cache: cache pytree with leading dim batch*beam.
       step_scores_fn: optional hook(logprobs, tokens_so_far, index) -> logprobs
-        to blend external scores (CTC prefix, LM fusion) in.
+        to blend external scores (LM fusion) in.
+      ctc_scorer / ctc_weight: joint CTC rescoring (reference:
+        --infer-ctc-weight, sequence_generator.py:355-386) — candidates are
+        pruned to the decoder's top ``ctc_prune_k`` (+EOS), scored with the
+        on-device prefix scorer, and blended as
+        (1-w)·attention + w·CTC, fully inside the compiled step.
 
     Returns:
       tokens: (B, K, max_len) int32 — finished hypotheses, EOS-terminated,
@@ -99,9 +108,10 @@ def beam_search(
     finished_scores = jnp.full((B, K), NEG_INF)
     finished_mask = jnp.zeros((B, K), bool)
 
+    ctc_state = ctc_scorer.init_state() if ctc_scorer is not None else ()
     state = BeamState(
         alive_tokens, alive_scores, finished_tokens, finished_scores,
-        finished_mask, init_cache,
+        finished_mask, init_cache, ctc_state,
     )
 
     def step(state: BeamState, i):
@@ -138,6 +148,28 @@ def beam_search(
             logprobs = _ngram_block(
                 logprobs, state.alive_tokens, i, no_repeat_ngram_size, NEG_INF
             )
+
+        cand_idx = cand_new_r = cand_psi = None
+        if ctc_scorer is not None:
+            # prune to decoder top-k plus EOS, score with the CTC prefix
+            # lattice, blend, and scatter back into the (B, K, V) frame
+            kc = ctc_prune_k
+            dec_cand, cand_idx = jax.lax.top_k(logprobs, kc - 1)
+            eos_col = jnp.full((B, K, 1), eos_id, cand_idx.dtype)
+            cand_idx = jnp.concatenate([cand_idx, eos_col], axis=-1)
+            dec_cand = jnp.concatenate(
+                [dec_cand, logprobs[:, :, eos_id : eos_id + 1]], axis=-1
+            )
+            delta, cand_new_r, cand_psi = ctc_scorer.score_candidates(
+                state.ctc_state, cand_idx.reshape(B * K, kc)
+            )
+            delta = delta.reshape(B, K, kc)
+            blended = (1.0 - ctc_weight) * dec_cand + ctc_weight * delta
+            b_ix = jnp.arange(B)[:, None, None]
+            k_ix = jnp.arange(K)[None, :, None]
+            logprobs = jnp.full_like(logprobs, NEG_INF).at[
+                b_ix, k_ix, cand_idx
+            ].set(blended)
 
         total = state.alive_scores[:, :, None] + logprobs  # (B, K, V)
 
@@ -178,10 +210,24 @@ def beam_search(
         new_beam_idx = jnp.take_along_axis(beam_idx, alive_sel, axis=1)
         new_cache = _gather_beams(new_cache, new_beam_idx, B, K)
 
+        new_ctc_state = state.ctc_state
+        if ctc_scorer is not None:
+            alive_tok = jnp.take_along_axis(tok_idx, alive_sel, axis=1)  # (B, K)
+            cand_idx_parent = jnp.take_along_axis(
+                cand_idx, new_beam_idx[..., None], axis=1
+            )  # (B, K, kc)
+            cand_pos = jnp.argmax(
+                cand_idx_parent == alive_tok[..., None], axis=-1
+            )  # position of the chosen token in its parent's candidate list
+            new_ctc_state = ctc_scorer.select(
+                state.ctc_state, cand_idx, cand_new_r, cand_psi,
+                new_beam_idx, cand_pos, alive_tok,
+            )
+
         return (
             BeamState(
                 new_alive_tokens, alive_sel_scores, fin_tokens, fin_scores,
-                fin_mask, new_cache,
+                fin_mask, new_cache, new_ctc_state,
             ),
             None,
         )

@@ -37,6 +37,8 @@ class SequenceGenerator:
         pad_id: int = 1,
         max_target_positions: Optional[int] = None,
         input_keys: Tuple[str, str] = ("features", "feat_lengths"),
+        infer_ctc_weight: float = 0.0,
+        ctc_prune_k: int = 8,
     ):
         self.model = model
         self.beam_size = beam_size
@@ -52,6 +54,8 @@ class SequenceGenerator:
             model.cfg, "max_target_positions", 1024
         )
         self.input_keys = input_keys
+        self.infer_ctc_weight = infer_ctc_weight
+        self.ctc_prune_k = ctc_prune_k
         self._jitted = {}
 
     def _max_len_for(self, enc_T: int) -> int:
@@ -88,6 +92,24 @@ class SequenceGenerator:
                 logits = logits.astype(jnp.float32) / self.temperature
                 return jax.nn.log_softmax(logits, axis=-1), new_cache
 
+            ctc_scorer = None
+            if self.infer_ctc_weight > 0:
+                # joint CTC rescoring from the encoder's CTC lattice
+                # (XCTC — target-language CTC — when the model has one;
+                # reference: sequence_generator.py:255-269)
+                from s2t_tpu.inference.ctc_prefix import CTCPrefixScorer
+
+                ctc_logits = enc.get("xctc_logits")
+                if ctc_logits is None:
+                    ctc_logits = enc.get("ctc_logits")
+                if ctc_logits is not None:
+                    ctc_scorer = CTCPrefixScorer(
+                        jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1),
+                        enc["encoder_lengths"],
+                        beam_size=K,
+                        eos_id=self.eos_id,
+                    )
+
             tokens, scores = beam_search(
                 decode_step,
                 cache,
@@ -100,6 +122,9 @@ class SequenceGenerator:
                 lenpen=self.lenpen,
                 min_len=self.min_len,
                 no_repeat_ngram_size=self.no_repeat_ngram_size,
+                ctc_scorer=ctc_scorer,
+                ctc_weight=self.infer_ctc_weight,
+                ctc_prune_k=self.ctc_prune_k,
             )
             return tokens, scores, enc
 

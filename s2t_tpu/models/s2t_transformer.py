@@ -80,6 +80,11 @@ class S2TTransformerConfig:
     ctc_pae: str = "none"  # none|linear|context|league|inter_league|gated_league
     pae_ctc_temperature: float = 1.0
     share_pae_and_ctc: bool = False
+    # PAE ground-truth oracle: per-frame prob of substituting the Viterbi
+    # alignment one-hot for the CTC posterior (BiL-CTC training trick;
+    # reference: s2t_transformer.py:1050-1066, criterions/ctc.py:283-330)
+    ctc_pae_ground_truth_ratio: float = 0.0
+    xctc_pae_ground_truth_ratio: float = 0.0
     # XCTC (target-language CTC, BiL-CTC; reference: s2t_transformer.py:1100-1244)
     use_xctc: bool = False
     xctc_layer: int = 0
@@ -182,11 +187,36 @@ class S2TTransformerEncoder(nn.Module):
                 )
         self.drop = nn.Dropout(cfg.dropout)
 
+    def _oracle_probs(
+        self, logits, lengths, tokens, token_lengths, ratio
+    ) -> jnp.ndarray:
+        """Mix Viterbi-aligned one-hot labels into the CTC posterior with
+        per-frame probability ``ratio`` (the torch_imputer best_alignment
+        consumer; reference: criterions/ctc.py get_ctc_align)."""
+        from s2t_tpu.ops.ctc import ctc_best_alignment
+
+        lp = jax.lax.stop_gradient(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        )
+        aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
+        oracle = jax.nn.one_hot(aligned, logits.shape[-1], dtype=jnp.float32)
+        probs = jax.nn.softmax(
+            logits.astype(jnp.float32) / self.cfg.pae_ctc_temperature, axis=-1
+        )
+        mask = (
+            jax.random.uniform(self.make_rng("dropout"), aligned.shape) < ratio
+        )[..., None]
+        return jnp.where(mask, oracle, probs)
+
     def __call__(
         self,
         features: jnp.ndarray,
         lengths: jnp.ndarray,
         deterministic: bool = True,
+        transcript: Optional[jnp.ndarray] = None,
+        transcript_lengths: Optional[jnp.ndarray] = None,
+        target: Optional[jnp.ndarray] = None,
+        target_lengths: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
@@ -225,7 +255,17 @@ class S2TTransformerEncoder(nn.Module):
                     logits = self.inter_ctc_heads[str(layer_idx)](h, deterministic)
                 inter_ctc_logits.append((layer_idx, logits))
                 if cfg.ctc_pae != "none":
-                    x = self.pae(x, logits, deterministic=deterministic)
+                    probs = None
+                    if (
+                        cfg.ctc_pae_ground_truth_ratio > 0
+                        and not deterministic
+                        and transcript is not None
+                    ):
+                        probs = self._oracle_probs(
+                            logits, lengths, transcript, transcript_lengths,
+                            cfg.ctc_pae_ground_truth_ratio,
+                        )
+                    x = self.pae(x, logits, deterministic=deterministic, probs=probs)
             if (
                 cfg.use_xctc
                 and layer_idx in cfg.inter_xctc_layers
@@ -237,7 +277,17 @@ class S2TTransformerEncoder(nn.Module):
                 xlogits = self.xctc_head(h, deterministic)
                 inter_xctc_logits.append((layer_idx, xlogits))
                 if cfg.xctc_pae != "none":
-                    x = self.xpae(x, xlogits, deterministic=deterministic)
+                    probs = None
+                    if (
+                        cfg.xctc_pae_ground_truth_ratio > 0
+                        and not deterministic
+                        and target is not None
+                    ):
+                        probs = self._oracle_probs(
+                            xlogits, lengths, target, target_lengths,
+                            cfg.xctc_pae_ground_truth_ratio,
+                        )
+                    x = self.xpae(x, xlogits, deterministic=deterministic, probs=probs)
 
         if cfg.encoder_normalize_before:
             x = self.final_norm(x)
@@ -293,8 +343,15 @@ class S2TTransformerModel(nn.Module):
         feat_lengths: jnp.ndarray,
         prev_tokens: jnp.ndarray,
         deterministic: bool = True,
+        transcript: Optional[jnp.ndarray] = None,
+        transcript_lengths: Optional[jnp.ndarray] = None,
+        target: Optional[jnp.ndarray] = None,
+        target_lengths: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
-        enc = self.encoder(features, feat_lengths, deterministic)
+        enc = self.encoder(
+            features, feat_lengths, deterministic,
+            transcript, transcript_lengths, target, target_lengths,
+        )
         enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
         logits = self.decoder(prev_tokens, enc["encoder_out"], enc_mask, deterministic)
         return {"decoder_logits": logits, **enc}

@@ -44,22 +44,28 @@ class Adapter(nn.Module):
         ctc_logits: Optional[jnp.ndarray] = None,
         embedding: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        probs: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``probs`` overrides softmax(ctc_logits) — used by the ground-truth
+        oracle PAE path (reference: criterions/ctc.py:283-330 + adapter oracle
+        mixing)."""
         t = self.adapter_type
         if t == "none":
             return x
 
         if t in ("context", "league", "inter_league", "gated_league"):
-            assert ctc_logits is not None
+            assert ctc_logits is not None or probs is not None
             if embedding is None:
                 embedding = self.param(
                     "embed_adapter",
                     nn.initializers.normal(self.dim**-0.5),
                     (self.vocab_size, self.dim),
                 )
-            probs = jax.nn.softmax(
-                ctc_logits.astype(jnp.float32) / self.ctc_temperature, axis=-1
-            ).astype(x.dtype)
+            if probs is None:
+                probs = jax.nn.softmax(
+                    ctc_logits.astype(jnp.float32) / self.ctc_temperature, axis=-1
+                )
+            probs = probs.astype(x.dtype)
             context = jnp.einsum("btv,vd->btd", probs, embedding.astype(x.dtype))
             if self.embed_norm:
                 context = nn.LayerNorm(dtype=self.dtype, name="embed_ln")(context)

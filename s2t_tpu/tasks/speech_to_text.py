@@ -29,6 +29,14 @@ from s2t_tpu.registry import register_task
 from s2t_tpu.tasks.base import Task
 
 
+def _model_wants_oracle(model) -> bool:
+    cfg = getattr(model, "cfg", None)
+    return (
+        getattr(cfg, "ctc_pae_ground_truth_ratio", 0.0) > 0
+        or getattr(cfg, "xctc_pae_ground_truth_ratio", 0.0) > 0
+    )
+
+
 @register_task("speech_to_text")
 class SpeechToTextTask(Task):
     def __init__(self, cfg: TrainConfig, data_cfg: S2TDataConfig,
@@ -106,8 +114,21 @@ class SpeechToTextTask(Task):
             args = (feats, lengths, batch["prev_tokens"])
             if params is None:  # init mode
                 return model.init(rngs["params"], *args, deterministic=True)
+            kwargs = {}
+            if not deterministic and _model_wants_oracle(model):
+                # thread CTC targets for the PAE ground-truth oracle
+                if "transcript" in batch:
+                    kwargs["transcript"] = batch["transcript"]
+                    kwargs["transcript_lengths"] = batch["transcript_lengths"]
+                if "target" in batch and getattr(
+                    model.cfg, "xctc_pae_ground_truth_ratio", 0.0
+                ) > 0:
+                    tgt = batch["target"]
+                    kwargs["target"] = jnp.where(tgt == 2, 1, tgt)  # strip EOS
+                    kwargs["target_lengths"] = batch["target_lengths"] - 1
             return model.apply(
-                {"params": params}, *args, deterministic=deterministic, rngs=rngs
+                {"params": params}, *args, deterministic=deterministic, rngs=rngs,
+                **kwargs,
             )
 
         return fwd
@@ -129,6 +150,7 @@ class SpeechToTextTask(Task):
             eos_id=self.tgt_dict.eos(),
             pad_id=self.tgt_dict.pad(),
             max_target_positions=self.cfg.dataset.max_target_positions,
+            infer_ctc_weight=g.infer_ctc_weight,
         )
 
     def decode_tokens(self, tokens) -> str:
