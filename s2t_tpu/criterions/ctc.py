@@ -47,17 +47,22 @@ class CTCCriterion:
     def __init__(self, cfg: "CTCCriterion.Config"):
         self.cfg = cfg
 
-    def _one_ctc(self, logits, enc_lengths, tokens, token_lengths):
+    def _one_ctc(self, logits, enc_lengths, tokens, token_lengths, mixup=None):
         log_probs = _masked_log_softmax(logits)
-        return ctc_loss(
-            log_probs,
-            tokens,
-            enc_lengths,
-            token_lengths,
-            blank_id=self.cfg.blank_id,
-            reduction="sum",
-            zero_infinity=self.cfg.zero_infinity,
-        )
+
+        def rows(tk, tl):
+            return ctc_loss(
+                log_probs, tk, enc_lengths, tl,
+                blank_id=self.cfg.blank_id, reduction="none",
+                zero_infinity=self.cfg.zero_infinity,
+            )
+
+        loss = rows(tokens, token_lengths)
+        if mixup is not None:
+            lam, perm, mask = mixup["coef"], mixup["perm"], mixup["mask"]
+            loss2 = rows(tokens[perm], token_lengths[perm])
+            loss = jnp.where(mask, lam * loss + (1.0 - lam) * loss2, loss)
+        return jnp.sum(loss)
 
     def compute_ctc_loss(
         self, model_out: Dict[str, Any], batch: Dict[str, Any]
@@ -65,6 +70,7 @@ class CTCCriterion:
         """Compose all CTC branches (reference: criterions/ctc.py:542-1103)."""
         cfg = self.cfg
         enc_lengths = model_out["encoder_lengths"]
+        mixup = model_out.get("mixup")
         logs: Dict[str, jnp.ndarray] = {}
         total = jnp.asarray(0.0, jnp.float32)
 
@@ -79,7 +85,8 @@ class CTCCriterion:
 
         if cfg.ctc_weight > 0 and model_out.get("ctc_logits") is not None:
             l = self._one_ctc(
-                model_out["ctc_logits"], enc_lengths, transcript, transcript_lengths
+                model_out["ctc_logits"], enc_lengths, transcript,
+                transcript_lengths, mixup,
             )
             logs["ctc_loss"] = l
             total = total + cfg.ctc_weight * l
@@ -88,7 +95,9 @@ class CTCCriterion:
         if cfg.inter_ctc_weight > 0 and len(inter) > 0:
             il = jnp.asarray(0.0, jnp.float32)
             for _, logits in inter:
-                il = il + self._one_ctc(logits, enc_lengths, transcript, transcript_lengths)
+                il = il + self._one_ctc(
+                    logits, enc_lengths, transcript, transcript_lengths, mixup
+                )
             il = il / len(inter)
             logs["inter_ctc_loss"] = il
             total = total + cfg.inter_ctc_weight * il
@@ -98,7 +107,9 @@ class CTCCriterion:
             # strip EOS for CTC over target text (reference: ctc.py:365)
             tgt_ctc = jnp.where((tgt == cfg.eos_id), cfg.pad_id, tgt)
             tgt_lengths = jnp.sum((tgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
-            l = self._one_ctc(model_out["xctc_logits"], enc_lengths, tgt_ctc, tgt_lengths)
+            l = self._one_ctc(
+                model_out["xctc_logits"], enc_lengths, tgt_ctc, tgt_lengths, mixup
+            )
             logs["xctc_loss"] = l
             total = total + cfg.xctc_weight * l
 
@@ -176,7 +187,8 @@ class LabelSmoothedCEWithCTC:
         logits = model_out["decoder_logits"]
         targets = batch["target"]
         ce, nll = label_smoothed_nll_loss(
-            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id
+            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id,
+            mixup=model_out.get("mixup"),
         )
         ctc_total, ctc_logs = self.ctc.compute_ctc_loss(model_out, batch)
         loss = ce + ctc_total

@@ -14,17 +14,13 @@ import jax.numpy as jnp
 from s2t_tpu.registry import register_criterion
 
 
-def label_smoothed_nll_loss(
+def label_smoothed_nll_loss_per_row(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
     epsilon: float,
     pad_id: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (smoothed_loss_sum, nll_loss_sum) over non-pad positions.
-
-    Matches fairseq's formulation: eps_i = eps / (V - 1);
-    loss = (1 - eps - eps_i) * nll + eps_i * sum_neg_logprob.
-    """
+    """Per-sentence (B,) smoothed loss and nll sums over non-pad positions."""
     lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     V = lprobs.shape[-1]
     nll = -jnp.take_along_axis(lprobs, targets[..., None], axis=-1)[..., 0]
@@ -34,6 +30,32 @@ def label_smoothed_nll_loss(
     smooth = jnp.where(mask, smooth, 0.0)
     eps_i = epsilon / (V - 1)
     loss = (1.0 - epsilon - eps_i) * nll + eps_i * smooth
+    return jnp.sum(loss, axis=-1), jnp.sum(nll, axis=-1)
+
+
+def label_smoothed_nll_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    epsilon: float,
+    pad_id: int = 1,
+    mixup: dict | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (smoothed_loss_sum, nll_loss_sum) over non-pad positions.
+
+    Matches fairseq's formulation: eps_i = eps / (V - 1);
+    loss = (1 - eps - eps_i) * nll + eps_i * sum_neg_logprob.
+    With ``mixup`` (from the encoder), mixed rows take
+    λ·loss(target) + (1-λ)·loss(target[perm]) (reference:
+    label_smoothed_cross_entropy_with_ctc.py mixup handling :119-132).
+    """
+    loss, nll = label_smoothed_nll_loss_per_row(logits, targets, epsilon, pad_id)
+    if mixup is not None:
+        lam, perm, mask = mixup["coef"], mixup["perm"], mixup["mask"]
+        loss2, nll2 = label_smoothed_nll_loss_per_row(
+            logits, targets[perm], epsilon, pad_id
+        )
+        loss = jnp.where(mask, lam * loss + (1.0 - lam) * loss2, loss)
+        nll = jnp.where(mask, lam * nll + (1.0 - lam) * nll2, nll)
     return jnp.sum(loss), jnp.sum(nll)
 
 
@@ -64,7 +86,8 @@ class LabelSmoothedCE:
         logits = model_out["decoder_logits"]
         targets = batch["target"]
         loss, nll = label_smoothed_nll_loss(
-            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id
+            logits, targets, self.cfg.label_smoothing, self.cfg.pad_id,
+            mixup=model_out.get("mixup"),
         )
         ntokens = jnp.sum((targets != self.cfg.pad_id).astype(jnp.float32))
         nsent = jnp.asarray(targets.shape[0], jnp.float32)

@@ -39,6 +39,9 @@ class SequenceGenerator:
         input_keys: Tuple[str, str] = ("features", "feat_lengths"),
         infer_ctc_weight: float = 0.0,
         ctc_prune_k: int = 8,
+        lm_model=None,
+        lm_params=None,
+        lm_weight: float = 0.0,
     ):
         self.model = model
         self.beam_size = beam_size
@@ -56,6 +59,10 @@ class SequenceGenerator:
         self.input_keys = input_keys
         self.infer_ctc_weight = infer_ctc_weight
         self.ctc_prune_k = ctc_prune_k
+        # shallow LM fusion (reference: sequence_generator.py lm_model/lm_weight)
+        self.lm_model = lm_model
+        self.lm_params = lm_params
+        self.lm_weight = lm_weight
         self._jitted = {}
 
     def _max_len_for(self, enc_T: int) -> int:
@@ -78,19 +85,38 @@ class SequenceGenerator:
             cache = self.model.apply(
                 {"params": params}, B * K, max_len, method=self.model.init_cache
             )
+            use_lm = self.lm_model is not None and self.lm_weight != 0.0
+            if use_lm:
+                lm_cache = self.lm_model.apply(
+                    {"params": self.lm_params}, B * K, max_len,
+                    method=self.lm_model.init_cache,
+                )
+                cache = {"dec": cache, "lm": lm_cache}
 
             def decode_step(tokens, cache, index):
-                logits, new_cache = self.model.apply(
+                dec_cache = cache["dec"] if use_lm else cache
+                logits, new_dec = self.model.apply(
                     {"params": params},
                     tokens,
-                    cache,
+                    dec_cache,
                     index,
                     enc_out_b,
                     enc_mask_b,
                     method=self.model.decode_step,
                 )
                 logits = logits.astype(jnp.float32) / self.temperature
-                return jax.nn.log_softmax(logits, axis=-1), new_cache
+                lprobs = jax.nn.log_softmax(logits, axis=-1)
+                if not use_lm:
+                    return lprobs, new_dec
+                lm_logits, new_lm = self.lm_model.apply(
+                    {"params": self.lm_params}, tokens, cache["lm"], index,
+                    method=self.lm_model.decode_step,
+                )
+                lm_lprobs = jax.nn.log_softmax(lm_logits.astype(jnp.float32), -1)
+                return (
+                    lprobs + self.lm_weight * lm_lprobs,
+                    {"dec": new_dec, "lm": new_lm},
+                )
 
             ctc_scorer = None
             if self.infer_ctc_weight > 0:

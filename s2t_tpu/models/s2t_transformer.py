@@ -90,6 +90,12 @@ class S2TTransformerConfig:
     xctc_layer: int = 0
     inter_xctc_layers: Tuple[int, ...] = ()
     xctc_pae: str = "none"
+    # inter-mixup (reference: s2t_transformer.py:2390-2400 mixup args)
+    inter_mixup: bool = False
+    inter_mixup_layer: int = 0  # 0 = right after subsampling
+    inter_mixup_beta: float = 0.5
+    inter_mixup_prob: float = 1.0
+    inter_mixup_ratio: float = 0.3
     # sizes (filled by the task)
     vocab_size: int = 1000
     src_vocab_size: int = -1  # CTC vocab; -1 -> same as vocab_size
@@ -187,6 +193,25 @@ class S2TTransformerEncoder(nn.Module):
                 )
         self.drop = nn.Dropout(cfg.dropout)
 
+    def _mixup(self, x, lengths):
+        """Inter-mixup: convex-combine utterance pairs in the encoder stream
+        (reference: s2t_transformer.py apply_mixup — single Beta λ per batch,
+        a random partner permutation, and a per-utterance participation mask).
+        Returns (x, lengths, info) where info drives the λ-weighted dual-target
+        losses in the criterion."""
+        cfg = self.cfg
+        B = x.shape[0]
+        k1, k2, k3, k4 = jax.random.split(self.make_rng("dropout"), 4)
+        lam = jax.random.beta(k1, cfg.inter_mixup_beta, cfg.inter_mixup_beta)
+        perm = jax.random.permutation(k2, B)
+        apply_batch = jax.random.uniform(k3) < cfg.inter_mixup_prob
+        mask = (jax.random.uniform(k4, (B,)) < cfg.inter_mixup_ratio) & apply_batch
+        mixed = lam.astype(x.dtype) * x + (1.0 - lam).astype(x.dtype) * x[perm]
+        x = jnp.where(mask[:, None, None], mixed, x)
+        new_lengths = jnp.where(mask, jnp.maximum(lengths, lengths[perm]), lengths)
+        info = {"coef": lam, "perm": perm, "mask": mask}
+        return x, new_lengths, info
+
     def _oracle_probs(
         self, logits, lengths, tokens, token_lengths, ratio
     ) -> jnp.ndarray:
@@ -235,12 +260,26 @@ class S2TTransformerEncoder(nn.Module):
             pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
         x = self.drop(x, deterministic=deterministic)
 
+        mixup = None
+        if cfg.inter_mixup and not deterministic and cfg.inter_mixup_layer == 0:
+            x, lengths, mixup = self._mixup(x, lengths)
+            T = x.shape[1]
+
         valid = lengths_to_mask(lengths, T)
         bias = padding_bias(valid, x.dtype)
 
         inter_ctc_logits = []
         inter_xctc_logits = []
         for i, layer in enumerate(self.layers):
+            if (
+                cfg.inter_mixup
+                and not deterministic
+                and mixup is None
+                and cfg.inter_mixup_layer == i + 1
+            ):
+                x, lengths, mixup = self._mixup(x, lengths)
+                valid = lengths_to_mask(lengths, T)
+                bias = padding_bias(valid, x.dtype)
             x = layer(x, valid, bias, pos_emb, deterministic)
             layer_idx = i + 1
             if (
@@ -306,6 +345,7 @@ class S2TTransformerEncoder(nn.Module):
             "inter_ctc_logits": tuple(inter_ctc_logits),
             "xctc_logits": xctc_logits,
             "inter_xctc_logits": tuple(inter_xctc_logits),
+            "mixup": mixup,
         }
 
 
