@@ -86,6 +86,23 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
         tokens = np.asarray(tokens)
         scores = np.asarray(scores)
         B_real = batch["nsentences"]
+        # --ctc-infer: greedy CTC transcript/translation dumps alongside the
+        # beam output (reference: generate.py:109-135 + CTC.set_ctc_infer —
+        # produces translation-<subset>.txt.ctc/.xctc for cal_wer/cal_ctc_bleu)
+        ctc_hyps = xctc_hyps = None
+        if cfg.generation.ctc_infer and isinstance(enc, dict):
+            from s2t_tpu.ops.ctc import ctc_greedy_decode
+
+            if enc.get("ctc_logits") is not None:
+                toks, lens_ = ctc_greedy_decode(
+                    enc["ctc_logits"], enc["encoder_lengths"]
+                )
+                ctc_hyps = np.asarray(toks)
+            if enc.get("xctc_logits") is not None:
+                toks, lens_ = ctc_greedy_decode(
+                    enc["xctc_logits"], enc["encoder_lengths"]
+                )
+                xctc_hyps = np.asarray(toks)
         n_utts += B_real
         len_key = "feat_lengths" if "feat_lengths" in batch else "src_lengths"
         total_frames += int(np.asarray(batch[len_key])[:B_real].sum())
@@ -103,6 +120,13 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
                 tgt = np.asarray(batch["target"])[b]
                 entry["ref_tokens"] = task.tgt_dict.string(tgt)
                 entry["ref"] = task.decode_tokens(tgt)
+            if ctc_hyps is not None:
+                src_dict = getattr(task, "src_dict", task.tgt_dict)
+                entry["ctc"] = src_dict.string(
+                    ctc_hyps[b], bpe_symbol=cfg.generation.post_process
+                )
+            if xctc_hyps is not None:
+                entry["xctc"] = task.decode_tokens(xctc_hyps[b])
             results[sid] = entry
 
     # scoring
@@ -128,6 +152,14 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
             ft.write(r["hyp"] + "\n")
         if score_str:
             f.write(f"Generate {subset} with beam={cfg.generation.beam}: {score_str}\n")
+    if any("ctc" in r for r in results.values()):
+        with open(out_dir / f"translation-{subset}.txt.ctc", "w") as f:
+            for sid in sorted(results):
+                f.write(results[sid].get("ctc", "") + "\n")
+    if any("xctc" in r for r in results.values()):
+        with open(out_dir / f"translation-{subset}.txt.xctc", "w") as f:
+            for sid in sorted(results):
+                f.write(results[sid].get("xctc", "") + "\n")
 
     # RTF: audio seconds / wall seconds (frames are 10 ms)
     audio_seconds = total_frames * 0.01

@@ -72,6 +72,49 @@ class CTCDecoder:
         )
 
 
+class CTCGenerator:
+    """SequenceGenerator-compatible wrapper for encoder-only (NAST) models:
+    one encoder pass, CTC greedy/beam decode (reference: the s2t_ctc model's
+    CTCDecoder-as-decoder design, s2t_ctc.py:28-174)."""
+
+    def __init__(self, model, decoder: "CTCDecoder",
+                 input_keys=("features", "feat_lengths"), use_xctc: bool = False):
+        self.model = model
+        self.decoder = decoder
+        self.input_keys = input_keys
+        self.use_xctc = use_xctc
+        self._jitted = {}
+
+    def _build(self):
+        import jax as _jax
+
+        def run(params, features, lengths):
+            enc = self.model.apply(
+                {"params": params}, features, lengths, method=self.model.encode
+            )
+            if self.use_xctc and enc.get("xctc_logits") is not None:
+                enc = {**enc, "ctc_logits": enc["xctc_logits"]}
+            out = self.decoder.decode(enc)
+            return out, enc
+
+        return _jax.jit(run)
+
+    def generate(self, params, batch):
+        feats = batch[self.input_keys[0]]
+        key = feats.shape
+        if key not in self._jitted:
+            self._jitted[key] = self._build()
+        (tokens_or_pair), enc = self._jitted[key](
+            params, feats, batch[self.input_keys[1]]
+        )
+        tokens, second = tokens_or_pair
+        if tokens.ndim == 2:  # greedy: (B, T) + lengths -> add beam dim
+            B, T = tokens.shape
+            scores = jnp.zeros((B, 1), jnp.float32)
+            return tokens[:, None, :], scores, enc
+        return tokens, second, enc  # beam: (B, K, T), scores (B, K)
+
+
 def ctc_prefix_beam_decode(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,

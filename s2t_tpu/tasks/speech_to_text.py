@@ -136,8 +136,17 @@ class SpeechToTextTask(Task):
     def build_generator(self, model, gen_cfg=None):
         g = gen_cfg or self.cfg.generation
         if getattr(model.cfg, "decoder_layers", 1) == 0:
-            # encoder-only (NAST-style) model: decode from CTC
-            return CTCDecoder(beam_size=g.beam, pad_id=self.tgt_dict.pad())
+            # encoder-only (NAST-style) model: decode from CTC (XCTC for ST)
+            from s2t_tpu.inference.ctc_decoder import CTCGenerator
+
+            dec = CTCDecoder(
+                beam_size=g.beam, pad_id=self.tgt_dict.pad(),
+                self_ensemble=g.ctc_self_ensemble,
+                intermediate_logit=g.ctc_inter_logit,
+            )
+            return CTCGenerator(
+                model, dec, use_xctc=getattr(model.cfg, "use_xctc", False)
+            )
         return SequenceGenerator(
             model,
             beam_size=g.beam,
