@@ -130,6 +130,31 @@ def main(cfg) -> Dict[str, Any]:
     state = trainer.init_state(first_batch)
     epoch_itr._consumed = 0  # the peeked batch is re-consumed
 
+    # pretrained component transplant (SATE/dual init; reference:
+    # --load-pretrained-{encoder,decoder}-from, checkpoint_utils.py:676)
+    from flax import serialization
+    from s2t_tpu.utils.checkpoint import transplant_component
+
+    for comp, path in (
+        ("encoder", cfg.checkpoint.load_pretrained_encoder_from),
+        ("decoder", cfg.checkpoint.load_pretrained_decoder_from),
+    ):
+        if path:
+            src_tree, _ = load_checkpoint(path)
+            src_params = src_tree.get("params", src_tree)
+            host = serialization.to_state_dict(state.params)
+            new = transplant_component(host, src_params, comp)
+            params = serialization.from_state_dict(state.params, new)
+            state = state.replace(params=jax.tree.map(jnp.asarray, params))
+            logger.info("loaded pretrained %s from %s", comp, path)
+    if cfg.checkpoint.finetune_from_model:
+        src_tree, _ = load_checkpoint(cfg.checkpoint.finetune_from_model)
+        params = serialization.from_state_dict(
+            state.params, src_tree.get("params", src_tree)
+        )
+        state = state.replace(params=jax.tree.map(jnp.asarray, params))
+        logger.info("finetuning from %s", cfg.checkpoint.finetune_from_model)
+
     # resume
     last = Path(cfg.checkpoint.save_dir) / (cfg.checkpoint.restore_file + ".pt")
     if last.exists() and not cfg.checkpoint.finetune_from_model:
@@ -153,6 +178,12 @@ def main(cfg) -> Dict[str, Any]:
         generator = task.build_generator(model)
         generator.beam_size = cfg.eval.eval_gen_beam
 
+    from s2t_tpu.utils.progress import ProgressLogger
+
+    progress = ProgressLogger(
+        cfg.common.log_format, cfg.common.tensorboard_logdir,
+        cfg.common.wandb_project,
+    )
     max_epoch = cfg.optimization.max_epoch or math.inf
     max_update = cfg.optimization.max_update or math.inf
     patience_left = cfg.optimization.patience
@@ -171,12 +202,14 @@ def main(cfg) -> Dict[str, Any]:
                 interval_logs[k] = interval_logs.get(k, 0.0) + float(metrics[k])
             if int(state.step) % cfg.common.log_interval == 0:
                 ups = interval_n / (time.time() - t0 + 1e-9)
-                logger.info(
-                    "epoch %d | step %d | loss %.3f | gnorm %.2f | lr %.2e | ups %.2f",
-                    epoch_itr.epoch, int(state.step),
-                    interval_logs["loss"] / interval_n,
-                    interval_logs["gnorm"] / interval_n,
-                    float(metrics["lr"]), ups,
+                progress.log(
+                    {
+                        "loss": interval_logs["loss"] / interval_n,
+                        "gnorm": interval_logs["gnorm"] / interval_n,
+                        "lr": float(metrics["lr"]),
+                        "ups": ups,
+                    },
+                    int(state.step), "train", epoch_itr.epoch,
                 )
                 interval_logs, interval_n, t0 = {}, 0, time.time()
             if (
@@ -191,10 +224,7 @@ def main(cfg) -> Dict[str, Any]:
         val = validate(cfg, task, trainer, state, valid_ds, generator)
         metric_name = cfg.checkpoint.best_checkpoint_metric
         val_metric = val.get(metric_name, val.get("loss"))
-        logger.info(
-            "epoch %d done | valid: %s", epoch_itr.epoch,
-            " ".join(f"{k} {v:.3f}" for k, v in val.items()),
-        )
+        progress.log(val, int(state.step), "valid", epoch_itr.epoch)
         history.append(val)
         if not cfg.checkpoint.no_save:
             meta_extra = {"epoch_itr": epoch_itr.state_dict()}
@@ -217,6 +247,7 @@ def main(cfg) -> Dict[str, Any]:
                 break
         epoch_itr.next_epoch()
 
+    progress.close()
     return {"state": state, "history": history, "task": task, "model": model}
 
 

@@ -17,7 +17,7 @@ class Meter:
         self.weight = 0.0
 
     def update(self, value: float, weight: float = 1.0):
-        self.sum += float(value)
+        self.sum += float(value) * float(weight)
         self.weight += float(weight)
 
     @property
