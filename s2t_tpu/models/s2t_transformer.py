@@ -58,6 +58,8 @@ class S2TTransformerConfig:
     macaron_style: bool = False
     use_cnn_module: bool = False
     cnn_module_kernel: int = 31
+    # DLCL (reference: modules/dlcl.py, use_enc_dlcl flag)
+    use_enc_dlcl: bool = False
     # decoder
     decoder_embed_dim: int = 256
     decoder_ffn_embed_dim: int = 2048
@@ -164,6 +166,11 @@ class S2TTransformerEncoder(nn.Module):
             )
             for i in range(cfg.encoder_layers)
         ]
+        if cfg.use_enc_dlcl:
+            from s2t_tpu.modules.dlcl import DLCL
+
+            self.dlcl = DLCL(cfg.encoder_layers, cfg.encoder_embed_dim, dtype=dt,
+                             name="dlcl")
         if cfg.encoder_normalize_before:
             self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
         if cfg.use_ctc:
@@ -270,7 +277,10 @@ class S2TTransformerEncoder(nn.Module):
 
         inter_ctc_logits = []
         inter_xctc_logits = []
+        history = [x] if cfg.use_enc_dlcl else None
         for i, layer in enumerate(self.layers):
+            if cfg.use_enc_dlcl:
+                x = self.dlcl.combine(history, i)
             if (
                 cfg.inter_mixup
                 and not deterministic
@@ -327,7 +337,11 @@ class S2TTransformerEncoder(nn.Module):
                             cfg.xctc_pae_ground_truth_ratio,
                         )
                     x = self.xpae(x, xlogits, deterministic=deterministic, probs=probs)
+            if cfg.use_enc_dlcl:
+                history.append(x)
 
+        if cfg.use_enc_dlcl:
+            x = self.dlcl.combine(history, cfg.encoder_layers)
         if cfg.encoder_normalize_before:
             x = self.final_norm(x)
 
@@ -481,3 +495,19 @@ def s2t_conformer(**kw) -> S2TTransformerConfig:
         encoder_attention_type="rel_pos", macaron_style=True,
         use_cnn_module=True, activation_fn="swish",
     ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "convtransformer")
+@register_model_architecture("s2t_transformer", "convtransformer_espnet")
+def convtransformer(**kw) -> S2TTransformerConfig:
+    """2D-conv front-end transformer (ESPnet style; reference:
+    models/speech_to_text/convtransformer.py:25)."""
+    return s2t_transformer_s(
+        subsampling_type="conv2d", subsampling_filter=64,
+        subsampling_kernel=3, encoder_embed_dim=256,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_s_dlcl")
+def s2t_transformer_s_dlcl(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_s(use_enc_dlcl=True).replace(**kw)
