@@ -1,8 +1,10 @@
 """Model zoo. Importing this package registers all models/archs."""
 
+from s2t_tpu.models import berard  # noqa: F401
 from s2t_tpu.models import pds  # noqa: F401
 from s2t_tpu.models import s2t_ctc  # noqa: F401
 from s2t_tpu.models import s2t_transformer  # noqa: F401
+from s2t_tpu.models import s2t_dual  # noqa: F401
 from s2t_tpu.models import sate  # noqa: F401
 from s2t_tpu.models import transformer  # noqa: F401
 from s2t_tpu.models import transformer_lm  # noqa: F401

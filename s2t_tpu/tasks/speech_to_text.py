@@ -115,6 +115,9 @@ class SpeechToTextTask(Task):
             if params is None:  # init mode
                 return model.init(rngs["params"], *args, deterministic=True)
             kwargs = {}
+            if getattr(model.cfg, "consumes_transcript", False) and "transcript" in batch:
+                kwargs["transcript"] = batch["transcript"]
+                kwargs["transcript_lengths"] = batch["transcript_lengths"]
             if not deterministic and _model_wants_oracle(model):
                 # thread CTC targets for the PAE ground-truth oracle
                 if "transcript" in batch:
