@@ -42,6 +42,10 @@ class SequenceGenerator:
         lm_model=None,
         lm_params=None,
         lm_weight: float = 0.0,
+        sampling: bool = False,
+        sampling_topk: int = -1,
+        sampling_topp: float = -1.0,
+        sampling_seed: int = 0,
     ):
         self.model = model
         self.beam_size = beam_size
@@ -63,6 +67,10 @@ class SequenceGenerator:
         self.lm_model = lm_model
         self.lm_params = lm_params
         self.lm_weight = lm_weight
+        self.sampling = sampling
+        self.sampling_topk = sampling_topk
+        self.sampling_topp = sampling_topp
+        self.sampling_seed = sampling_seed
         self._jitted = {}
 
     def _max_len_for(self, enc_T: int) -> int:
@@ -117,6 +125,18 @@ class SequenceGenerator:
                     lprobs + self.lm_weight * lm_lprobs,
                     {"dec": new_dec, "lm": new_lm},
                 )
+
+            if self.sampling:
+                from s2t_tpu.inference.sampling import sampling_decode
+
+                tokens, scores = sampling_decode(
+                    decode_step, cache, jax.random.PRNGKey(self.sampling_seed),
+                    batch_size=B, num_samples=K, max_len=max_len,
+                    eos_id=self.eos_id, pad_id=self.pad_id, bos_id=self.eos_id,
+                    temperature=1.0,  # decode_step already applies temperature
+                    topk=self.sampling_topk, topp=self.sampling_topp,
+                )
+                return tokens, scores, enc
 
             ctc_scorer = None
             if self.infer_ctc_weight > 0:

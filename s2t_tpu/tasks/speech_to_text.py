@@ -163,6 +163,9 @@ class SpeechToTextTask(Task):
             pad_id=self.tgt_dict.pad(),
             max_target_positions=self.cfg.dataset.max_target_positions,
             infer_ctc_weight=g.infer_ctc_weight,
+            sampling=g.sampling,
+            sampling_topk=g.sampling_topk,
+            sampling_topp=g.sampling_topp,
         )
 
     def decode_tokens(self, tokens) -> str:
