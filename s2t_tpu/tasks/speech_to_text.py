@@ -98,13 +98,21 @@ class SpeechToTextTask(Task):
         use_audio = self.data_cfg.use_audio_input
         n_mels = self.data_cfg.input_feat_per_channel
 
+        # fused Pallas fbank on TPU; XLA composite elsewhere (CPU tests)
+        use_pallas = jax.default_backend() not in ("cpu",)
+
         def fwd(model, params, batch, deterministic, rngs=None):
             feats = batch["features"]
             lengths = batch["feat_lengths"]
             if use_audio:
                 # on-device fused feature extraction (replaces the reference's
                 # host DataLoader fbank path, audio_utils.py:82)
-                feats, lengths = fbank_jax(feats, lengths, num_mel_bins=n_mels)
+                if use_pallas:
+                    from s2t_tpu.ops.fbank_pallas import fbank_pallas
+
+                    feats, lengths = fbank_pallas(feats, lengths, num_mel_bins=n_mels)
+                else:
+                    feats, lengths = fbank_jax(feats, lengths, num_mel_bins=n_mels)
             tf = eval_transforms if deterministic else train_transforms
             if tf.transforms and params is not None:
                 rng = None
