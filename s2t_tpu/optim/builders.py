@@ -128,6 +128,17 @@ def nag(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
     return optax.sgd(schedule, momentum=0.99, nesterov=True)
 
 
+@register_optimizer("adadelta")
+def adadelta(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
+    return optax.adadelta(schedule)
+
+
+@register_optimizer("adamax")
+def adamax(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
+    return optax.adamax(schedule, b1=cfg.adam_betas[0], b2=cfg.adam_betas[1],
+                        eps=cfg.adam_eps)
+
+
 @register_optimizer("lamb")
 def lamb(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
     return optax.lamb(

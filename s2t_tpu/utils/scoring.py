@@ -124,6 +124,30 @@ class BLEUScorer:
         )
 
 
+@register_scorer("chrf")
+class ChrFScorer:
+    """chrF: character n-gram F-score (reference: fairseq/scoring/chrf.py,
+    via sacrebleu)."""
+
+    def __init__(self, char_order: int = 6, beta: float = 2.0):
+        self.refs: List[str] = []
+        self.hyps: List[str] = []
+
+    def add(self, ref: str, hyp: str):
+        self.refs.append(ref)
+        self.hyps.append(hyp)
+
+    def score(self) -> float:
+        import sacrebleu
+
+        if not self.hyps:
+            return 0.0
+        return sacrebleu.corpus_chrf(self.hyps, [self.refs]).score
+
+    def result_string(self) -> str:
+        return f"chrF2 = {self.score():.2f}"
+
+
 @register_scorer("fast_bleu")
 class FastBLEUScorer:
     """Tokenised corpus BLEU via the native n-gram counter (the libbleu

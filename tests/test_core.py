@@ -127,3 +127,22 @@ class TestMasking:
             [[True, True, False, False, False], [True, True, True, True, False]],
         )
         np.testing.assert_array_equal(np.asarray(mask_to_lengths(m)), [2, 4])
+
+
+class TestExtraScorersOptims:
+    def test_chrf(self):
+        from s2t_tpu.utils.scoring import build_scorer
+
+        s = build_scorer("chrf")
+        s.add("the cat sat", "the cat sat")
+        assert s.score() == 100.0
+
+    def test_extra_optimizers_build(self):
+        import optax
+
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.optim import build_optimizer
+
+        for name in ("adadelta", "adamax", "adafactor", "lamb", "nag"):
+            tx = build_optimizer(OptimizationConfig(optimizer=name, max_update=100))
+            assert isinstance(tx, optax.GradientTransformation)

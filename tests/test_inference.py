@@ -195,3 +195,39 @@ class TestCTCPrefixBeam:
         dec5 = CTCDecoder(beam_size=5)
         toks5, scores5 = dec5.decode(enc)
         assert toks5.shape == (2, 5, 10)
+
+
+class TestSequenceScorer:
+    def test_score_reference(self):
+        from s2t_tpu.inference.scorer import SequenceScorer
+        from s2t_tpu.models.s2t_transformer import (
+            S2TTransformerConfig, S2TTransformerModel,
+        )
+
+        cfg = S2TTransformerConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=1, decoder_attention_heads=2,
+            vocab_size=20, subsampling_filter=64, dropout=0.0,
+            max_target_positions=32,
+        )
+        model = S2TTransformerModel(cfg)
+        B, T = 2, 32
+        feats = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 80)), jnp.float32)
+        lens = jnp.full((B,), T, jnp.int32)
+        target = jnp.asarray([[4, 5, 2, 1], [6, 7, 8, 2]], jnp.int32)
+        prev = jnp.asarray([[2, 4, 5, 1], [2, 6, 7, 8]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, lens, prev)["params"]
+        scorer = SequenceScorer(model)
+        out = scorer.score(params, {
+            "features": feats, "feat_lengths": lens,
+            "prev_tokens": prev, "target": target,
+        })
+        assert out["positional_scores"].shape == (B, 4)
+        assert np.all(np.asarray(out["score"]) < 0)
+        assert int(out["ntokens"][0]) == 3  # pad excluded
+        # score equals the sum of positional scores
+        np.testing.assert_allclose(
+            np.asarray(out["score"]), np.asarray(out["positional_scores"]).sum(-1),
+            rtol=1e-5,
+        )
