@@ -161,8 +161,13 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
             for sid in sorted(results):
                 f.write(results[sid].get("xctc", "") + "\n")
 
-    # RTF: audio seconds / wall seconds (frames are 10 ms)
-    audio_seconds = total_frames * 0.01
+    # RTF: audio seconds / wall seconds. With use_audio_input the collated
+    # lengths are 16 kHz sample counts, not 10 ms frames.
+    data_cfg = getattr(task, "data_cfg", None)
+    if data_cfg is not None and getattr(data_cfg, "use_audio_input", False):
+        audio_seconds = total_frames / float(getattr(data_cfg, "sample_rate", 16000))
+    else:
+        audio_seconds = total_frames * 0.01
     rtf = audio_seconds / gen_time if gen_time > 0 else 0.0
     logger.info(
         "decoded %d utterances in %.1fs (%.2f utt/s, RTF %.1fx) | %s",

@@ -128,7 +128,7 @@ def main(cfg) -> Dict[str, Any]:
     peek_itr = epoch_itr.next_epoch_itr()
     first_batch = to_device_batch(next(iter(peek_itr)))
     state = trainer.init_state(first_batch)
-    epoch_itr._consumed = 0  # the peeked batch is re-consumed
+    epoch_itr.rewind()  # the peeked batch is re-consumed
 
     # pretrained component transplant (SATE/dual init; reference:
     # --load-pretrained-{encoder,decoder}-from, checkpoint_utils.py:676)
@@ -217,7 +217,8 @@ def main(cfg) -> Dict[str, Any]:
                 and int(state.step) % cfg.checkpoint.save_interval_updates == 0
             ):
                 ckpt.save(trainer.state_dict(state), int(state.step),
-                          epoch_itr.epoch, end_of_epoch=False)
+                          epoch_itr.epoch, end_of_epoch=False,
+                          extra_meta={"epoch_itr": epoch_itr.state_dict()})
             if int(state.step) >= max_update:
                 break
 
@@ -227,9 +228,9 @@ def main(cfg) -> Dict[str, Any]:
         progress.log(val, int(state.step), "valid", epoch_itr.epoch)
         history.append(val)
         if not cfg.checkpoint.no_save:
-            meta_extra = {"epoch_itr": epoch_itr.state_dict()}
             ckpt.save(trainer.state_dict(state), int(state.step), epoch_itr.epoch,
-                      val_metric=val_metric)
+                      val_metric=val_metric,
+                      extra_meta={"epoch_itr": epoch_itr.state_dict()})
         # patience-based early stop (reference: fairseq_cli/train.py:206-232)
         better = (
             best_val is None

@@ -143,7 +143,12 @@ class CTCCriterion:
         ):
             # KL(final || inter) per frame, averaged (reference :477-541)
             tau = cfg.ctc_self_distill_temperature
-            teacher = _masked_log_softmax(model_out["ctc_logits"] / tau)
+            # teacher is detached (reference detaches teacher_logit in
+            # fairseq/criterions/ctc.py self-distill branch): gradients must
+            # only flow into the inter-layer students
+            teacher = _masked_log_softmax(
+                jax.lax.stop_gradient(model_out["ctc_logits"]) / tau
+            )
             T = teacher.shape[1]
             mask = (jnp.arange(T)[None, :] < enc_lengths[:, None])[..., None]
             kd = jnp.asarray(0.0, jnp.float32)

@@ -101,9 +101,11 @@ class EpochBatchIterator:
             rng = np.random.default_rng(self.seed + epoch)
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]
-        # shard across processes, dropping the ragged tail uniformly
+        # shard across processes, dropping the ragged tail uniformly so every
+        # shard sees the same batch count and step counters stay in sync
         if self.num_shards > 1:
-            batches = batches[self.shard_id :: self.num_shards]
+            usable = len(batches) - len(batches) % self.num_shards
+            batches = batches[:usable][self.shard_id :: self.num_shards]
         return batches
 
     def __len__(self):
@@ -137,6 +139,12 @@ class EpochBatchIterator:
 
         self._cur = CountingIterator(_Tracking(), start=start, total=len(batches))
         return self._cur
+
+    def rewind(self) -> None:
+        """Reset the consumed-batch counter so the current epoch restarts from
+        its first batch (used after peeking a batch for model init)."""
+        self._consumed = 0
+        self._cur = None
 
     def end_of_epoch(self) -> bool:
         return self._consumed >= len(self._epoch_batches(self.epoch))

@@ -102,10 +102,19 @@ def build_lr_schedule(cfg: OptimizationConfig) -> Callable:
 
 @register_optimizer("adam")
 def adam(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
+    """fairseq's "adam" applies *decoupled* weight decay — the update is
+    ``p -= wd * lr * p`` applied directly to params before the Adam step
+    (reference: fairseq/optim/adam.py:216-221, "Fixed Weight Decay
+    Regularization in Adam") — which is exactly optax.adamw."""
     return optax.adamw(
         schedule, b1=cfg.adam_betas[0], b2=cfg.adam_betas[1],
         eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
     )
+
+
+@register_optimizer("adamw")
+def adamw(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
+    return adam(cfg, schedule)
 
 
 @register_optimizer("adafactor")

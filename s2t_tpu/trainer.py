@@ -76,8 +76,11 @@ class Trainer:
             build_optimizer(opt_cfg, self.schedule), max_consecutive_errors=8
         )
         self.base_rng = jax.random.PRNGKey(seed)
-        self._train_step = None
-        self._valid_step = None
+        # compiled steps cached per batch *structure* (key set + ranks), so a
+        # later batch with different keys or accum setting is never silently
+        # run through shardings built for the first batch
+        self._train_steps: Dict[Any, Callable] = {}
+        self._valid_steps: Dict[Any, Callable] = {}
 
     # --------------------------------------------------------------------- #
     # state
@@ -131,13 +134,16 @@ class Trainer:
     # compiled steps
     # --------------------------------------------------------------------- #
     def _loss_fn(self, params, batch, rng):
+        """Raw (unnormalised) summed loss.  Normalisation by the *global*
+        sample size happens after accumulation, matching the reference's
+        multiply_grads(1/sample_size) over the summed loss (trainer.py:720)
+        — per-microbatch normalisation would weight unequal microbatches
+        incorrectly."""
         out = self.forward_fn(
             self.model, params, batch, deterministic=False, rngs={"dropout": rng}
         )
         loss, sample_size, logs = self.criterion(out, batch)
-        # normalise by global sample size (token average), fp32
-        norm = jnp.maximum(sample_size, 1.0)
-        return loss.astype(jnp.float32) / norm, (sample_size, logs)
+        return loss.astype(jnp.float32), (sample_size, logs)
 
     def _batch_shardings(self, batch, skip_leading_axes: int = 0):
         """Per-leaf sharding: arrays with a batch dim shard over "data",
@@ -180,8 +186,12 @@ class Trainer:
                 (grads, loss, sample_size, logs, _), _ = jax.lax.scan(
                     body, (zeros_g, 0.0, 0.0, zero_logs, 0), batch
                 )
-                grads = jax.tree.map(lambda g: g / accum, grads)
-                loss = loss / accum
+
+            # normalise summed grads/loss by the GLOBAL sample size across all
+            # microbatches (reference: trainer.py:720 multiply_grads)
+            norm = jnp.maximum(jnp.asarray(sample_size, jnp.float32), 1.0)
+            grads = jax.tree.map(lambda g: g / norm, grads)
+            loss = loss / norm
 
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -200,13 +210,19 @@ class Trainer:
 
         return step_fn
 
+    @staticmethod
+    def _batch_key(batch: Dict[str, Any]) -> Any:
+        return tuple(sorted((k, jnp.ndim(v)) for k, v in batch.items()))
+
     def train_step(
         self, state: TrainState, batch: Dict[str, Any]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         accum = self.opt_cfg.update_freq
-        if self._train_step is None:
+        key = (accum, self._batch_key(batch))
+        step = self._train_steps.get(key)
+        if step is None:
             rep = replicated(self.mesh)
-            self._train_step = jax.jit(
+            step = self._train_steps[key] = jax.jit(
                 self._make_train_step(accum),
                 in_shardings=(
                     None,  # state keeps its committed (TP/FSDP) shardings
@@ -217,7 +233,7 @@ class Trainer:
                 donate_argnums=(0,),
             )
         rng = jax.random.fold_in(self.base_rng, int(state.step))
-        return self._train_step(state, batch, rng)
+        return step(state, batch, rng)
 
     def _make_valid_step(self):
         def step_fn(state: TrainState, batch):
@@ -228,11 +244,13 @@ class Trainer:
         return step_fn
 
     def valid_step(self, state: TrainState, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        if self._valid_step is None:
+        key = self._batch_key(batch)
+        step = self._valid_steps.get(key)
+        if step is None:
             rep = replicated(self.mesh)
-            self._valid_step = jax.jit(
+            step = self._valid_steps[key] = jax.jit(
                 self._make_valid_step(),
                 in_shardings=(None, self._batch_shardings(batch)),
                 out_shardings=rep,
             )
-        return self._valid_step(state, batch)
+        return step(state, batch)

@@ -99,7 +99,11 @@ class CheckpointManager:
         epoch: int,
         val_metric: Optional[float] = None,
         end_of_epoch: bool = True,
+        extra_meta: Optional[Dict[str, Any]] = None,
     ) -> None:
+        """``extra_meta`` (e.g. the epoch iterator state for mid-epoch resume,
+        reference: trainer.py state_dict includes epoch_itr) is merged into
+        the json sidecar and comes back through ``load_checkpoint``."""
         tree = _to_host(tree)
         meta = {
             "step": step,
@@ -107,6 +111,8 @@ class CheckpointManager:
             "val_metric": val_metric,
             "best_metric_name": self.best_metric,
         }
+        if extra_meta:
+            meta.update(extra_meta)
         if end_of_epoch:
             self._write(f"checkpoint{epoch}.pt", tree, meta)
         else:

@@ -130,6 +130,8 @@ class ChrFScorer:
     via sacrebleu)."""
 
     def __init__(self, char_order: int = 6, beta: float = 2.0):
+        self.char_order = char_order
+        self.beta = beta
         self.refs: List[str] = []
         self.hyps: List[str] = []
 
@@ -142,10 +144,12 @@ class ChrFScorer:
 
         if not self.hyps:
             return 0.0
-        return sacrebleu.corpus_chrf(self.hyps, [self.refs]).score
+        return sacrebleu.corpus_chrf(
+            self.hyps, [self.refs], char_order=self.char_order, beta=self.beta
+        ).score
 
     def result_string(self) -> str:
-        return f"chrF2 = {self.score():.2f}"
+        return f"chrF{self.beta:g} = {self.score():.2f}"
 
 
 @register_scorer("fast_bleu")

@@ -93,3 +93,41 @@ class TestAverageAndTransplant:
         tgt = tree(0.0)["params"]
         with pytest.raises(KeyError, match="missing"):
             transplant_component(tgt, {"nothing": {}}, "encoder")
+
+
+class TestExtraMeta:
+    def test_extra_meta_roundtrip(self, tmp_path):
+        """Mid-epoch resume state (epoch_itr) rides the json sidecar
+        (the save site in cli/train.py passes extra_meta)."""
+        mgr = CheckpointManager(tmp_path)
+        itr_state = {"epoch": 3, "consumed": 17, "seed": 1}
+        mgr.save(tree(1), step=10, epoch=3, val_metric=0.5,
+                 extra_meta={"epoch_itr": itr_state})
+        _, meta = load_checkpoint(tmp_path / "checkpoint_last.pt")
+        assert meta["epoch_itr"] == itr_state
+        assert meta["step"] == 10  # core fields still present
+
+    def test_epoch_itr_resume_via_manager(self, tmp_path):
+        from s2t_tpu.data.iterators import EpochBatchIterator
+
+        batches = [np.asarray([i]) for i in range(10)]
+        itr = EpochBatchIterator(
+            dataset=list(range(10)), batches_fn=lambda e: batches,
+            collate_fn=lambda xs: xs, shuffle_batches=False,
+        )
+        it = itr.next_epoch_itr()
+        for _ in range(4):
+            next(it)
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(tree(1), step=4, epoch=itr.epoch,
+                 extra_meta={"epoch_itr": itr.state_dict()})
+        _, meta = load_checkpoint(tmp_path / "checkpoint_last.pt")
+
+        fresh = EpochBatchIterator(
+            dataset=list(range(10)), batches_fn=lambda e: batches,
+            collate_fn=lambda xs: xs, shuffle_batches=False,
+        )
+        fresh.load_state_dict(meta["epoch_itr"])
+        remaining = list(fresh.next_epoch_itr())
+        assert len(remaining) == 6
+        assert remaining[0][0] == 4  # resumes exactly where it left off
