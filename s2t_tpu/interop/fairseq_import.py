@@ -1,0 +1,308 @@
+"""Reference (fairseq) checkpoint importer.
+
+Converts a fairseq ``checkpoint*.pt`` (reference layout:
+fairseq/checkpoint_utils.py:244-339 — a torch pickle with "model" state dict
+and "args"/"cfg" metadata) into this framework's flax parameter pytree, so
+reference-trained s2t_transformer weights decode here at BLEU/WER parity.
+
+torch is used only to *read* the pickle; all tensors leave as numpy.
+
+Key-mapping summary (reference module names → flax tree paths):
+
+  encoder.subsample.layers.{i}.0.*        → encoder/subsample/conv{i}
+  encoder.layers.{i}.self_attn.*          → encoder/layer{i}/self_attn/*
+  encoder.layers.{i}.self_attn_layer_norm → encoder/layer{i}/attn_norm
+  encoder.layers.{i}.ffn.w_1 / w_2        → encoder/layer{i}/ffn/fc1 / fc2
+  encoder.layers.{i}.ffn_norm             → encoder/layer{i}/ffn_norm
+  encoder.layer_norm                      → encoder/final_norm
+  encoder.ctc.ctc_projection              → encoder/ctc_head/proj
+  encoder.ctc_norm{l}                     → encoder/inter_ctc_norm{l}
+  decoder.embed_tokens                    → decoder/embed_tokens
+  decoder.layers.{i}.self_attn(_layer_norm)   → decoder/layer{i}/self_attn(_norm)
+  decoder.layers.{i}.encoder_attn(_layer_norm)→ decoder/layer{i}/cross_attn(_norm)
+  decoder.layers.{i}.fc1/fc2/final_layer_norm → decoder/layer{i}/ffn/fc1,fc2,ffn_norm
+  decoder.layer_norm                      → decoder/final_norm
+  decoder.output_projection               → decoder/output_proj
+
+Weight layout transforms: torch Linear (out,in) → flax Dense kernel (in,out);
+torch Conv1d (out,in,k) → flax Conv kernel (k,in,out); LayerNorm weight→scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def load_fairseq_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Any]:
+    """Load a reference .pt checkpoint → (flat state dict of numpy, args).
+
+    ``args`` is whatever metadata unpickles (argparse Namespace for recipe
+    checkpoints; may be None when only "cfg" exists and omegaconf is absent).
+    """
+    import torch
+
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:  # cfg pickled with omegaconf internals
+        raise RuntimeError(
+            f"checkpoint metadata needs module {e.name!r}; re-save the "
+            "checkpoint with plain args or pass an explicit config"
+        ) from e
+    model = state["model"] if "model" in state else state
+    flat = {k: v.detach().cpu().numpy() for k, v in model.items()}
+    args = state.get("args")
+    if args is None and "cfg" in state and state["cfg"] is not None:
+        cfg = state["cfg"]
+        args = cfg.get("model") if hasattr(cfg, "get") else getattr(cfg, "model", None)
+    return flat, args
+
+
+def _get(args, name, default):
+    if args is None:
+        return default
+    if isinstance(args, dict):
+        return args.get(name, default)
+    v = getattr(args, name, default)
+    return default if v is None else v
+
+
+def infer_config_from_args(
+    args: Any, state: Dict[str, np.ndarray], **overrides
+):
+    """Build an S2TTransformerConfig from checkpoint args + tensor shapes."""
+    from s2t_tpu.models.s2t_transformer import S2TTransformerConfig
+
+    vocab, dec_dim = state["decoder.embed_tokens.weight"].shape
+    attn_map = {
+        "selfattn": "abs", "abs": "abs", "rel_pos": "rel_pos", "rope": "rope",
+    }
+    enc_layers = 1 + max(
+        int(m.group(1))
+        for k in state
+        if (m := re.match(r"encoder\.layers\.(\d+)\.", k))
+    )
+    dec_layers = 1 + max(
+        int(m.group(1))
+        for k in state
+        if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+    )
+    sub_keys = sorted(
+        k for k in state if re.match(r"encoder\.subsample\.layers\.\d+\.0\.weight", k)
+    )
+    sub_layers = len(sub_keys)
+    first_w = state[sub_keys[0]]  # (out, in, k)
+    in_dim = first_w.shape[1]
+    kernel = first_w.shape[2]
+    act = _get(args, "subsampling_activation", "none")
+    filters = first_w.shape[0] // (2 if (act == "glu" and sub_layers == 1) else 1)
+    src_vocab = -1
+    if "encoder.ctc.ctc_projection.weight" in state:
+        src_vocab = state["encoder.ctc.ctc_projection.weight"].shape[0]
+    inter_raw = _get(args, "inter_ctc_layers", None)
+    inter_ctc = ()
+    if inter_raw:
+        inter_ctc = tuple(
+            int(x) if int(x) > 0 else int(x) + enc_layers
+            for x in str(inter_raw).split(",")
+        )
+    ffn_dim = state[f"encoder.layers.0.ffn.w_1.weight"].shape[0]
+    dec_ffn = state[f"decoder.layers.0.fc1.weight"].shape[0]
+    heads = int(_get(args, "encoder_attention_heads", 4))
+    cfg = S2TTransformerConfig(
+        input_feat_per_channel=in_dim,
+        subsampling_type=_get(args, "subsampling_type", "conv1d"),
+        subsampling_layers=sub_layers,
+        subsampling_filter=filters,
+        subsampling_kernel=kernel,
+        subsampling_stride=int(_get(args, "subsampling_stride", 2)),
+        subsampling_norm=_get(args, "subsampling_norm", "none"),
+        subsampling_activation=act,
+        subsampling_ref_pad_semantics=True,  # torch conv tail semantics
+        encoder_embed_dim=state["encoder.layers.0.ffn.w_1.weight"].shape[1],
+        encoder_ffn_embed_dim=ffn_dim,
+        encoder_layers=enc_layers,
+        encoder_attention_heads=heads,
+        encoder_attention_type=attn_map.get(
+            _get(args, "encoder_attention_type", "selfattn"), "abs"
+        ),
+        encoder_normalize_before="encoder.layer_norm.weight" in state,
+        encoder_no_scale_embedding=bool(_get(args, "encoder_no_scale_embedding", False)),
+        encoder_embed_linear="encoder.linear.weight" in state,
+        encoder_embed_norm="encoder.embed_ln.weight" in state,
+        macaron_style="encoder.layers.0.macaron_norm.weight" in state
+        or "encoder.layers.0.macaron_fc1.weight" in state,
+        use_cnn_module=any("conv_module" in k for k in state),
+        decoder_embed_dim=dec_dim,
+        decoder_ffn_embed_dim=dec_ffn,
+        decoder_layers=dec_layers,
+        decoder_attention_heads=int(_get(args, "decoder_attention_heads", heads)),
+        decoder_normalize_before="decoder.layer_norm.weight" in state,
+        share_decoder_input_output_embed=(
+            "decoder.output_projection.weight" not in state
+            or np.shares_memory(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+            or np.array_equal(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+        ),
+        dropout=float(_get(args, "dropout", 0.1)),
+        activation_fn=_get(args, "activation_fn", "relu"),
+        use_ctc="encoder.ctc.ctc_projection.weight" in state,
+        inter_ctc_layers=inter_ctc,
+        share_inter_ctc=bool(_get(args, "share_inter_ctc", False)),
+        share_inter_ctc_norm=bool(_get(args, "share_inter_ctc_norm", False)),
+        ctc_pae=_get(args, "ctc_pae", "none"),
+        vocab_size=vocab,
+        src_vocab_size=src_vocab,
+        max_source_positions=int(_get(args, "max_source_positions", 6000)),
+        max_target_positions=int(_get(args, "max_target_positions", 1024)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _dense(state, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(state[prefix + ".weight"].T)}
+    if prefix + ".bias" in state:
+        out["bias"] = state[prefix + ".bias"]
+    return out
+
+
+def _norm(state, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": state[prefix + ".weight"], "bias": state[prefix + ".bias"]}
+
+
+def _conv1d(state, prefix) -> Dict[str, np.ndarray]:
+    # torch (out, in, k) → flax (k, in, out)
+    return {
+        "kernel": np.ascontiguousarray(state[prefix + ".weight"].transpose(2, 1, 0)),
+        "bias": state[prefix + ".bias"],
+    }
+
+
+def _attn(state, prefix) -> Dict[str, Any]:
+    return {
+        "q_proj": _dense(state, prefix + ".q_proj"),
+        "k_proj": _dense(state, prefix + ".k_proj"),
+        "v_proj": _dense(state, prefix + ".v_proj"),
+        "out_proj": _dense(state, prefix + ".out_proj"),
+    }
+
+
+def convert_s2t_transformer(
+    state: Dict[str, np.ndarray], cfg
+) -> Dict[str, Any]:
+    """Map a reference s2t_transformer state dict to this framework's pytree."""
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    enc: Dict[str, Any] = params["encoder"]
+    dec: Dict[str, Any] = params["decoder"]
+
+    # --- encoder ----------------------------------------------------------- #
+    sub = {}
+    for i in range(cfg.subsampling_layers):
+        sub[f"conv{i}"] = _conv1d(state, f"encoder.subsample.layers.{i}.0")
+        if cfg.subsampling_norm == "layer":
+            sub[f"norm{i}"] = _norm(state, f"encoder.subsample.layers.{i}.1")
+    enc["subsample"] = sub
+    if cfg.encoder_embed_linear:
+        enc["embed_linear"] = _dense(state, "encoder.linear")
+    if cfg.encoder_embed_norm:
+        enc["embed_norm"] = _norm(state, "encoder.embed_ln")
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        layer = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".ffn.w_1"),
+                "fc2": _dense(state, p + ".ffn.w_2"),
+            },
+            "ffn_norm": _norm(state, p + ".ffn_norm"),
+        }
+        if cfg.macaron_style:
+            layer["macaron_norm"] = _norm(state, p + ".macaron_norm")
+            layer["macaron_ffn"] = {
+                "fc1": _dense(state, p + ".macaron_ffn.w_1"),
+                "fc2": _dense(state, p + ".macaron_ffn.w_2"),
+            }
+        if cfg.use_cnn_module:
+            layer["conv_norm"] = _norm(state, p + ".norm_conv")
+            layer["final_norm"] = _norm(state, p + ".norm_final")
+            cm = p + ".conv_module"
+            layer["conv_module"] = {
+                "pointwise_conv1": _conv1d_as_dense(state, cm + ".pointwise_conv1"),
+                "depthwise_conv": _depthwise(state, cm + ".depthwise_conv"),
+                "norm": _norm(state, cm + ".norm"),
+                "pointwise_conv2": _conv1d_as_dense(state, cm + ".pointwise_conv2"),
+            }
+        if cfg.encoder_attention_type == "rel_pos":
+            layer["self_attn"]["pos_proj"] = {
+                "kernel": np.ascontiguousarray(
+                    state[p + ".self_attn.linear_pos.weight"].T
+                )
+            }
+            layer["self_attn"]["pos_bias_u"] = state[p + ".self_attn.pos_bias_u"]
+            layer["self_attn"]["pos_bias_v"] = state[p + ".self_attn.pos_bias_v"]
+        enc[f"layer{i}"] = layer
+    if cfg.encoder_normalize_before:
+        enc["final_norm"] = _norm(state, "encoder.layer_norm")
+    if cfg.use_ctc:
+        enc["ctc_head"] = {"proj": _dense(state, "encoder.ctc.ctc_projection")}
+        for l in cfg.inter_ctc_layers:
+            if not cfg.share_inter_ctc_norm and f"encoder.ctc_norm{l}.weight" in state:
+                enc[f"inter_ctc_norm{l}"] = _norm(state, f"encoder.ctc_norm{l}")
+
+    # --- decoder ----------------------------------------------------------- #
+    dec["embed_tokens"] = {"embedding": state["decoder.embed_tokens.weight"]}
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "self_attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "cross_attn": _attn(state, p + ".encoder_attn"),
+            "cross_attn_norm": _norm(state, p + ".encoder_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if cfg.decoder_normalize_before:
+        dec["final_norm"] = _norm(state, "decoder.layer_norm")
+    if not cfg.share_decoder_input_output_embed:
+        dec["output_proj"] = {
+            "kernel": np.ascontiguousarray(
+                state["decoder.output_projection.weight"].T
+            )
+        }
+    return params
+
+
+def _conv1d_as_dense(state, prefix) -> Dict[str, np.ndarray]:
+    # torch pointwise Conv1d (out, in, 1) used where we use Dense
+    w = state[prefix + ".weight"]
+    return {
+        "kernel": np.ascontiguousarray(w[:, :, 0].T),
+        "bias": state[prefix + ".bias"],
+    }
+
+
+def _depthwise(state, prefix) -> Dict[str, np.ndarray]:
+    # torch depthwise Conv1d (ch, 1, k) → flax grouped Conv kernel (k, 1, ch)
+    w = state[prefix + ".weight"]
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+        "bias": state[prefix + ".bias"],
+    }
+
+
+def import_fairseq_s2t(path: str, **overrides):
+    """One-call import: path → (params pytree, S2TTransformerConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_config_from_args(args, state, **overrides)
+    return convert_s2t_transformer(state, cfg), cfg

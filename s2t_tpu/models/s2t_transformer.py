@@ -24,7 +24,7 @@ from s2t_tpu.modules.adapter import Adapter
 from s2t_tpu.modules.attention import padding_bias
 from s2t_tpu.modules.ctc_head import CTCHead
 from s2t_tpu.modules.layers import S2TEncoderLayer
-from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
+from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding, relative_encoding
 from s2t_tpu.modules.subsampling import Conv1dSubsampling, Conv2dSubsampling
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
@@ -44,6 +44,9 @@ class S2TTransformerConfig:
     subsampling_stride: int = 2
     subsampling_norm: str = "none"
     subsampling_activation: str = "glu"
+    # reference-exact conv padding semantics (see Conv1dSubsampling); set by
+    # the fairseq checkpoint importer, off by default
+    subsampling_ref_pad_semantics: bool = False
     # encoder
     encoder_embed_dim: int = 256
     encoder_ffn_embed_dim: int = 2048
@@ -79,6 +82,10 @@ class S2TTransformerConfig:
     share_ctc_and_embed: bool = False
     inter_ctc_layers: Tuple[int, ...] = ()  # 1-indexed encoder layers
     share_inter_ctc: bool = True  # share CTC head across inter layers
+    # True: inter-CTC reuses the encoder's final layer norm; False: one norm
+    # per inter layer (reference default, s2t_transformer.py:2354,1894)
+    share_inter_ctc_norm: bool = False
+    share_inter_xctc_norm: bool = False
     ctc_pae: str = "none"  # none|linear|context|league|inter_league|gated_league
     pae_ctc_temperature: float = 1.0
     share_pae_and_ctc: bool = False
@@ -142,7 +149,8 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.subsampling_layers, cfg.subsampling_filter,
                 cfg.encoder_embed_dim, cfg.subsampling_kernel,
                 cfg.subsampling_stride, cfg.subsampling_norm,
-                cfg.subsampling_activation, dt, name="subsample",
+                cfg.subsampling_activation,
+                not cfg.subsampling_ref_pad_semantics, dt, name="subsample",
             )
         else:
             self.subsample = Conv2dSubsampling(
@@ -186,13 +194,21 @@ class S2TTransformerEncoder(nn.Module):
                     cfg.encoder_embed_dim, cfg.ctc_vocab_size, cfg.ctc_pae,
                     cfg.pae_ctc_temperature, dtype=dt, name="pae",
                 )
-            if cfg.inter_ctc_layers:
-                # per-layer norm applied before inter-CTC projection
-                self.inter_ctc_norm = nn.LayerNorm(dtype=dt, name="inter_ctc_norm")
+            if cfg.inter_ctc_layers and not cfg.share_inter_ctc_norm:
+                # one norm per inter-CTC layer (reference: ctc_norm%d,
+                # s2t_transformer.py:1009); with share_inter_ctc_norm the
+                # final encoder norm is reused instead (:1894)
+                self.inter_ctc_norms = {
+                    str(l): nn.LayerNorm(dtype=dt, name=f"inter_ctc_norm{l}")
+                    for l in cfg.inter_ctc_layers
+                }
         if cfg.use_xctc:
             self.xctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt, name="xctc_head")
-            if cfg.inter_xctc_layers:
-                self.inter_xctc_norm = nn.LayerNorm(dtype=dt, name="inter_xctc_norm")
+            if cfg.inter_xctc_layers and not cfg.share_inter_xctc_norm:
+                self.inter_xctc_norms = {
+                    str(l): nn.LayerNorm(dtype=dt, name=f"inter_xctc_norm{l}")
+                    for l in cfg.inter_xctc_layers
+                }
             if cfg.xctc_pae != "none":
                 self.xpae = Adapter(
                     cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
@@ -252,8 +268,8 @@ class S2TTransformerEncoder(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.cfg
         x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
-        if cfg.encoder_embed_linear:
-            x = self.embed_linear(x)
+        # reference order (s2t_transformer.py:1767-1795): embed_norm → scale →
+        # positions → embed_linear → dropout
         if cfg.encoder_embed_norm:
             x = self.embed_norm(x)
         if not cfg.encoder_no_scale_embedding:
@@ -261,10 +277,13 @@ class S2TTransformerEncoder(nn.Module):
         T = x.shape[1]
         pos_emb = None
         if cfg.encoder_attention_type == "abs":
-            pe = sinusoidal_encoding(T, cfg.encoder_embed_dim, x.dtype)
+            # fairseq table: valid frame i gets absolute position pad+1+i
+            pe = fairseq_sinusoidal_encoding(T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype)
             x = x + pe[None]
         elif cfg.encoder_attention_type == "rel_pos":
             pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
+        if cfg.encoder_embed_linear:
+            x = self.embed_linear(x)
         x = self.drop(x, deterministic=deterministic)
 
         mixup = None
@@ -297,7 +316,10 @@ class S2TTransformerEncoder(nn.Module):
                 and layer_idx in cfg.inter_ctc_layers
                 and layer_idx != cfg.encoder_layers
             ):
-                h = self.inter_ctc_norm(x)
+                if cfg.share_inter_ctc_norm:
+                    h = self.final_norm(x)
+                else:
+                    h = self.inter_ctc_norms[str(layer_idx)](x)
                 if cfg.share_inter_ctc:
                     logits = self.ctc_head(h, deterministic)
                 else:
@@ -322,7 +344,10 @@ class S2TTransformerEncoder(nn.Module):
             ):
                 # inter-XCTC with PAE re-injection (BiL-CTC,
                 # reference: s2t_transformer.py:1100-1244)
-                h = self.inter_xctc_norm(x)
+                if cfg.share_inter_xctc_norm:
+                    h = self.final_norm(x)
+                else:
+                    h = self.inter_xctc_norms[str(layer_idx)](x)
                 xlogits = self.xctc_head(h, deterministic)
                 inter_xctc_logits.append((layer_idx, xlogits))
                 if cfg.xctc_pae != "none":

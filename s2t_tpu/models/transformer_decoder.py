@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from s2t_tpu.modules.attention import causal_bias, padding_bias
 from s2t_tpu.modules.layers import TransformerDecoderLayer
-from s2t_tpu.modules.positional import sinusoidal_encoding
+from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
 
 
 class TransformerDecoder(nn.Module):
@@ -82,7 +82,8 @@ class TransformerDecoder(nn.Module):
             pos = pos_offset + jnp.arange(T)
             x = x + self.embed_positions(pos)[None]
         else:
-            pe = sinusoidal_encoding(self.max_positions, self.embed_dim, x.dtype)
+            pe = fairseq_sinusoidal_encoding(self.max_positions, self.embed_dim,
+                                             self.pad_id, x.dtype)
             x = x + jax.lax.dynamic_slice_in_dim(pe, pos_offset, T, axis=0)[None]
         return x
 

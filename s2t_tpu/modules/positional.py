@@ -23,6 +23,26 @@ def sinusoidal_encoding(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarra
     return jnp.asarray(pe, dtype=dtype)
 
 
+def fairseq_sinusoidal_encoding(
+    max_len: int, dim: int, padding_idx: int = 1, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(max_len, dim) table matching fairseq's SinusoidalPositionalEmbedding
+    (reference: fairseq/modules/sinusoidal_positional_embedding.py
+    get_embedding): concatenated [sin | cos] halves with frequency base
+    exp(-log(1e4)/(half-1)), and *positions offset by padding_idx+1* — row i
+    here is the embedding of the i-th valid (non-pad) token/frame, i.e.
+    absolute position padding_idx+1+i, exactly what make_positions assigns.
+    Matching this bit-for-bit is required for reference-checkpoint parity."""
+    half = dim // 2
+    freq = np.exp(np.arange(half, dtype=np.float64) * -(np.log(10000.0) / (half - 1)))
+    pos = np.arange(padding_idx + 1, max_len + padding_idx + 1, dtype=np.float64)
+    ang = pos[:, None] * freq[None, :]
+    pe = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    if dim % 2 == 1:
+        pe = np.pad(pe, ((0, 0), (0, 1)))
+    return jnp.asarray(pe, dtype=dtype)
+
+
 def relative_encoding(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """(2*max_len-1, dim) table for relative positions [max_len-1 .. -(max_len-1)]
     (ESPnet RelPositionalEncoding layout: positive first, descending)."""

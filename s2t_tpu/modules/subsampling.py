@@ -47,6 +47,13 @@ class Conv1dSubsampling(nn.Module):
     stride: int = 2
     norm: str = "none"  # none | layer
     activation: str = "glu"
+    # True (default): re-zero the padded tail before every conv, making valid
+    # outputs independent of bucket padding — the TPU-clean semantics.
+    # False: reference-exact semantics — torch convolves the zero-padded batch
+    # with no re-masking (reference subsampling.py:146-160), so valid frames at
+    # the length boundary read bias-propagated tail values; checkpoint-parity
+    # imports need this mode (set by interop/fairseq_import.py).
+    mask_between_layers: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,9 +61,12 @@ class Conv1dSubsampling(nn.Module):
         self, x: jnp.ndarray, lengths: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: (B, T, D_in); lengths: (B,)
+        mask = lengths_to_mask(lengths, x.shape[1])[..., None]
+        x = jnp.where(mask, x, 0.0)
         for i in range(self.num_layers):
-            mask = lengths_to_mask(lengths, x.shape[1])[..., None]
-            x = jnp.where(mask, x, 0.0)
+            if self.mask_between_layers and i > 0:
+                mask = lengths_to_mask(lengths, x.shape[1])[..., None]
+                x = jnp.where(mask, x, 0.0)
             ch = self.out_dim if i == self.num_layers - 1 else self.filters
             glu = self.activation == "glu"
             feat = ch * 2 if glu else ch

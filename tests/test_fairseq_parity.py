@@ -1,0 +1,128 @@
+"""Checkpoint-import parity against the ACTUAL reference implementation.
+
+Builds the reference torch s2t_transformer in-process (via tools/refshim),
+saves a real fairseq-layout checkpoint, imports it with
+s2t_tpu.interop.fairseq_import, and asserts encoder outputs and decoder
+logits match torch to float32 tolerance.  This is the falsifiable version of
+BASELINE.md's "matching BLEU & WER on reference checkpoints" north star.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools/refshim")
+
+try:
+    from build_reference import build_s2t_model, save_fairseq_checkpoint
+
+    _torch_ok = True
+    _skip_reason = ""
+except Exception as e:  # pragma: no cover - environment without reference
+    _torch_ok = False
+    _skip_reason = f"reference unavailable: {e}"
+
+pytestmark = pytest.mark.skipif(not _torch_ok, reason=_skip_reason)
+
+
+def _rand_batch(B=3, T=50, D=80, U=7, vocab=8, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(B, T, D)).astype(np.float32)
+    lens = np.array([T, T - 7, T - 16], np.int32)[:B]
+    for b in range(B):  # zero the padded tail like the collater does
+        feats[b, lens[b]:] = 0.0
+    prev = rng.integers(4, vocab, size=(B, U)).astype(np.int64)
+    prev[:, 0] = 2  # EOS-shifted prev_output_tokens start
+    return feats, lens, prev
+
+
+def _torch_forward(model, feats, lens, prev):
+    import torch
+
+    with torch.no_grad():
+        enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+        x = enc["encoder_out"][0].transpose(0, 1).numpy()  # T,B,D -> B,T,D
+        enc_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+        dec_out = model.decoder(
+            prev_output_tokens=torch.tensor(prev), encoder_out=enc
+        )
+        logits = dec_out[0].numpy()
+        ctc = None
+        if len(enc["ctc_logit"]) > 0:
+            ctc = enc["ctc_logit"][0].transpose(0, 1).numpy()
+    return x, enc_lens, logits, ctc
+
+
+def _jax_forward(params, cfg, feats, lens, prev):
+    import jax
+
+    from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+    model = S2TTransformerModel(cfg)
+    out = model.apply(
+        {"params": params}, feats, lens, prev.astype(np.int32),
+        deterministic=True,
+    )
+    return (
+        np.asarray(out["encoder_out"], np.float32),
+        np.asarray(out["encoder_lengths"]),
+        np.asarray(out["decoder_logits"], np.float32),
+        None if out["ctc_logits"] is None else np.asarray(out["ctc_logits"], np.float32),
+    )
+
+
+def _assert_close(ref, mine, lens, name, atol=2e-4):
+    """Compare per-sequence valid prefixes."""
+    for b in range(ref.shape[0] if ref.ndim == 3 else 1):
+        L = int(lens[b])
+        np.testing.assert_allclose(
+            mine[b, :L], ref[b, :L], atol=atol, rtol=1e-4,
+            err_msg=f"{name} mismatch at b={b}",
+        )
+
+
+class TestS2TTransformerParity:
+    def _roundtrip(self, tmp_path, arch="s2t_transformer_s", **overrides):
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t
+
+        model, args, d = build_s2t_model(arch=arch, **overrides)
+        ckpt = tmp_path / "ref.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t(str(ckpt))
+
+        feats, lens, prev = _rand_batch(vocab=len(d))
+        r_enc, r_lens, r_logits, r_ctc = _torch_forward(model, feats, lens, prev)
+        j_enc, j_lens, j_logits, j_ctc = _jax_forward(params, cfg, feats, lens, prev)
+
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_enc, j_enc, j_lens, "encoder_out")
+        # decoder logits over all positions (no target padding here)
+        np.testing.assert_allclose(j_logits, r_logits, atol=3e-4, rtol=1e-4)
+        if r_ctc is not None:
+            _assert_close(r_ctc, j_ctc, j_lens, "ctc_logits")
+        return cfg
+
+    def test_s2t_transformer_s(self, tmp_path):
+        """Tiny-layer variant of the flagship arch (fast on CPU)."""
+        cfg = self._roundtrip(
+            tmp_path, encoder_layers=3, decoder_layers=2,
+            encoder_ffn_embed_dim=512, decoder_ffn_embed_dim=512,
+        )
+        assert cfg.encoder_embed_dim == 256
+        assert not cfg.share_decoder_input_output_embed
+
+    def test_with_ctc_head(self, tmp_path):
+        self._roundtrip(
+            tmp_path, encoder_layers=2, decoder_layers=1,
+            encoder_ffn_embed_dim=256, decoder_ffn_embed_dim=256,
+            ctc_weight=0.3,
+        )
+
+    def test_shared_decoder_embed(self, tmp_path):
+        cfg = self._roundtrip(
+            tmp_path, encoder_layers=2, decoder_layers=1,
+            encoder_ffn_embed_dim=256, decoder_ffn_embed_dim=256,
+            share_decoder_input_output_embed=True,
+        )
+        assert cfg.share_decoder_input_output_embed

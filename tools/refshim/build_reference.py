@@ -1,0 +1,76 @@
+"""Build reference (fairseq) models in-process for parity testing.
+
+Requires sys.path to include tools/refshim (this dir) BEFORE /root/reference,
+and `import refcompat` before any fairseq import (py3.12 dataclass compat).
+Only used by tests; never imported by the framework itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+REFSHIM = __file__.rsplit("/", 1)[0]
+REFERENCE = "/root/reference"
+
+
+def setup_paths():
+    if REFSHIM not in sys.path:
+        sys.path.insert(0, REFSHIM)
+    if REFERENCE not in sys.path:
+        sys.path.insert(1, REFERENCE)
+    import refcompat  # noqa: F401
+
+
+def make_dictionary(symbols=("aa", "bb", "cc", "dd")):
+    setup_paths()
+    from fairseq.data import Dictionary
+
+    d = Dictionary()
+    for s in symbols:
+        d.add_symbol(s)
+    return d
+
+
+def build_s2t_model(arch="s2t_transformer_s", dictionary=None, **arg_overrides):
+    """Construct a reference S2TTransformerModel with given arch preset.
+
+    Returns (model.eval(), args, dictionary).
+    """
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import s2t_transformer as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.S2TTransformerModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 6000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch)
+    arch_fn(args)
+    # arch presets only set absent attrs; force explicit overrides to win
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.S2TTransformerModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
+def save_fairseq_checkpoint(model, args, path):
+    """Write a reference-layout checkpoint (fairseq/checkpoint_utils.py:244)."""
+    import torch
+
+    torch.save({"model": model.state_dict(), "args": args}, path)
