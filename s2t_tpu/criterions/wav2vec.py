@@ -1,0 +1,70 @@
+"""wav2vec 2.0 criterion: InfoNCE + codebook diversity + feature penalty.
+
+(reference: fairseq/criterions/wav2vec_criterion.py:37-139 — cross entropy
+over the (1+N, B, M) contrastive logits with target index 0, plus
+loss_weights = [prob_perplexity_weight, features_pen_weight]; the recipe
+default is [0.1, 10].)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.registry import register_criterion
+
+
+@register_criterion("wav2vec")
+class Wav2VecCriterion:
+    @dataclass
+    class Config:
+        infonce: bool = True
+        prob_ppl_weight: float = 0.1
+        features_pen_weight: float = 10.0
+
+    def __init__(self, cfg: "Wav2VecCriterion.Config"):
+        self.cfg = cfg
+
+    def __call__(
+        self, model_out: Dict[str, Any], batch: Dict[str, Any]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        logits = model_out["logits"].astype(jnp.float32)  # (1+N, B, M)
+        K, B, M = logits.shape
+        valid = model_out.get("mask_valid")
+        if valid is None:
+            valid = jnp.ones((B, M), bool)
+
+        # InfoNCE: true target is index 0 along the candidates axis
+        lp = jax.nn.log_softmax(logits, axis=0)
+        nll = -lp[0]  # (B, M)
+        nll = jnp.where(valid, nll, 0.0)
+        sample_size = jnp.sum(valid).astype(jnp.float32)
+        loss = jnp.sum(nll)
+
+        logs = {"contrastive_loss": loss, "nll_loss": loss}
+        if "prob_perplexity" in model_out and self.cfg.prob_ppl_weight > 0:
+            num_vars = model_out["num_vars"]
+            div = (num_vars - model_out["prob_perplexity"]) / num_vars
+            ppl_loss = self.cfg.prob_ppl_weight * div * sample_size
+            loss = loss + ppl_loss
+            logs["prob_perplexity"] = model_out["prob_perplexity"]
+            logs["diversity_loss"] = ppl_loss
+        if "features_pen" in model_out and self.cfg.features_pen_weight > 0:
+            pen = self.cfg.features_pen_weight * model_out["features_pen"] * sample_size
+            loss = loss + pen
+            logs["features_pen"] = model_out["features_pen"]
+
+        # training accuracy of the contrastive task (reference logs correct/count)
+        pred = jnp.argmax(logits, axis=0)
+        correct = jnp.sum(jnp.where(valid, (pred == 0).astype(jnp.float32), 0.0))
+        logs.update({
+            "loss": loss,
+            "ntokens": sample_size,
+            "nsentences": jnp.asarray(float(B), jnp.float32),
+            "n_correct": correct,
+            "total": sample_size,
+        })
+        return loss, sample_size, logs

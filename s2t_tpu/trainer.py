@@ -159,20 +159,25 @@ class Trainer:
         return jax.tree.map(leaf, batch)
 
     def _make_train_step(self, accum: int):
-        def one_micro(params, batch, rng):
+        def one_micro(params, batch, rng, step):
+            # expose the update counter to forward adapters that need an
+            # in-graph schedule (e.g. wav2vec2 gumbel temperature annealing)
+            batch = {**batch, "_step": step}
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (sample_size, logs)), grads = grad_fn(params, batch, rng)
             return grads, loss, sample_size, logs
 
         def step_fn(state: TrainState, batch, rng):
             if accum == 1:
-                grads, loss, sample_size, logs = one_micro(state.params, batch, rng)
+                grads, loss, sample_size, logs = one_micro(
+                    state.params, batch, rng, state.step
+                )
             else:
                 # batch has leading axis (accum, ...); scan to bound memory
                 def body(carry, micro):
                     g_acc, l_acc, s_acc, logs_acc, i = carry
                     sub = jax.random.fold_in(rng, i)
-                    g, l, s, logs = one_micro(state.params, micro, sub)
+                    g, l, s, logs = one_micro(state.params, micro, sub, state.step)
                     g_acc = jax.tree.map(jnp.add, g_acc, g)
                     logs_acc = jax.tree.map(jnp.add, logs_acc, logs)
                     return (g_acc, l_acc + l, s_acc + s, logs_acc, i + 1), None
@@ -180,7 +185,8 @@ class Trainer:
                 zeros_g = jax.tree.map(jnp.zeros_like, state.params)
                 first = jax.tree.map(lambda x: x[0], batch)
                 _, _, _, zero_logs = jax.eval_shape(
-                    lambda p, b, r: one_micro(p, b, r), state.params, first, rng
+                    lambda p, b, r: one_micro(p, b, r, jnp.zeros((), jnp.int32)),
+                    state.params, first, rng,
                 )
                 zero_logs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zero_logs)
                 (grads, loss, sample_size, logs, _), _ = jax.lax.scan(
@@ -237,6 +243,7 @@ class Trainer:
 
     def _make_valid_step(self):
         def step_fn(state: TrainState, batch):
+            batch = {**batch, "_step": state.step}
             out = self.forward_fn(self.model, state.params, batch, deterministic=True)
             loss, sample_size, logs = self.criterion(out, batch)
             return {"loss": loss, "sample_size": sample_size, **logs}

@@ -205,6 +205,7 @@ def transplant_component(
     target_params: Dict[str, Any],
     source_params: Dict[str, Any],
     component: str,
+    strict: bool = True,
 ) -> Dict[str, Any]:
     """Copy ``component`` subtree (e.g. "encoder", "decoder", "encoder/acoustic")
     from a source param tree into a copy of ``target_params``.
@@ -213,6 +214,12 @@ def transplant_component(
     --load-pretrained-{encoder,decoder}-from (reference:
     checkpoint_utils.load_pretrained_component_from_model:676-756).
     Raises KeyError if shapes mismatch or the path is missing.
+
+    ``strict=False`` tolerates *extra* keys in the source (the reference's
+    remove_pretraining_modules flow: a wav2vec2 pretraining checkpoint carries
+    quantizer/final_proj subtrees the fine-tuning model lacks) — only keys
+    present in the target are copied, and every target key must exist in the
+    source with a matching shape.
     """
     import copy
 
@@ -234,8 +241,11 @@ def transplant_component(
     tgt = dst_parent[parts[-1]]
 
     def check(a, b, path=""):
+        # a = target subtree, b = source subtree
         if isinstance(a, dict):
-            if set(a) != set(b):
+            missing = set(a) - set(b)
+            extra = set(b) - set(a)
+            if missing or (extra and strict):
                 raise KeyError(
                     f"component {component} structure mismatch at {path}: "
                     f"{sorted(a)} vs {sorted(b)}"
@@ -248,6 +258,13 @@ def transplant_component(
                     f"shape mismatch at {component}{path}: {np.shape(a)} vs {np.shape(b)}"
                 )
 
+    def take(a, b):
+        if isinstance(a, dict):
+            return {k: take(a[k], b[k]) for k in a}
+        return b
+
     check(tgt, src)
-    dst_parent[parts[-1]] = jax.tree.map(lambda x: x, src)
+    dst_parent[parts[-1]] = take(tgt, src) if not strict else jax.tree.map(
+        lambda x: x, src
+    )
     return out
