@@ -259,6 +259,8 @@ class GenerationConfig:
     diverse_beam_groups: int = -1
     diverse_beam_strength: float = 0.5
     prefix_size: int = 0
+    # NAT iterative refinement (reference: GenerationConfig iter_decode_*)
+    iter_decode_max_iter: int = 10
     # S2T-fork CTC inference extras (reference: dataclass/configs.py:811-885)
     infer_ctc_weight: float = 0.0
     ctc_infer: bool = False

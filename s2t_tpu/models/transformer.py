@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.attention import padding_bias
 from s2t_tpu.modules.ctc_head import CTCHead
 from s2t_tpu.modules.layers import S2TEncoderLayer
-from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
+from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding, relative_encoding
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
@@ -113,7 +113,9 @@ class TransformerTextEncoder(nn.Module):
         if cfg.encoder_attention_type == "rel_pos":
             pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
         else:
-            x = x + sinusoidal_encoding(T, cfg.encoder_embed_dim, x.dtype)[None]
+            x = x + fairseq_sinusoidal_encoding(
+                T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype
+            )[None]
         x = self.drop(x, deterministic=deterministic)
         valid = src_tokens != cfg.pad_id
         bias = padding_bias(valid, x.dtype)

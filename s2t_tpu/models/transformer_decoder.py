@@ -42,6 +42,9 @@ class TransformerDecoder(nn.Module):
     pad_id: int = 1
     dtype: jnp.dtype = jnp.float32
     no_cross_attention: bool = False  # decoder-only LM mode
+    # False: full bidirectional self-attention (NAT decoders — CMLM/LevT fill
+    # all positions in parallel; reference: models/nat/ NATransformerDecoder)
+    causal: bool = True
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -92,19 +95,20 @@ class TransformerDecoder(nn.Module):
             return self.embed_tokens.attend(x)
         return self.output_proj(x)
 
-    def __call__(
+    def forward_features(
         self,
         prev_tokens: jnp.ndarray,
         encoder_out: jnp.ndarray,
         encoder_valid_mask: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """Teacher-forced forward: (B, U) tokens -> (B, U, V) logits."""
+        """Hidden states before the output projection: (B, U, D).  Used by
+        NAT models whose extra heads (deletion / mask-insertion) read decoder
+        features (reference: levenshtein_transformer.py extract_features)."""
         B, U = prev_tokens.shape
         x = self._embed(prev_tokens, 0)
         x = self.drop(x, deterministic=deterministic)
-        self_bias = causal_bias(U, x.dtype)
-        # padded target positions masked out of self-attention keys
+        self_bias = causal_bias(U, x.dtype) if self.causal else 0.0
         tgt_valid = prev_tokens != self.pad_id
         self_bias = self_bias + padding_bias(tgt_valid, x.dtype)
         cross_bias = padding_bias(encoder_valid_mask, x.dtype)
@@ -114,6 +118,22 @@ class TransformerDecoder(nn.Module):
             )
         if self.normalize_before:
             x = self.final_norm(x)
+        return x
+
+    def output_logits(self, features: jnp.ndarray) -> jnp.ndarray:
+        return self._output(features)
+
+    def __call__(
+        self,
+        prev_tokens: jnp.ndarray,
+        encoder_out: jnp.ndarray,
+        encoder_valid_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward: (B, U) tokens -> (B, U, V) logits."""
+        x = self.forward_features(
+            prev_tokens, encoder_out, encoder_valid_mask, deterministic
+        )
         return self._output(x)
 
     def init_cache(self, batch_size: int, max_len: int) -> dict:
