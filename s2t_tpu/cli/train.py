@@ -52,6 +52,47 @@ def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def _make_ctc_decode_fn(task, trainer):
+    """Encoder + CTC greedy decode for validation WER
+    (reference: criterions/ctc.py:1104+ valid-time wer/cer logging)."""
+    model = trainer.model
+
+    def fn(params, dev):
+        from s2t_tpu.ops.ctc import ctc_greedy_decode
+
+        if not hasattr(type(model), "encode"):
+            return None
+        enc = model.apply(
+            {"params": params}, dev["features"], dev["feat_lengths"],
+            method=type(model).encode,
+        )
+        if enc.get("ctc_logits") is None:
+            return None
+        toks, lens = ctc_greedy_decode(enc["ctc_logits"], enc["encoder_lengths"])
+        return toks, lens
+
+    return fn
+
+
+def _accumulate_ctc_wer(task, ctc_fn, state, dev, batch, counts) -> None:
+    from s2t_tpu.utils.scoring import edit_distance
+
+    out = ctc_fn(state.params, dev)
+    if out is None:
+        return
+    toks = np.asarray(out[0])
+    src_dict = getattr(task, "src_dict", task.tgt_dict)
+    key = "transcript" if "transcript" in batch else "target"
+    refs = np.asarray(batch[key])
+    for b in range(batch["nsentences"]):
+        hyp = src_dict.string(toks[b]).split()
+        ref = src_dict.string(refs[b]).split()
+        counts["w_err"] += edit_distance(hyp, ref)
+        counts["w_len"] += len(ref)
+        counts["c_err"] += edit_distance(list(" ".join(hyp)), list(" ".join(ref)))
+        counts["c_len"] += len(" ".join(ref))
+
+
 def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, float]:
     from s2t_tpu.utils.scoring import build_scorer
 
@@ -64,6 +105,10 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
     scorer = None
     if generator is not None and (cfg.eval.eval_wer or cfg.eval.eval_bleu):
         scorer = build_scorer("wer" if cfg.eval.eval_wer else "sacrebleu")
+    ctc_wer_fn = None
+    wer_counts = {"w_err": 0, "w_len": 0, "c_err": 0, "c_len": 0}
+    if cfg.eval.eval_ctc_wer:
+        ctc_wer_fn = _make_ctc_decode_fn(task, trainer)
     for batch in itr:
         dev = to_device_batch(batch)
         logs = trainer.valid_step(state, dev)
@@ -71,6 +116,8 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
         tot["loss"] = tot.get("loss", 0.0) + float(logs["loss"])
         tot["nll_loss"] = tot.get("nll_loss", 0.0) + float(logs.get("nll_loss", logs["loss"]))
         n += ss
+        if ctc_wer_fn is not None:
+            _accumulate_ctc_wer(task, ctc_wer_fn, state, dev, batch, wer_counts)
         if scorer is not None:
             tokens, scores, _ = generator.generate(state.params, dev)
             hyp_toks = np.asarray(tokens)[:, 0]
@@ -83,6 +130,9 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
     if scorer is not None:
         key = "wer" if cfg.eval.eval_wer else "bleu"
         out[key] = scorer.score()
+    if ctc_wer_fn is not None and wer_counts["w_len"] > 0:
+        out["ctc_wer"] = 100.0 * wer_counts["w_err"] / wer_counts["w_len"]
+        out["ctc_cer"] = 100.0 * wer_counts["c_err"] / max(wer_counts["c_len"], 1)
     return out
 
 

@@ -284,6 +284,9 @@ class EvalConfig:
     eval_gen_max_len_a: float = 0.0
     eval_gen_max_len_b: int = 200
     eval_tokenized_bleu: bool = False
+    # CTC greedy WER/CER on every validation pass — how the reference
+    # catches CTC regressions (criterions/ctc.py:1104+ logs wer/cer)
+    eval_ctc_wer: bool = False
 
 
 @dataclass

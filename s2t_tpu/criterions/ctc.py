@@ -35,9 +35,19 @@ class CTCCriterion:
         inter_ctc_weight: float = 0.0
         xctc_weight: float = 0.0
         inter_xctc_weight: float = 0.0
+        # CTC over the ALIGNED target text (AXCTC; reference: ctc.py:82-96)
+        axctc_weight: float = 0.0
+        inter_axctc_weight: float = 0.0
         ctc_entropy_weight: float = 0.0
         ctc_self_distill_weight: float = 0.0
         ctc_self_distill_temperature: float = 1.0
+        # mixup consistency: KL(mixed posterior || unmixed sources' posterior)
+        # (reference: ctc.py:120-126,931-985)
+        ctc_mixup_consistent_weight: float = 0.0
+        inter_ctc_mixup_consistent_weight: float = 0.0
+        # map inter-CTC head i -> transcript level "transcript{k}" in the
+        # batch (MLO multi-level objectives; reference: ctc.py:578-586)
+        inter_ctc_mlo: Tuple[int, ...] = ()
         sentence_avg: bool = False
         pad_id: int = 1
         eos_id: int = 2
@@ -57,12 +67,39 @@ class CTCCriterion:
                 zero_infinity=self.cfg.zero_infinity,
             )
 
-        loss = rows(tokens, token_lengths)
-        if mixup is not None:
-            lam, perm, mask = mixup["coef"], mixup["perm"], mixup["mask"]
-            loss2 = rows(tokens[perm], token_lengths[perm])
-            loss = jnp.where(mask, lam * loss + (1.0 - lam) * loss2, loss)
+        if mixup is None:
+            return jnp.sum(rows(tokens, token_lengths))
+        # index-formulation mixup: row r was built from utterances idx1/idx2
+        # with per-row coef (reference: criterions/ctc.py mixup dual targets)
+        coef, i1, i2, flag = (
+            mixup["coef"], mixup["index1"], mixup["index2"], mixup["flag"],
+        )
+        l1 = rows(tokens[i1], token_lengths[i1])
+        l2 = rows(tokens[i2], token_lengths[i2])
+        loss = jnp.where(flag, coef * l1 + (1.0 - coef) * l2, l1)
         return jnp.sum(loss)
+
+    def _mixup_consistent(self, logits, enc_lengths, mixup) -> jnp.ndarray:
+        """KL(student=mixed rows || teacher=stop-grad unmixed source rows)."""
+        coef, i1, i2, flag = (
+            mixup["coef"], mixup["index1"], mixup["index2"], mixup["flag"],
+        )
+        m = mixup["keep_boundary"]
+        lp = _masked_log_softmax(logits)  # (B, T, V)
+        T = lp.shape[1]
+        frames = jnp.arange(T)[None, :]
+
+        def term(idx, w):
+            avail = flag & (idx >= m)
+            trow = jnp.clip(idx - m, 0, lp.shape[0] - 1)
+            teacher = jax.lax.stop_gradient(lp[trow])
+            kl = jnp.sum(jnp.exp(teacher) * (teacher - lp), axis=-1)  # (B, T)
+            kl = jnp.maximum(kl, 0.0)  # clamp fp rounding noise
+            valid = frames < enc_lengths[trow][:, None]
+            kl = jnp.where(valid & avail[:, None], kl, 0.0)
+            return jnp.sum(jnp.sum(kl, axis=1) * w)
+
+        return term(i1, coef) + term(i2, 1.0 - coef)
 
     def compute_ctc_loss(
         self, model_out: Dict[str, Any], batch: Dict[str, Any]
@@ -94,10 +131,16 @@ class CTCCriterion:
         inter = model_out.get("inter_ctc_logits") or ()
         if cfg.inter_ctc_weight > 0 and len(inter) > 0:
             il = jnp.asarray(0.0, jnp.float32)
-            for _, logits in inter:
-                il = il + self._one_ctc(
-                    logits, enc_lengths, transcript, transcript_lengths, mixup
-                )
+            for i, (_, logits) in enumerate(inter):
+                tk, tl = transcript, transcript_lengths
+                if cfg.inter_ctc_mlo and i < len(cfg.inter_ctc_mlo):
+                    # MLO: inter head i scores transcript level k
+                    # (reference: ctc.py:578-586 per-level targets)
+                    k = cfg.inter_ctc_mlo[i]
+                    if f"transcript{k}" in batch:
+                        tk = batch[f"transcript{k}"]
+                        tl = batch[f"transcript{k}_lengths"]
+                il = il + self._one_ctc(logits, enc_lengths, tk, tl, mixup)
             il = il / len(inter)
             logs["inter_ctc_loss"] = il
             total = total + cfg.inter_ctc_weight * il
@@ -124,6 +167,62 @@ class CTCCriterion:
             il = il / len(inter_x)
             logs["inter_xctc_loss"] = il
             total = total + cfg.inter_xctc_weight * il
+
+        # AXCTC: CTC against the aligned target text on the aligned-CTC head
+        # (falls back to the XCTC head's logits when the model has no
+        # dedicated axctc head) — reference: criterions/ctc.py axctc branches
+        if (cfg.axctc_weight > 0 or cfg.inter_axctc_weight > 0) and (
+            "aligned_target" in batch
+        ):
+            atgt = batch["aligned_target"]
+            atgt_ctc = jnp.where(atgt == cfg.eos_id, cfg.pad_id, atgt)
+            alen = batch.get(
+                "aligned_target_lengths",
+                jnp.sum((atgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1),
+            )
+            ax_logits = model_out.get("axctc_logits")
+            if ax_logits is None:
+                ax_logits = model_out.get("xctc_logits")
+            if cfg.axctc_weight > 0 and ax_logits is not None:
+                l = self._one_ctc(ax_logits, enc_lengths, atgt_ctc, alen, mixup)
+                logs["axctc_loss"] = l
+                total = total + cfg.axctc_weight * l
+            inter_ax = model_out.get("inter_axctc_logits") or model_out.get(
+                "inter_xctc_logits"
+            ) or ()
+            if cfg.inter_axctc_weight > 0 and len(inter_ax) > 0:
+                il = jnp.asarray(0.0, jnp.float32)
+                for _, logits in inter_ax:
+                    il = il + self._one_ctc(logits, enc_lengths, atgt_ctc, alen)
+                il = il / len(inter_ax)
+                logs["inter_axctc_loss"] = il
+                total = total + cfg.inter_axctc_weight * il
+
+        # mixup consistency regularisation (reference: ctc.py:931-985):
+        # KL(mixed-row posterior || stop-grad posterior of each source row),
+        # weighted by the mixing coefficient.  Original utterance j sits at
+        # row j - keep_boundary when j >= keep_boundary (encoder layout).
+        if (
+            cfg.ctc_mixup_consistent_weight > 0
+            and mixup is not None
+            and model_out.get("ctc_logits") is not None
+        ):
+            cl = self._mixup_consistent(
+                model_out["ctc_logits"], enc_lengths, mixup
+            )
+            logs["ctc_mixup_consistent_loss"] = cl
+            total = total + cfg.ctc_mixup_consistent_weight * cl
+        if (
+            cfg.inter_ctc_mixup_consistent_weight > 0
+            and mixup is not None
+            and len(inter) > 0
+        ):
+            il = jnp.asarray(0.0, jnp.float32)
+            for _, logits in inter:
+                il = il + self._mixup_consistent(logits, enc_lengths, mixup)
+            il = il / len(inter)
+            logs["inter_ctc_mixup_consistent_loss"] = il
+            total = total + cfg.inter_ctc_mixup_consistent_weight * il
 
         if cfg.ctc_entropy_weight > 0 and model_out.get("ctc_logits") is not None:
             # mean per-frame entropy of the CTC posterior (reference :640+)
@@ -191,13 +290,17 @@ class LabelSmoothedCEWithCTC:
     def __call__(self, model_out, batch):
         logits = model_out["decoder_logits"]
         targets = batch["target"]
+        mixup = model_out.get("mixup")
         ce, nll = label_smoothed_nll_loss(
             logits, targets, self.cfg.label_smoothing, self.cfg.pad_id,
-            mixup=model_out.get("mixup"),
+            mixup=mixup,
         )
         ctc_total, ctc_logs = self.ctc.compute_ctc_loss(model_out, batch)
         loss = ce + ctc_total
-        ntokens = jnp.sum((targets != self.cfg.pad_id).astype(jnp.float32))
+        # under mixup the decoder rows follow the encoder layout: row r is
+        # scored against target[index1[r]] (dominant mixture part)
+        acc_targets = targets if mixup is None else targets[mixup["index1"]]
+        ntokens = jnp.sum((acc_targets != self.cfg.pad_id).astype(jnp.float32))
         nsent = jnp.asarray(targets.shape[0], jnp.float32)
         sample_size = nsent if self.cfg.sentence_avg else ntokens
         logs = {
@@ -211,7 +314,7 @@ class LabelSmoothedCEWithCTC:
         if self.cfg.report_accuracy:
             from s2t_tpu.criterions.label_smoothed_ce import ce_accuracy
 
-            correct, total = ce_accuracy(logits, targets, self.cfg.pad_id)
+            correct, total = ce_accuracy(logits, acc_targets, self.cfg.pad_id)
             logs["n_correct"] = correct
             logs["total"] = total
         return loss, sample_size, logs

@@ -48,14 +48,19 @@ def label_smoothed_nll_loss(
     λ·loss(target) + (1-λ)·loss(target[perm]) (reference:
     label_smoothed_cross_entropy_with_ctc.py mixup handling :119-132).
     """
-    loss, nll = label_smoothed_nll_loss_per_row(logits, targets, epsilon, pad_id)
-    if mixup is not None:
-        lam, perm, mask = mixup["coef"], mixup["perm"], mixup["mask"]
-        loss2, nll2 = label_smoothed_nll_loss_per_row(
-            logits, targets[perm], epsilon, pad_id
-        )
-        loss = jnp.where(mask, lam * loss + (1.0 - lam) * loss2, loss)
-        nll = jnp.where(mask, lam * nll + (1.0 - lam) * nll2, nll)
+    if mixup is None:
+        loss, nll = label_smoothed_nll_loss_per_row(logits, targets, epsilon, pad_id)
+        return jnp.sum(loss), jnp.sum(nll)
+    # index-formulation mixup: decoder row r is scored against both source
+    # utterances' targets, weighted per-row (reference:
+    # label_smoothed_cross_entropy.py:134-190, mixup_decoder_emb path)
+    coef, i1, i2, flag = (
+        mixup["coef"], mixup["index1"], mixup["index2"], mixup["flag"],
+    )
+    l1, n1 = label_smoothed_nll_loss_per_row(logits, targets[i1], epsilon, pad_id)
+    l2, n2 = label_smoothed_nll_loss_per_row(logits, targets[i2], epsilon, pad_id)
+    loss = jnp.where(flag, coef * l1 + (1.0 - coef) * l2, l1)
+    nll = jnp.where(flag, coef * n1 + (1.0 - coef) * n2, n1)
     return jnp.sum(loss), jnp.sum(nll)
 
 

@@ -124,15 +124,37 @@ class SpeechToTextDataset:
         self.n_frames: List[int] = []
         self.tgt_texts: List[Optional[str]] = []
         self.src_texts: List[Optional[str]] = []
+        # optional extra columns: "aligned_tgt_text" (AXCTC; reference:
+        # aligned_speech_to_text_dataset.py) and "src_text0..k" multi-level
+        # transcripts (MLO; reference: mlo_speech_to_text_dataset.py)
+        self.aligned_tgt_texts: List[Optional[str]] = []
+        self.mlo_texts: Dict[int, List[Optional[str]]] = {}
         with open(manifest_path, newline="", encoding="utf-8") as f:
             reader = csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE)
+            mlo_cols = sorted(
+                int(c[len("src_text"):]) for c in (reader.fieldnames or [])
+                if c.startswith("src_text") and c[len("src_text"):].isdigit()
+            )
+            self.mlo_texts = {k: [] for k in mlo_cols}
             for row in reader:
                 self.ids.append(row["id"])
                 self.audio_paths.append(row["audio"])
                 self.n_frames.append(int(row["n_frames"]))
                 self.tgt_texts.append(row.get("tgt_text"))
                 self.src_texts.append(row.get("src_text"))
+                self.aligned_tgt_texts.append(row.get("aligned_tgt_text"))
+                for k in mlo_cols:
+                    self.mlo_texts[k].append(row.get(f"src_text{k}"))
         self.n_frames = np.asarray(self.n_frames, dtype=np.int64)
+        # per-level dictionaries for MLO (config: src_vocab_filename_<k>);
+        # default to the main source dictionary
+        self.mlo_dicts: Dict[int, Dictionary] = {}
+        extra = getattr(data_cfg, "_extra", {}) or {}
+        for k in self.mlo_texts:
+            fn = extra.get(f"src_vocab_filename_{k}")
+            self.mlo_dicts[k] = (
+                Dictionary.load(Path(self.root) / fn) if fn else self.src_dict
+            )
 
     def __len__(self):
         return len(self.ids)
@@ -156,6 +178,14 @@ class SpeechToTextDataset:
             # transcript for CTC: no EOS (reference: criterions/ctc.py:365)
             t = self._encode_text(self.src_texts[index], self.src_bpe, self.src_dict)
             item["transcript"] = t[:-1]
+        if self.aligned_tgt_texts[index] is not None:
+            item["aligned_target"] = self._encode_text(
+                self.aligned_tgt_texts[index], self.bpe, self.tgt_dict
+            )
+        for k, texts in self.mlo_texts.items():
+            if texts[index] is not None:
+                t = self._encode_text(texts[index], self.src_bpe, self.mlo_dicts[k])
+                item[f"transcript{k}"] = t[:-1]
         return item
 
     # ----------------------------------------------------------------------- #
@@ -224,15 +254,25 @@ class SpeechToTextDataset:
                 target_lengths=tgt_lengths,
                 ntokens=float(tgt_lengths.sum()),
             )
-        if "transcript" in samples[0]:
-            max_S = max(len(s["transcript"]) for s in samples)
+        def collate_tokens(key: str, out_key: str):
+            max_S = max(len(s[key]) for s in samples)
             if token_buckets is not None:
                 max_S = int(bucketize(np.asarray([max_S]), token_buckets)[0])
-            transcript = np.full((B, max_S), pad_id, dtype=np.int32)
-            tr_lengths = np.zeros((B,), dtype=np.int32)
+            arr = np.full((B, max_S), pad_id, dtype=np.int32)
+            lens = np.zeros((B,), dtype=np.int32)
             for i, s in enumerate(samples):
-                t = s["transcript"][:max_S]
-                transcript[i, : len(t)] = t
-                tr_lengths[i] = len(t)
-            batch.update(transcript=transcript, transcript_lengths=tr_lengths)
+                t = s[key][:max_S]
+                arr[i, : len(t)] = t
+                lens[i] = len(t)
+            batch[out_key] = arr
+            batch[f"{out_key}_lengths"] = lens
+
+        if "transcript" in samples[0]:
+            collate_tokens("transcript", "transcript")
+        if "aligned_target" in samples[0]:
+            collate_tokens("aligned_target", "aligned_target")
+        for key in samples[0]:
+            if key.startswith("transcript") and key != "transcript" and \
+                    key != "transcript_lengths":
+                collate_tokens(key, key)
         return batch

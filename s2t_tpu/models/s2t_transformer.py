@@ -99,6 +99,10 @@ class S2TTransformerConfig:
     xctc_layer: int = 0
     inter_xctc_layers: Tuple[int, ...] = ()
     xctc_pae: str = "none"
+    # AXCTC: CTC over the ALIGNED target text (reference: criterions/ctc.py
+    # axctc branches + aligned_speech_to_text_dataset.py)
+    use_axctc: bool = False
+    inter_axctc_layers: Tuple[int, ...] = ()
     # inter-mixup (reference: s2t_transformer.py:2390-2400 mixup args)
     inter_mixup: bool = False
     inter_mixup_layer: int = 0  # 0 = right after subsampling
@@ -209,6 +213,14 @@ class S2TTransformerEncoder(nn.Module):
                     str(l): nn.LayerNorm(dtype=dt, name=f"inter_xctc_norm{l}")
                     for l in cfg.inter_xctc_layers
                 }
+        if cfg.use_axctc:
+            self.axctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt,
+                                      name="axctc_head")
+            if cfg.inter_axctc_layers:
+                self.inter_axctc_norms = {
+                    str(l): nn.LayerNorm(dtype=dt, name=f"inter_axctc_norm{l}")
+                    for l in cfg.inter_axctc_layers
+                }
             if cfg.xctc_pae != "none":
                 self.xpae = Adapter(
                     cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
@@ -217,22 +229,36 @@ class S2TTransformerEncoder(nn.Module):
         self.drop = nn.Dropout(cfg.dropout)
 
     def _mixup(self, x, lengths):
-        """Inter-mixup: convex-combine utterance pairs in the encoder stream
-        (reference: s2t_transformer.py apply_mixup — single Beta λ per batch,
-        a random partner permutation, and a per-utterance participation mask).
-        Returns (x, lengths, info) where info drives the λ-weighted dual-target
-        losses in the criterion."""
+        """Inter-mixup, reference formulation (s2t_transformer.py apply_mixup,
+        keep_org=False): the new batch = [kept originals m..B-1 | m mixed
+        rows], each mixed row r = coef_r·x[idx1_r] + (1-coef_r)·x[idx2_r]
+        with per-row Beta coefficients.  Original utterance j (j ≥ m) sits at
+        row j-m — the layout the mixup-consistency losses rely on.
+        Returns (x, lengths, info{coef,index1,index2,flag,keep_boundary})."""
         cfg = self.cfg
         B = x.shape[0]
+        m = max(int(B * cfg.inter_mixup_ratio), 1)
         k1, k2, k3, k4 = jax.random.split(self.make_rng("dropout"), 4)
-        lam = jax.random.beta(k1, cfg.inter_mixup_beta, cfg.inter_mixup_beta)
-        perm = jax.random.permutation(k2, B)
-        apply_batch = jax.random.uniform(k3) < cfg.inter_mixup_prob
-        mask = (jax.random.uniform(k4, (B,)) < cfg.inter_mixup_ratio) & apply_batch
-        mixed = lam.astype(x.dtype) * x + (1.0 - lam).astype(x.dtype) * x[perm]
-        x = jnp.where(mask[:, None, None], mixed, x)
-        new_lengths = jnp.where(mask, jnp.maximum(lengths, lengths[perm]), lengths)
-        info = {"coef": lam, "perm": perm, "mask": mask}
+        apply = jax.random.uniform(k4) < cfg.inter_mixup_prob
+        keep = jnp.arange(m, B, dtype=jnp.int32)
+        r1 = jax.random.randint(k1, (m,), 0, B, jnp.int32)
+        r2 = jax.random.randint(k2, (m,), 0, B, jnp.int32)
+        idx1 = jnp.concatenate([keep, r1])
+        idx2 = jnp.concatenate([keep, r2])
+        flag = jnp.concatenate([jnp.zeros(B - m, bool), jnp.ones(m, bool)])
+        arange = jnp.arange(B, dtype=jnp.int32)
+        idx1 = jnp.where(apply, idx1, arange)
+        idx2 = jnp.where(apply, idx2, arange)
+        flag = flag & apply
+        coef = jax.random.beta(k3, cfg.inter_mixup_beta, cfg.inter_mixup_beta, (B,))
+        coef = jnp.where(flag, coef, 1.0)
+        c = coef[:, None, None].astype(x.dtype)
+        x = c * x[idx1] + (1.0 - c) * x[idx2]
+        new_lengths = jnp.maximum(lengths[idx1], lengths[idx2])
+        info = {
+            "coef": coef, "index1": idx1, "index2": idx2, "flag": flag,
+            "keep_boundary": m,
+        }
         return x, new_lengths, info
 
     def _oracle_probs(
@@ -296,6 +322,7 @@ class S2TTransformerEncoder(nn.Module):
 
         inter_ctc_logits = []
         inter_xctc_logits = []
+        inter_axctc_logits = []
         history = [x] if cfg.use_enc_dlcl else None
         for i, layer in enumerate(self.layers):
             if cfg.use_enc_dlcl:
@@ -362,6 +389,9 @@ class S2TTransformerEncoder(nn.Module):
                             cfg.xctc_pae_ground_truth_ratio,
                         )
                     x = self.xpae(x, xlogits, deterministic=deterministic, probs=probs)
+            if cfg.use_axctc and layer_idx in cfg.inter_axctc_layers:
+                h = self.inter_axctc_norms[str(layer_idx)](x)
+                inter_axctc_logits.append((layer_idx, self.axctc_head(h, deterministic)))
             if cfg.use_enc_dlcl:
                 history.append(x)
 
@@ -376,6 +406,9 @@ class S2TTransformerEncoder(nn.Module):
         xctc_logits = None
         if cfg.use_xctc:
             xctc_logits = self.xctc_head(x, deterministic)
+        axctc_logits = None
+        if cfg.use_axctc:
+            axctc_logits = self.axctc_head(x, deterministic)
 
         return {
             "encoder_out": x,
@@ -384,6 +417,8 @@ class S2TTransformerEncoder(nn.Module):
             "inter_ctc_logits": tuple(inter_ctc_logits),
             "xctc_logits": xctc_logits,
             "inter_xctc_logits": tuple(inter_xctc_logits),
+            "axctc_logits": axctc_logits,
+            "inter_axctc_logits": tuple(inter_axctc_logits),
             "mixup": mixup,
         }
 
@@ -432,7 +467,20 @@ class S2TTransformerModel(nn.Module):
             transcript, transcript_lengths, target, target_lengths,
         )
         enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
-        logits = self.decoder(prev_tokens, enc["encoder_out"], enc_mask, deterministic)
+        mix = None
+        if enc.get("mixup") is not None:
+            # decoder rows follow the encoder's mixup layout: embed the two
+            # source utterances' targets and blend (decoder_emb mixup)
+            mu = enc["mixup"]
+            prev1 = prev_tokens[mu["index1"]]
+            mix = {
+                "tokens2": prev_tokens[mu["index2"]],
+                "coef": mu["coef"], "flag": mu["flag"],
+            }
+            prev_tokens = prev1
+        logits = self.decoder(
+            prev_tokens, enc["encoder_out"], enc_mask, deterministic, mix=mix
+        )
         return {"decoder_logits": logits, **enc}
 
     # --- inference-facing methods (used by generators via method=...) -------

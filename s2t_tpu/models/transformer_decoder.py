@@ -101,15 +101,26 @@ class TransformerDecoder(nn.Module):
         encoder_out: jnp.ndarray,
         encoder_valid_mask: jnp.ndarray,
         deterministic: bool = True,
+        mix: Optional[dict] = None,
     ) -> jnp.ndarray:
         """Hidden states before the output projection: (B, U, D).  Used by
         NAT models whose extra heads (deletion / mask-insertion) read decoder
-        features (reference: levenshtein_transformer.py extract_features)."""
+        features (reference: levenshtein_transformer.py extract_features).
+
+        ``mix`` = {"tokens2", "coef", "flag"} blends the embeddings of two
+        target sequences for encoder-mixup rows (the reference's
+        --inter-mixup-decoder-emb path, s2t_transformer.py:2396)."""
         B, U = prev_tokens.shape
         x = self._embed(prev_tokens, 0)
+        tgt_valid = prev_tokens != self.pad_id
+        if mix is not None:
+            x2 = self._embed(mix["tokens2"], 0)
+            c = mix["coef"][:, None, None].astype(x.dtype)
+            mixed = c * x + (1.0 - c) * x2
+            x = jnp.where(mix["flag"][:, None, None], mixed, x)
+            tgt_valid = tgt_valid | (mix["tokens2"] != self.pad_id)
         x = self.drop(x, deterministic=deterministic)
         self_bias = causal_bias(U, x.dtype) if self.causal else 0.0
-        tgt_valid = prev_tokens != self.pad_id
         self_bias = self_bias + padding_bias(tgt_valid, x.dtype)
         cross_bias = padding_bias(encoder_valid_mask, x.dtype)
         for layer in self.layers:
@@ -129,10 +140,11 @@ class TransformerDecoder(nn.Module):
         encoder_out: jnp.ndarray,
         encoder_valid_mask: jnp.ndarray,
         deterministic: bool = True,
+        mix: Optional[dict] = None,
     ) -> jnp.ndarray:
         """Teacher-forced forward: (B, U) tokens -> (B, U, V) logits."""
         x = self.forward_features(
-            prev_tokens, encoder_out, encoder_valid_mask, deterministic
+            prev_tokens, encoder_out, encoder_valid_mask, deterministic, mix
         )
         return self._output(x)
 
