@@ -63,6 +63,10 @@ class S2TTransformerConfig:
     cnn_module_kernel: int = 31
     # DLCL (reference: modules/dlcl.py, use_enc_dlcl flag)
     use_enc_dlcl: bool = False
+    # sequence parallelism: shard encoder activations (and run ring
+    # attention) over the mesh "seq" axis — long-audio capability beyond the
+    # reference (SURVEY §5.7/§7)
+    seq_parallel: bool = False
     # decoder
     decoder_embed_dim: int = 256
     decoder_ffn_embed_dim: int = 2048
@@ -174,7 +178,7 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.activation_dropout, cfg.activation_fn,
                 cfg.encoder_normalize_before, cfg.encoder_attention_type,
                 cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
-                dt, name=f"layer{i}",
+                dt, cfg.seq_parallel, name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
         ]
@@ -319,6 +323,12 @@ class S2TTransformerEncoder(nn.Module):
 
         valid = lengths_to_mask(lengths, T)
         bias = padding_bias(valid, x.dtype)
+        if cfg.seq_parallel:
+            # activations sharded over ("data" batch, "seq" time): elementwise
+            # and FFN work is fully local, attention goes through the ring
+            from s2t_tpu.parallel.context import constrain
+
+            x = constrain(x, "data", "seq", None)
 
         inter_ctc_logits = []
         inter_xctc_logits = []
@@ -337,6 +347,10 @@ class S2TTransformerEncoder(nn.Module):
                 valid = lengths_to_mask(lengths, T)
                 bias = padding_bias(valid, x.dtype)
             x = layer(x, valid, bias, pos_emb, deterministic)
+            if cfg.seq_parallel:
+                from s2t_tpu.parallel.context import constrain
+
+                x = constrain(x, "data", "seq", None)
             layer_idx = i + 1
             if (
                 cfg.use_ctc

@@ -45,6 +45,9 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     attention_type: str = "abs"
     max_positions: int = 4096
+    # sequence parallelism: self-attention over a T axis sharded on the
+    # mesh "seq" axis via ring ppermute (no reference equivalent; SURVEY §7)
+    seq_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -69,6 +72,7 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        valid_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Returns (output (B, Tq, D), new_cache).
 
@@ -92,6 +96,16 @@ class MultiHeadAttention(nn.Module):
                 Tq, Tk = q.shape[1], k.shape[1]
                 q = apply_rope(q, cos[:Tq], sin[:Tq])
                 k = apply_rope(k, cos[:Tk], sin[:Tk])
+
+        if self.seq_parallel and cache is None and valid_mask is not None:
+            from s2t_tpu.parallel.context import get_mesh, seq_parallel_enabled
+
+            if seq_parallel_enabled():
+                from s2t_tpu.parallel.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, valid_mask, get_mesh())
+                out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
+                return self.out_proj(out), None
 
         new_cache = None
         if cache is not None:

@@ -97,6 +97,7 @@ class S2TEncoderLayer(nn.Module):
     use_cnn_module: bool = False
     cnn_kernel: int = 31
     dtype: jnp.dtype = jnp.float32
+    seq_parallel: bool = False  # ring attention over the mesh "seq" axis
 
     @nn.compact
     def __call__(
@@ -133,9 +134,10 @@ class S2TEncoderLayer(nn.Module):
         else:
             h, _ = MultiHeadAttention(
                 self.dim, self.num_heads, self.attention_dropout,
-                attention_type=self.attention_type, dtype=self.dtype,
+                attention_type=self.attention_type,
+                seq_parallel=self.seq_parallel, dtype=self.dtype,
                 name="self_attn",
-            )(h, h, h, attn_bias, deterministic)
+            )(h, h, h, attn_bias, deterministic, valid_mask=valid_mask)
         x = res + drop(h, deterministic=deterministic)
         if not self.normalize_before:
             x = norm_attn_norm(x)

@@ -68,6 +68,9 @@ class Trainer:
         self.criterion = criterion
         self.opt_cfg = opt_cfg
         self.mesh = mesh if mesh is not None else make_mesh(dist_cfg)
+        from s2t_tpu.parallel.context import set_mesh
+
+        set_mesh(self.mesh)  # sequence-parallel attention reads this
         self.tp = int(self.mesh.shape.get("model", 1)) > 1
         self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
         self.forward_fn = forward_fn
@@ -167,7 +170,11 @@ class Trainer:
             (loss, (sample_size, logs)), grads = grad_fn(params, batch, rng)
             return grads, loss, sample_size, logs
 
-        def step_fn(state: TrainState, batch, rng):
+        def step_fn(state: TrainState, batch, base_rng):
+            # fold the update counter into the rng ON DEVICE: pulling
+            # int(state.step) to the host would force a sync every step and
+            # destroy async dispatch (measured 14 s/step over a remote tunnel)
+            rng = jax.random.fold_in(base_rng, state.step)
             if accum == 1:
                 grads, loss, sample_size, logs = one_micro(
                     state.params, batch, rng, state.step
@@ -238,8 +245,50 @@ class Trainer:
                 out_shardings=(None, rep),
                 donate_argnums=(0,),
             )
-        rng = jax.random.fold_in(self.base_rng, int(state.step))
-        return step(state, batch, rng)
+        return step(state, batch, self.base_rng)
+
+    def train_many(
+        self, state: TrainState, batches: list
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Run K optimizer updates in ONE compiled dispatch (lax.scan over a
+        stacked batch pytree).  This is the production TPU path: per-call
+        dispatch costs (and, on remote-attached runtimes, eager output
+        fetches of the full TrainState) amortize over K steps — measured
+        5.9 ms/step fused vs ~30 s/step per-call over a network tunnel.
+        All batches must share shapes (the bucketed collater guarantees a
+        bounded shape set).  Returns (state, stacked metrics (K, ...))."""
+        accum = self.opt_cfg.update_freq
+        K = len(batches)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        key = ("many", K, accum, self._batch_key(batches[0]))
+        step = self._train_steps.get(key)
+        if step is None:
+            one = self._make_train_step(accum)
+
+            def many(state, stacked, base_rng):
+                def body(s, b):
+                    return one(s, b, base_rng)
+
+                return jax.lax.scan(body, state, stacked)
+
+            rep = replicated(self.mesh)
+            inner = self._batch_shardings(
+                batches[0], skip_leading_axes=1 if accum > 1 else 0
+            )
+            outer = jax.tree.map(
+                lambda s: NamedSharding(
+                    self.mesh, P(*([None] + list(s.spec)))
+                ),
+                inner,
+                is_leaf=lambda x: isinstance(x, NamedSharding),
+            )
+            step = self._train_steps[key] = jax.jit(
+                many,
+                in_shardings=(None, outer, rep),
+                out_shardings=(None, rep),
+                donate_argnums=(0,),
+            )
+        return step(state, stacked, self.base_rng)
 
     def _make_valid_step(self):
         def step_fn(state: TrainState, batch):
