@@ -75,6 +75,9 @@ def beam_search(
     ctc_scorer=None,
     ctc_weight: float = 0.0,
     ctc_prune_k: int = 8,
+    prefix_tokens: Optional[jnp.ndarray] = None,
+    diverse_groups: int = 1,
+    diverse_strength: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -100,10 +103,15 @@ def beam_search(
     L = max_len
 
     alive_tokens = jnp.full((B, K, L), pad_id, jnp.int32)
-    # first input token is BOS/EOS (fairseq starts with EOS, generator :616)
-    alive_scores = jnp.concatenate(
-        [jnp.zeros((B, 1)), jnp.full((B, K - 1), NEG_INF)], axis=1
-    )
+    # first input token is BOS/EOS (fairseq starts with EOS, generator :616);
+    # one live seed per diverse group (all groups share the same start)
+    if diverse_groups > 1:
+        seed = (jnp.arange(K) % (K // diverse_groups)) == 0
+        alive_scores = jnp.where(seed[None, :], 0.0, NEG_INF) * jnp.ones((B, 1))
+    else:
+        alive_scores = jnp.concatenate(
+            [jnp.zeros((B, 1)), jnp.full((B, K - 1), NEG_INF)], axis=1
+        )
     finished_tokens = jnp.full((B, K, L), pad_id, jnp.int32)
     finished_scores = jnp.full((B, K), NEG_INF)
     finished_mask = jnp.zeros((B, K), bool)
@@ -149,6 +157,39 @@ def beam_search(
                 logprobs, state.alive_tokens, i, no_repeat_ngram_size, NEG_INF
             )
 
+        if prefix_tokens is not None:
+            # force the hypothesis to start with the given prefix
+            # (reference: sequence_generator.py:128,616 _prefix_tokens)
+            Pfx = prefix_tokens.shape[1]
+            forced = jnp.take(
+                prefix_tokens, jnp.minimum(i, Pfx - 1), axis=1
+            )  # (B,)
+            active = (i < Pfx) & (forced != pad_id)
+            allow = jax.nn.one_hot(forced, V, dtype=bool)  # (B, V)
+            # keep the forced token's own score (fairseq keeps its lprob)
+            logprobs = jnp.where(
+                active[:, None, None] & ~allow[:, None, :], NEG_INF, logprobs
+            )
+
+        if diverse_groups > 1:
+            # Diverse Beam Search (Vijayakumar et al.; reference search.py:552):
+            # beams split into G groups; group g is penalised by
+            # strength * count of tokens groups <g already picked this step.
+            G = diverse_groups
+            Kg = K // G
+            lp_groups = logprobs.reshape(B, G, Kg, V)
+            div_buf = jnp.zeros((B, V), jnp.float32)
+            penalised = []
+            for g in range(G):
+                lp_g = lp_groups[:, g] - diverse_strength * div_buf[:, None, :]
+                penalised.append(lp_g)
+                # tokens group g would pick: its top Kg continuations
+                total_g = state.alive_scores.reshape(B, G, K // G)[:, g][..., None] + lp_g
+                _, top_g = jax.lax.top_k(total_g.reshape(B, Kg * V), Kg)
+                picked = jax.nn.one_hot(top_g % V, V, dtype=jnp.float32).sum(1)
+                div_buf = div_buf + picked
+            logprobs = jnp.stack(penalised, axis=1).reshape(B, K, V)
+
         cand_idx = cand_new_r = cand_psi = None
         if ctc_scorer is not None:
             # prune to decoder top-k plus EOS, score with the CTC prefix
@@ -173,11 +214,23 @@ def beam_search(
 
         total = state.alive_scores[:, :, None] + logprobs  # (B, K, V)
 
-        # take top 2K over K*V so that K non-EOS survive even if K EOS appear
-        flat = total.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
-        beam_idx = top_idx // V
-        tok_idx = top_idx % V
+        # take top 2K over K*V so that K non-EOS survive even if K EOS appear;
+        # with diverse groups, candidates are selected per group (2Kg each) so
+        # no group can be starved by another (reference: search.py:552)
+        if diverse_groups > 1:
+            G = diverse_groups
+            Kg = K // G
+            total_g = total.reshape(B, G, Kg * V)
+            ts_g, ti_g = jax.lax.top_k(total_g, 2 * Kg)  # (B, G, 2Kg)
+            beam_idx = (ti_g // V) + (jnp.arange(G) * Kg)[None, :, None]
+            top_scores = ts_g.reshape(B, 2 * K)
+            beam_idx = beam_idx.reshape(B, 2 * K)
+            tok_idx = (ti_g % V).reshape(B, 2 * K)
+        else:
+            flat = total.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+            beam_idx = top_idx // V
+            tok_idx = top_idx % V
 
         # candidate token rows
         cand_tokens = jnp.take_along_axis(state.alive_tokens, beam_idx[..., None], axis=1)
@@ -203,7 +256,16 @@ def beam_search(
 
         # ---- alive set: top K non-EOS candidates ---------------------------
         alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
-        alive_sel_scores, alive_sel = jax.lax.top_k(alive_cand_scores, K)
+        if diverse_groups > 1:
+            # keep Kg alive per group (candidate layout is group-major)
+            G = diverse_groups
+            Kg = K // G
+            acs_g = alive_cand_scores.reshape(B, G, 2 * Kg)
+            s_g, sel_g = jax.lax.top_k(acs_g, Kg)
+            alive_sel = (sel_g + (jnp.arange(G) * 2 * Kg)[None, :, None]).reshape(B, K)
+            alive_sel_scores = s_g.reshape(B, K)
+        else:
+            alive_sel_scores, alive_sel = jax.lax.top_k(alive_cand_scores, K)
         new_alive_tokens = jnp.take_along_axis(
             cand_tokens, alive_sel[..., None], axis=1
         )

@@ -46,6 +46,10 @@ class SequenceGenerator:
         sampling_topk: int = -1,
         sampling_topp: float = -1.0,
         sampling_seed: int = 0,
+        prefix_size: int = 0,
+        diverse_beam_groups: int = -1,
+        diverse_beam_strength: float = 0.5,
+        extra_models: Optional[list] = None,
     ):
         self.model = model
         self.beam_size = beam_size
@@ -71,6 +75,15 @@ class SequenceGenerator:
         self.sampling_topk = sampling_topk
         self.sampling_topp = sampling_topp
         self.sampling_seed = sampling_seed
+        # --prefix-size target forcing (reference: sequence_generator.py:616)
+        self.prefix_size = prefix_size
+        # DiverseBeamSearch groups (reference: search.py:552)
+        self.diverse_beam_groups = diverse_beam_groups
+        self.diverse_beam_strength = diverse_beam_strength
+        # true multi-model ensembling in probability space (reference:
+        # EnsembleModel, sequence_generator.py:788-900); params for the extra
+        # models ride in at generate() time
+        self.extra_models = extra_models or []
         self._jitted = {}
 
     def _max_len_for(self, enc_T: int) -> int:
@@ -78,10 +91,11 @@ class SequenceGenerator:
             min(self.max_len_a * enc_T + self.max_len_b, self.max_target_positions - 1)
         )
 
-    def _build(self, max_len: int):
+    def _build(self, max_len: int, with_prefix: bool = False):
         K = self.beam_size
+        n_extra = len(self.extra_models)
 
-        def run(params, features, feat_lengths):
+        def run(params, features, feat_lengths, extra_params, prefix_tokens):
             enc = self.model.apply(
                 {"params": params}, features, feat_lengths, method=self.model.encode
             )
@@ -100,9 +114,31 @@ class SequenceGenerator:
                     method=self.lm_model.init_cache,
                 )
                 cache = {"dec": cache, "lm": lm_cache}
+            if n_extra:
+                # ensemble: every member keeps its own encoder-out and cache
+                extra_ctx = []
+                extra_caches = {}
+                for mi, (em, ep) in enumerate(zip(self.extra_models, extra_params)):
+                    e_enc = em.apply(
+                        {"params": ep}, features, feat_lengths, method=em.encode
+                    )
+                    e_mask = lengths_to_mask(
+                        e_enc["encoder_lengths"], e_enc["encoder_out"].shape[1]
+                    )
+                    extra_ctx.append(
+                        (_expand_to_beam(e_enc["encoder_out"], K),
+                         _expand_to_beam(e_mask, K))
+                    )
+                    extra_caches[f"m{mi}"] = em.apply(
+                        {"params": ep}, B * K, max_len, method=em.init_cache
+                    )
+                cache = {"dec": cache, **extra_caches} if not use_lm else {
+                    **cache, **extra_caches
+                }
 
             def decode_step(tokens, cache, index):
-                dec_cache = cache["dec"] if use_lm else cache
+                nested = use_lm or n_extra
+                dec_cache = cache["dec"] if nested else cache
                 logits, new_dec = self.model.apply(
                     {"params": params},
                     tokens,
@@ -114,17 +150,38 @@ class SequenceGenerator:
                 )
                 logits = logits.astype(jnp.float32) / self.temperature
                 lprobs = jax.nn.log_softmax(logits, axis=-1)
-                if not use_lm:
-                    return lprobs, new_dec
-                lm_logits, new_lm = self.lm_model.apply(
-                    {"params": self.lm_params}, tokens, cache["lm"], index,
-                    method=self.lm_model.decode_step,
-                )
-                lm_lprobs = jax.nn.log_softmax(lm_logits.astype(jnp.float32), -1)
-                return (
-                    lprobs + self.lm_weight * lm_lprobs,
-                    {"dec": new_dec, "lm": new_lm},
-                )
+                new_cache = {"dec": new_dec} if nested else new_dec
+                if n_extra:
+                    # average in probability space (reference: EnsembleModel
+                    # avg_probs, sequence_generator.py:860-900)
+                    all_lp = [lprobs]
+                    for mi, (em, ep) in enumerate(
+                        zip(self.extra_models, extra_params)
+                    ):
+                        eo, emask = extra_ctx[mi]
+                        lg, nc = em.apply(
+                            {"params": ep}, tokens, cache[f"m{mi}"], index,
+                            eo, emask, method=em.decode_step,
+                        )
+                        all_lp.append(
+                            jax.nn.log_softmax(
+                                lg.astype(jnp.float32) / self.temperature, -1
+                            )
+                        )
+                        new_cache[f"m{mi}"] = nc
+                    stacked = jnp.stack(all_lp)
+                    lprobs = jax.nn.logsumexp(stacked, axis=0) - jnp.log(
+                        float(len(all_lp))
+                    )
+                if use_lm:
+                    lm_logits, new_lm = self.lm_model.apply(
+                        {"params": self.lm_params}, tokens, cache["lm"], index,
+                        method=self.lm_model.decode_step,
+                    )
+                    lm_lprobs = jax.nn.log_softmax(lm_logits.astype(jnp.float32), -1)
+                    lprobs = lprobs + self.lm_weight * lm_lprobs
+                    new_cache["lm"] = new_lm
+                return lprobs, new_cache
 
             if self.sampling:
                 from s2t_tpu.inference.sampling import sampling_decode
@@ -156,6 +213,7 @@ class SequenceGenerator:
                         eos_id=self.eos_id,
                     )
 
+            G = self.diverse_beam_groups
             tokens, scores = beam_search(
                 decode_step,
                 cache,
@@ -171,15 +229,23 @@ class SequenceGenerator:
                 ctc_scorer=ctc_scorer,
                 ctc_weight=self.infer_ctc_weight,
                 ctc_prune_k=self.ctc_prune_k,
+                prefix_tokens=prefix_tokens if with_prefix else None,
+                diverse_groups=G if G and G > 1 else 1,
+                diverse_strength=self.diverse_beam_strength,
             )
             return tokens, scores, enc
 
         return jax.jit(run)
 
     def generate(
-        self, params, batch: Dict[str, Any]
+        self, params, batch: Dict[str, Any], extra_params: Optional[list] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, Any]]:
-        """Returns (tokens (B, K, L), scores (B, K), encoder_out dict)."""
+        """Returns (tokens (B, K, L), scores (B, K), encoder_out dict).
+
+        With ``prefix_size`` > 0, the first prefix_size target tokens from
+        batch["target"] are forced (reference --prefix-size).  With
+        ``extra_models``, pass their params via ``extra_params``.
+        """
         features = batch[self.input_keys[0]]
         T = features.shape[1]
         # conservative encoder length (subsampling ratio from model config)
@@ -187,7 +253,14 @@ class SequenceGenerator:
         for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
             enc_T = (enc_T - 1) // getattr(self.model.cfg, "subsampling_stride", 2) + 1
         max_len = self._max_len_for(enc_T)
-        key = (features.shape, max_len)
+        prefix = None
+        if self.prefix_size > 0 and "target" in batch:
+            prefix = jnp.asarray(batch["target"])[:, : self.prefix_size]
+        key = (features.shape, max_len, prefix is not None,
+               None if prefix is None else prefix.shape)
         if key not in self._jitted:
-            self._jitted[key] = self._build(max_len)
-        return self._jitted[key](params, features, batch[self.input_keys[1]])
+            self._jitted[key] = self._build(max_len, with_prefix=prefix is not None)
+        return self._jitted[key](
+            params, features, batch[self.input_keys[1]],
+            tuple(extra_params or ()), prefix,
+        )

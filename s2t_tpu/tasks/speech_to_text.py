@@ -174,6 +174,9 @@ class SpeechToTextTask(Task):
             sampling=g.sampling,
             sampling_topk=g.sampling_topk,
             sampling_topp=g.sampling_topp,
+            prefix_size=g.prefix_size,
+            diverse_beam_groups=g.diverse_beam_groups,
+            diverse_beam_strength=g.diverse_beam_strength,
         )
 
     def decode_tokens(self, tokens) -> str:

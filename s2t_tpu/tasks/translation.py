@@ -107,6 +107,9 @@ class TranslationTask(Task):
             eos_id=self.tgt_dict.eos(), pad_id=self.tgt_dict.pad(),
             max_target_positions=self.cfg.dataset.max_target_positions,
             input_keys=("src_tokens", "src_lengths"),
+            prefix_size=g.prefix_size,
+            diverse_beam_groups=g.diverse_beam_groups,
+            diverse_beam_strength=g.diverse_beam_strength,
         )
 
     def decode_tokens(self, tokens) -> str:

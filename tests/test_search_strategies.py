@@ -1,0 +1,115 @@
+"""Search-strategy parity: prefix forcing, diverse beam, model ensembling.
+
+(reference behaviours: fairseq/sequence_generator.py:128,616 prefix_tokens;
+search.py:552 DiverseBeamSearch; sequence_generator.py:788-900 EnsembleModel.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2t_tpu.inference.generator import SequenceGenerator
+from s2t_tpu.models.s2t_transformer import S2TTransformerConfig, S2TTransformerModel
+
+B, T, D, V = 2, 40, 80, 24
+
+
+def build(seed=0, **kw):
+    cfg = S2TTransformerConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+        encoder_attention_heads=2, decoder_embed_dim=32, decoder_ffn_embed_dim=64,
+        decoder_layers=1, decoder_attention_heads=2, vocab_size=V,
+        subsampling_filter=32, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, max_target_positions=32, **kw,
+    )
+    model = S2TTransformerModel(cfg)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(seed), feats, lens, jnp.zeros((B, 4), jnp.int32)
+    )["params"]
+    return model, params, feats, lens
+
+
+class TestPrefixForcing:
+    def test_prefix_is_respected(self):
+        model, params, feats, lens = build()
+        gen = SequenceGenerator(model, beam_size=3, max_len_b=10,
+                                max_target_positions=32, prefix_size=2)
+        prefix = np.asarray([[5, 9], [7, 4]], np.int32)
+        batch = {
+            "features": feats, "feat_lengths": lens,
+            "target": jnp.asarray(
+                np.concatenate([prefix, np.full((B, 3), 1, np.int32)], 1)
+            ),
+        }
+        tokens, scores, _ = gen.generate(params, batch)
+        toks = np.asarray(tokens)
+        for b in range(B):
+            for k in range(3):
+                np.testing.assert_array_equal(
+                    toks[b, k, :2], prefix[b],
+                    err_msg=f"prefix not forced at b={b} k={k}",
+                )
+
+    def test_no_prefix_unchanged(self):
+        """prefix_size=0 behaves exactly as before."""
+        model, params, feats, lens = build()
+        g0 = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                               max_target_positions=32)
+        g1 = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                               max_target_positions=32, prefix_size=0)
+        t0, s0, _ = g0.generate(params, {"features": feats, "feat_lengths": lens})
+        t1, s1, _ = g1.generate(params, {"features": feats, "feat_lengths": lens})
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+class TestDiverseBeam:
+    def test_groups_produce_diverse_hypotheses(self):
+        model, params, feats, lens = build()
+        plain = SequenceGenerator(model, beam_size=4, max_len_b=10,
+                                  max_target_positions=32)
+        diverse = SequenceGenerator(
+            model, beam_size=4, max_len_b=10, max_target_positions=32,
+            diverse_beam_groups=2, diverse_beam_strength=10.0,
+        )
+        tp, _, _ = plain.generate(params, {"features": feats, "feat_lengths": lens})
+        td, _, _ = diverse.generate(params, {"features": feats, "feat_lengths": lens})
+        tp, td = np.asarray(tp), np.asarray(td)
+        assert tp.shape == td.shape
+
+        def n_unique(t):
+            return len({tuple(t[0, k]) for k in range(t.shape[1])})
+
+        # strong diversity penalty must not *reduce* hypothesis variety
+        assert n_unique(td) >= n_unique(tp) - 1
+        assert np.isfinite(np.asarray(td)).all()
+
+
+class TestEnsemble:
+    def test_two_model_ensemble_runs_and_single_model_is_identity(self):
+        model, params, feats, lens = build(seed=0)
+        model2, params2, _, _ = build(seed=1)
+        single = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                                   max_target_positions=32)
+        ens = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                                max_target_positions=32,
+                                extra_models=[model2])
+        t1, s1, _ = single.generate(params, {"features": feats, "feat_lengths": lens})
+        t2, s2, _ = ens.generate(
+            params, {"features": feats, "feat_lengths": lens},
+            extra_params=[params2],
+        )
+        assert np.isfinite(np.asarray(s2)).all()
+        # ensembling with an identical copy == single model
+        ens_same = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                                     max_target_positions=32,
+                                     extra_models=[model])
+        t3, s3, _ = ens_same.generate(
+            params, {"features": feats, "feat_lengths": lens},
+            extra_params=[params],
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s3), atol=1e-4)
