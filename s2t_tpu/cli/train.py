@@ -239,6 +239,14 @@ def main(cfg) -> Dict[str, Any]:
     patience_left = cfg.optimization.patience
     best_val = None
     history = []
+    plateau = None
+    if cfg.optimization.lr_scheduler in ("reduce_on_plateau", "reduce_lr_on_plateau"):
+        from s2t_tpu.optim.builders import ReduceOnPlateau
+
+        plateau = ReduceOnPlateau(
+            shrink=cfg.optimization.lr_shrink,
+            patience=cfg.optimization.lr_patience,
+        )
 
     while epoch_itr.epoch <= max_epoch and int(state.step) < max_update:
         itr = epoch_itr.next_epoch_itr()
@@ -275,6 +283,10 @@ def main(cfg) -> Dict[str, Any]:
         val = validate(cfg, task, trainer, state, valid_ds, generator)
         metric_name = cfg.checkpoint.best_checkpoint_metric
         val_metric = val.get(metric_name, val.get("loss"))
+        if plateau is not None:
+            scale = plateau.step(float(val.get("loss", val_metric)))
+            state = trainer.set_lr_scale(state, scale)
+            val["lr_scale"] = scale
         progress.log(val, int(state.step), "valid", epoch_itr.epoch)
         history.append(val)
         if not cfg.checkpoint.no_save:

@@ -217,6 +217,12 @@ class OptimizationConfig:
     warmup_init_lr: float = -1.0
     min_lr: float = 0.0
     patience: int = -1
+    # per-param-group LR multipliers by top-level path prefix (0.0 = freeze);
+    # the practical core of the reference's composite optimizer
+    lr_groups: Dict[str, float] = field(default_factory=dict)
+    # reduce_on_plateau controls (reference: reduce_lr_on_plateau.py)
+    lr_shrink: float = 0.1
+    lr_patience: int = 0
     # loss scaling is unnecessary in bf16 (TPU native); kept for fp16 parity
     fp16_init_scale: float = 2.0**15
 

@@ -136,6 +136,7 @@ class SpeechToTextDataset:
                 if c.startswith("src_text") and c[len("src_text"):].isdigit()
             )
             self.mlo_texts = {k: [] for k in mlo_cols}
+            self.tgt_langs: List[Optional[str]] = []
             for row in reader:
                 self.ids.append(row["id"])
                 self.audio_paths.append(row["audio"])
@@ -143,6 +144,7 @@ class SpeechToTextDataset:
                 self.tgt_texts.append(row.get("tgt_text"))
                 self.src_texts.append(row.get("src_text"))
                 self.aligned_tgt_texts.append(row.get("aligned_tgt_text"))
+                self.tgt_langs.append(row.get("tgt_lang"))
                 for k in mlo_cols:
                     self.mlo_texts[k].append(row.get(f"src_text{k}"))
         self.n_frames = np.asarray(self.n_frames, dtype=np.int64)
@@ -171,9 +173,13 @@ class SpeechToTextDataset:
             feats = load_features(self.audio_paths[index], self.root).astype(np.float32)
         item = {"id": index, "features": feats, "n_frames": feats.shape[0]}
         if self.tgt_texts[index] is not None:
-            item["target"] = self._encode_text(
-                self.tgt_texts[index], self.bpe, self.tgt_dict
-            )
+            tgt = self._encode_text(self.tgt_texts[index], self.bpe, self.tgt_dict)
+            if self.cfg.prepend_tgt_lang_tag and self.tgt_langs[index]:
+                # multilingual: <lang:xx> tag leads the target (reference:
+                # speech_to_text_dataset.py LANG_TAG_TEMPLATE + :373-378)
+                tag = self.tgt_dict.index(f"<lang:{self.tgt_langs[index]}>")
+                tgt = np.concatenate([[tag], tgt]).astype(tgt.dtype)
+            item["target"] = tgt
         if self.src_texts[index] is not None:
             # transcript for CTC: no EOS (reference: criterions/ctc.py:365)
             t = self._encode_text(self.src_texts[index], self.src_bpe, self.src_dict)

@@ -12,7 +12,7 @@ is chained into the transformation.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +91,96 @@ def fixed(cfg: OptimizationConfig) -> Callable:
     return optax.constant_schedule(cfg.lr)
 
 
+@register_lr_scheduler("reduce_lr_on_plateau")
+@register_lr_scheduler("reduce_on_plateau")
+def reduce_on_plateau(cfg: OptimizationConfig) -> Callable:
+    """Constant base schedule; the actual decay is the runtime lr-scale in
+    the optimizer state, driven by ReduceOnPlateau.step(val_loss) from the
+    train loop (reference: optim/lr_scheduler/reduce_lr_on_plateau.py)."""
+    return optax.constant_schedule(cfg.lr)
+
+
+@register_lr_scheduler("triangular")
+def triangular(cfg: OptimizationConfig) -> Callable:
+    """Cyclical triangular LR (reference: lr_scheduler/triangular.py):
+    oscillates between min_lr and lr with period ``warmup_updates*2`` (or
+    max_update/10 when unset)."""
+    period = max(cfg.warmup_updates * 2 or cfg.max_update // 10, 2)
+    lo = max(cfg.min_lr, cfg.lr * 0.01)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        phase = jnp.mod(step, period) / (period / 2.0)
+        tri = jnp.where(phase < 1.0, phase, 2.0 - phase)
+        return lo + (cfg.lr - lo) * tri
+
+    return schedule
+
+
+class ReduceOnPlateau:
+    """Host-side plateau controller (reference:
+    optim/lr_scheduler/reduce_lr_on_plateau.py:143 — shrink lr by
+    ``lr_shrink`` when the validation metric stops improving for
+    ``lr_patience`` validations).  Produces a cumulative scale factor the
+    Trainer injects into the optimizer state via set_lr_scale."""
+
+    def __init__(self, shrink: float = 0.1, patience: int = 0,
+                 threshold: float = 1e-4, min_scale: float = 1e-8):
+        self.shrink = shrink
+        self.patience = patience
+        self.threshold = threshold
+        self.min_scale = min_scale
+        self.best: Optional[float] = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def step(self, val: float) -> float:
+        if self.best is None or val < self.best - self.threshold:
+            self.best = val
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale = max(self.scale * self.shrink, self.min_scale)
+                self.bad = 0
+        return self.scale
+
+
+class LRScaleState(NamedTuple):
+    scale: jnp.ndarray
+
+
+def lr_scale_transform() -> optax.GradientTransformation:
+    """Terminal transformation multiplying updates by a runtime scale held in
+    optimizer state — the hook for reduce_on_plateau (update ∝ lr, so
+    scaling updates == scaling lr for every optimizer here)."""
+
+    def init(params):
+        return LRScaleState(scale=jnp.ones((), jnp.float32))
+
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda u: u * state.scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_lr_scale(opt_state, value: float):
+    """Functionally replace every LRScaleState.scale in an optimizer state."""
+
+    def walk(node):
+        if isinstance(node, LRScaleState):
+            return LRScaleState(scale=jnp.asarray(value, jnp.float32))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[walk(x) for x in node])
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(x) for x in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(opt_state)
+
+
 def build_lr_schedule(cfg: OptimizationConfig) -> Callable:
     return LR_SCHEDULERS.get(cfg.lr_scheduler)(cfg)
 
@@ -159,10 +249,34 @@ def lamb(cfg: OptimizationConfig, schedule) -> optax.GradientTransformation:
 def build_optimizer(
     cfg: OptimizationConfig, schedule: Optional[Callable] = None
 ) -> optax.GradientTransformation:
-    """Build clip→optimizer chain (clipping matches --clip-norm semantics,
-    reference: trainer.py:720-753)."""
+    """Build clip→optimizer→[per-group scale]→lr-scale chain (clipping
+    matches --clip-norm semantics, reference: trainer.py:720-753).
+
+    ``cfg.lr_groups`` maps a top-level param-path prefix to an LR multiplier
+    (0.0 freezes the subtree) — the practical core of the reference's
+    composite optimizer (optim/composite.py) and the freeze knobs used by
+    SATE fine-tuning."""
     schedule = schedule or build_lr_schedule(cfg)
     tx = OPTIMIZERS.get(cfg.optimizer)(cfg, schedule)
     if cfg.clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
-    return tx
+    groups = dict(getattr(cfg, "lr_groups", None) or {})
+    if groups:
+        def group_scale():
+            def init(params):
+                return optax.EmptyState()
+
+            def update(updates, state, params=None):
+                def scale_leaf(path, u):
+                    key = path[0].key if path else ""
+                    return u * groups.get(key, 1.0)
+
+                return (
+                    jax.tree_util.tree_map_with_path(scale_leaf, updates),
+                    state,
+                )
+
+            return optax.GradientTransformation(init, update)
+
+        tx = optax.chain(tx, group_scale())
+    return optax.chain(tx, lr_scale_transform())

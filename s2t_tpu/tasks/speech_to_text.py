@@ -63,14 +63,26 @@ class SpeechToTextTask(Task):
 
     def load_dataset(self, split: str, is_train: bool = False):
         root = Path(self.cfg.dataset.data)
-        ds = SpeechToTextDataset(
-            root / f"{split}.tsv",
-            self.data_cfg,
-            self.tgt_dict,
-            self.src_dict,
-            is_train=is_train,
-            root=str(root),
-        )
+
+        def one(name):
+            return SpeechToTextDataset(
+                root / f"{name}.tsv", self.data_cfg, self.tgt_dict,
+                self.src_dict, is_train=is_train, root=str(root),
+            )
+
+        if "," in split:
+            # multilingual: comma-separated per-language TSVs with
+            # temperature resampling (reference: tasks/speech_to_text.py
+            # from_tsv multi-split + _get_size_ratios)
+            from s2t_tpu.data.multilingual import MultilingualS2TDataset
+
+            ds = MultilingualS2TDataset(
+                [one(s.strip()) for s in split.split(",")],
+                alpha=self.data_cfg.sampling_alpha,
+                resample=is_train,
+            )
+        else:
+            ds = one(split)
         self.datasets[split] = ds
         return ds
 

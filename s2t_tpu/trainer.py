@@ -109,6 +109,12 @@ class Trainer:
         opt_state = jax.jit(self.tx.init)(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
+    def set_lr_scale(self, state: TrainState, value: float) -> TrainState:
+        """Inject a runtime LR multiplier (reduce_on_plateau driver)."""
+        from s2t_tpu.optim.builders import set_lr_scale
+
+        return state.replace(opt_state=set_lr_scale(state.opt_state, value))
+
     def state_dict(self, state: TrainState) -> Dict[str, Any]:
         from flax import serialization
 
