@@ -270,6 +270,42 @@ class CTCCriterion:
         return loss, sample_size, logs
 
 
+@register_criterion("join_speech_and_text_loss")
+class JoinSpeechAndTextLoss:
+    """CE + CTC for dual/multibranch models: loss = (1 - ctc_weight)·CE +
+    CTC branches (reference: criterions/join_speech_and_text_loss.py:19-100
+    — the CE term is down-weighted by the main ctc weight)."""
+
+    @dataclass
+    class Config:
+        label_smoothing: float = 0.1
+        sentence_avg: bool = False
+        report_accuracy: bool = True
+        pad_id: int = 1
+        ctc: "CTCCriterion.Config" = field(default_factory=lambda: CTCCriterion.Config())
+
+    def __init__(self, cfg: "JoinSpeechAndTextLoss.Config"):
+        self.cfg = cfg
+        self.inner = LabelSmoothedCEWithCTC(
+            LabelSmoothedCEWithCTC.Config(
+                label_smoothing=cfg.label_smoothing,
+                sentence_avg=cfg.sentence_avg,
+                report_accuracy=cfg.report_accuracy,
+                pad_id=cfg.pad_id,
+                ctc=cfg.ctc,
+            )
+        )
+
+    def __call__(self, model_out, batch):
+        loss, sample_size, logs = self.inner(model_out, batch)
+        w = self.cfg.ctc.ctc_weight
+        if w > 0:
+            ce = logs["ce_loss"]
+            loss = loss - w * ce  # total = (1-w)·CE + CTC terms
+            logs = {**logs, "loss": loss, "trans_loss": (1.0 - w) * ce}
+        return loss, sample_size, logs
+
+
 @register_criterion("label_smoothed_cross_entropy_with_ctc")
 class LabelSmoothedCEWithCTC:
     """Default ST loss: label-smoothed CE + weighted CTC branches

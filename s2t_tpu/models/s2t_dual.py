@@ -155,12 +155,14 @@ class S2TDualModel(nn.Module):
     def _decode(self, prev_tokens, speech_out, speech_mask, text_out, text_mask,
                 deterministic):
         sp = self.cfg.speech
-        from s2t_tpu.modules.positional import sinusoidal_encoding
+        from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
 
         x = self.embed_tokens(prev_tokens) * jnp.sqrt(sp.decoder_embed_dim).astype(
             self.cfg.dtype
         )
-        x = x + sinusoidal_encoding(x.shape[1], sp.decoder_embed_dim, x.dtype)[None]
+        x = x + fairseq_sinusoidal_encoding(
+            x.shape[1], sp.decoder_embed_dim, sp.pad_id, x.dtype
+        )[None]
         sb = padding_bias(speech_mask, x.dtype)
         tb = padding_bias(text_mask, x.dtype)
         for layer in self.dec_layers:

@@ -81,7 +81,10 @@ def ring_attention(
     valid_mask: (B, T) bool.  Returns (B, T, H, Dh), numerically equal to
     dense masked attention (fp32 accumulation).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec_x = P(batch_axis, seq_axis, None, None)
     spec_m = P(batch_axis, seq_axis)

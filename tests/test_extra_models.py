@@ -84,3 +84,55 @@ class TestDual:
         assert not np.allclose(
             np.asarray(out["decoder_logits"]), np.asarray(out2["decoder_logits"])
         )
+
+
+class TestMultiBranch:
+    def test_forward_and_join_loss(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.criterions.build import build_criterion
+        from s2t_tpu.models.s2t_multibranch import (
+            S2TMultiBranchConfig, S2TMultiBranchModel,
+        )
+
+        B, T, V = 2, 40, 24
+        cfg = S2TMultiBranchConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+            encoder_attention_heads=2, junior_layers=1, senior_layers=1,
+            textual_layers=1, decoder_layers=1, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_attention_heads=2,
+            subsampling_filter=32, vocab_size=V, dropout=0.0,
+            attention_dropout=0.0, activation_dropout=0.0,
+            collaboration_direction="both",
+        )
+        model = S2TMultiBranchModel(cfg)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(size=(B, T, 80)), jnp.float32)
+        lens = jnp.full((B,), T, jnp.int32)
+        prev = jnp.zeros((B, 5), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, lens, prev)
+        out = model.apply(params, feats, lens, prev)
+        assert out["decoder_logits"].shape == (B, 5, V)
+        assert out["ctc_logits"] is not None
+        assert out["senior_out"].shape == out["encoder_out"].shape
+
+        crit = build_criterion(
+            "join_speech_and_text_loss",
+            {"label_smoothing": 0.1, "ctc": {"ctc_weight": 0.3}},
+        )
+        targets = rng.integers(4, V, size=(B, 5)).astype(np.int32)
+        targets[:, -1] = 2
+        batch = {
+            "target": jnp.asarray(targets),
+            "transcript": jnp.asarray(targets[:, :-1]),
+            "transcript_lengths": jnp.full((B,), 4, jnp.int32),
+            "ntokens": float(B * 5),
+        }
+        loss, ss, logs = crit(out, batch)
+        assert np.isfinite(float(loss))
+        # CE term is down-weighted: loss = (1-w)*ce + ctc_terms
+        expect = 0.7 * float(logs["ce_loss"]) + 0.3 * float(logs["ctc_loss"])
+        np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+        assert "trans_loss" in logs
