@@ -3,6 +3,7 @@
 from s2t_tpu.models import berard  # noqa: F401
 from s2t_tpu.models import cmlm_transformer  # noqa: F401
 from s2t_tpu.models import levenshtein_transformer  # noqa: F401
+from s2t_tpu.models import lightconv  # noqa: F401
 from s2t_tpu.models import pds  # noqa: F401
 from s2t_tpu.models import s2t_ctc  # noqa: F401
 from s2t_tpu.models import s2t_transformer  # noqa: F401

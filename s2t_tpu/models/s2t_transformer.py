@@ -53,6 +53,19 @@ class S2TTransformerConfig:
     encoder_layers: int = 12
     encoder_attention_heads: int = 4
     encoder_attention_type: str = "abs"  # abs | rel_pos | rope
+    # local/windowed self-attention: hide keys farther than this many frames
+    # (reference: modules/local_multihead_attention.py); 0 = global
+    encoder_attention_window: int = 0
+    # reduced attention: subsample K/V by this stride (reference:
+    # modules/reduced_multihead_attention.py); 1 = full
+    encoder_attention_stride: int = 1
+    # rematerialise encoder layers in backward (reference:
+    # modules/checkpoint_activations.py) — trades FLOPs for HBM
+    checkpoint_activations: bool = False
+    # LayerDrop (reference: modules/layer_drop.py); under jit both paths are
+    # computed and the dropped layer's output is discarded — same training
+    # semantics, no dynamic graph
+    encoder_layerdrop: float = 0.0
     encoder_normalize_before: bool = True
     encoder_no_scale_embedding: bool = False
     encoder_embed_linear: bool = False
@@ -171,14 +184,20 @@ class S2TTransformerEncoder(nn.Module):
             self.embed_linear = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="embed_linear")
         if cfg.encoder_embed_norm:
             self.embed_norm = nn.LayerNorm(dtype=dt, name="embed_norm")
+        layer_cls = S2TEncoderLayer
+        if cfg.checkpoint_activations:
+            # rematerialise activations in the backward pass; deterministic
+            # (arg index 4) stays static for flax Dropout control flow
+            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(4,))
         self.layers = [
-            S2TEncoderLayer(
+            layer_cls(
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
                 cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
                 cfg.activation_dropout, cfg.activation_fn,
                 cfg.encoder_normalize_before, cfg.encoder_attention_type,
                 cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
-                dt, cfg.seq_parallel, name=f"layer{i}",
+                dt, cfg.seq_parallel, cfg.encoder_attention_stride,
+                name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
         ]
@@ -217,6 +236,11 @@ class S2TTransformerEncoder(nn.Module):
                     str(l): nn.LayerNorm(dtype=dt, name=f"inter_xctc_norm{l}")
                     for l in cfg.inter_xctc_layers
                 }
+        if cfg.use_xctc and cfg.xctc_pae != "none":
+            self.xpae = Adapter(
+                cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
+                cfg.pae_ctc_temperature, dtype=dt, name="xpae",
+            )
         if cfg.use_axctc:
             self.axctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt,
                                       name="axctc_head")
@@ -225,11 +249,6 @@ class S2TTransformerEncoder(nn.Module):
                     str(l): nn.LayerNorm(dtype=dt, name=f"inter_axctc_norm{l}")
                     for l in cfg.inter_axctc_layers
                 }
-            if cfg.xctc_pae != "none":
-                self.xpae = Adapter(
-                    cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
-                    cfg.pae_ctc_temperature, dtype=dt, name="xpae",
-                )
         self.drop = nn.Dropout(cfg.dropout)
 
     def _mixup(self, x, lengths):
@@ -323,6 +342,10 @@ class S2TTransformerEncoder(nn.Module):
 
         valid = lengths_to_mask(lengths, T)
         bias = padding_bias(valid, x.dtype)
+        if cfg.encoder_attention_window > 0:
+            from s2t_tpu.modules.attention import local_window_bias
+
+            bias = bias + local_window_bias(T, cfg.encoder_attention_window, x.dtype)
         if cfg.seq_parallel:
             # activations sharded over ("data" batch, "seq" time): elementwise
             # and FFN work is fully local, attention goes through the ring
@@ -346,7 +369,14 @@ class S2TTransformerEncoder(nn.Module):
                 x, lengths, mixup = self._mixup(x, lengths)
                 valid = lengths_to_mask(lengths, T)
                 bias = padding_bias(valid, x.dtype)
-            x = layer(x, valid, bias, pos_emb, deterministic)
+            if cfg.encoder_layerdrop > 0 and not deterministic:
+                keep = (
+                    jax.random.uniform(self.make_rng("dropout"))
+                    >= cfg.encoder_layerdrop
+                )
+                x = jnp.where(keep, layer(x, valid, bias, pos_emb, deterministic), x)
+            else:
+                x = layer(x, valid, bias, pos_emb, deterministic)
             if cfg.seq_parallel:
                 from s2t_tpu.parallel.context import constrain
 

@@ -48,6 +48,9 @@ class MultiHeadAttention(nn.Module):
     # sequence parallelism: self-attention over a T axis sharded on the
     # mesh "seq" axis via ring ppermute (no reference equivalent; SURVEY §7)
     seq_parallel: bool = False
+    # reduced attention: subsample keys/values by this stride (reference:
+    # fairseq/modules/reduced_multihead_attention.py downsampled-KV variant)
+    kv_stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -80,6 +83,11 @@ class MultiHeadAttention(nn.Module):
         and ``cache_index`` (scalar int32).  query must then have Tq == 1 and
         key/value are the *new* step only; cached keys up to index are used.
         """
+        if self.kv_stride > 1 and cache is None:
+            key = key[:, :: self.kv_stride]
+            value = value[:, :: self.kv_stride]
+            if bias is not None:
+                bias = bias[..., :: self.kv_stride]
         q = self._split(self.q_proj(query))
         k = self._split(self.k_proj(key))
         v = self._split(self.v_proj(value))
@@ -200,6 +208,15 @@ class RelPositionMultiHeadAttention(nn.Module):
 def padding_bias(valid_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(B, Tk) valid-mask -> (B, 1, 1, Tk) additive attention bias."""
     return jnp.where(valid_mask[:, None, None, :], 0.0, NEG).astype(dtype)
+
+
+def local_window_bias(T: int, window: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, T, T) band mask: positions farther than ``window`` are hidden
+    (reference: fairseq/modules/local_multihead_attention.py — windowed
+    self-attention as a research option)."""
+    i = jnp.arange(T)
+    band = jnp.abs(i[:, None] - i[None, :]) <= window
+    return jnp.where(band, 0.0, NEG).astype(dtype)[None, None]
 
 
 def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -98,6 +98,7 @@ class S2TEncoderLayer(nn.Module):
     cnn_kernel: int = 31
     dtype: jnp.dtype = jnp.float32
     seq_parallel: bool = False  # ring attention over the mesh "seq" axis
+    attention_stride: int = 1  # reduced-KV attention stride
 
     @nn.compact
     def __call__(
@@ -135,7 +136,8 @@ class S2TEncoderLayer(nn.Module):
             h, _ = MultiHeadAttention(
                 self.dim, self.num_heads, self.attention_dropout,
                 attention_type=self.attention_type,
-                seq_parallel=self.seq_parallel, dtype=self.dtype,
+                seq_parallel=self.seq_parallel,
+                kv_stride=self.attention_stride, dtype=self.dtype,
                 name="self_attn",
             )(h, h, h, attn_bias, deterministic, valid_mask=valid_mask)
         x = res + drop(h, deterministic=deterministic)

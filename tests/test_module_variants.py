@@ -1,0 +1,101 @@
+"""Module variants: local attention, reduced-KV attention, activation
+checkpointing (remat), layerdrop.
+
+(reference behaviours: modules/local_multihead_attention.py,
+reduced_multihead_attention.py, checkpoint_activations.py, layer_drop.py.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2t_tpu.models.s2t_transformer import S2TTransformerConfig, S2TTransformerModel
+
+B, T, D, V = 2, 48, 80, 20
+
+
+def build(**kw):
+    cfg = S2TTransformerConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+        encoder_attention_heads=2, decoder_embed_dim=32, decoder_ffn_embed_dim=64,
+        decoder_layers=1, decoder_attention_heads=2, vocab_size=V,
+        subsampling_filter=32, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, max_target_positions=32, **kw,
+    )
+    model = S2TTransformerModel(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.asarray([T, T - 10], jnp.int32)
+    prev = jnp.asarray([[2, 5, 6], [2, 7, 8]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens, prev)["params"]
+    return model, params, feats, lens, prev
+
+
+class TestLocalAttention:
+    def test_window_changes_receptive_field(self):
+        m_full, p, feats, lens, prev = build()
+        m_loc = S2TTransformerModel(m_full.cfg.replace(encoder_attention_window=1))
+        out_full = m_full.apply({"params": p}, feats, lens, prev)
+        out_loc = m_loc.apply({"params": p}, feats, lens, prev)
+        # same params, different masking -> different outputs, both finite
+        assert np.isfinite(np.asarray(out_loc["encoder_out"])).all()
+        assert not np.allclose(
+            np.asarray(out_full["encoder_out"]), np.asarray(out_loc["encoder_out"])
+        )
+
+    def test_huge_window_equals_global(self):
+        m_full, p, feats, lens, prev = build()
+        m_loc = S2TTransformerModel(
+            m_full.cfg.replace(encoder_attention_window=10_000)
+        )
+        a = m_full.apply({"params": p}, feats, lens, prev)
+        b = m_loc.apply({"params": p}, feats, lens, prev)
+        np.testing.assert_allclose(
+            np.asarray(a["encoder_out"]), np.asarray(b["encoder_out"]), atol=1e-6
+        )
+
+
+class TestReducedAttention:
+    def test_stride_runs_and_differs(self):
+        m_full, p, feats, lens, prev = build()
+        m_red = S2TTransformerModel(m_full.cfg.replace(encoder_attention_stride=2))
+        out = m_red.apply({"params": p}, feats, lens, prev)
+        assert out["encoder_out"].shape == (
+            m_full.apply({"params": p}, feats, lens, prev)["encoder_out"].shape
+        )
+        assert np.isfinite(np.asarray(out["encoder_out"])).all()
+
+
+class TestRemat:
+    def test_checkpoint_activations_same_loss_and_grads(self):
+        m_plain, p, feats, lens, prev = build()
+        m_ckpt = S2TTransformerModel(m_plain.cfg.replace(checkpoint_activations=True))
+        p_ckpt = m_ckpt.init(jax.random.PRNGKey(0), feats, lens, prev)["params"]
+
+        def loss(model, params):
+            out = model.apply({"params": params}, feats, lens, prev)
+            return jnp.sum(out["decoder_logits"].astype(jnp.float32) ** 2)
+
+        l1, g1 = jax.value_and_grad(lambda q: loss(m_plain, q))(p)
+        l2, g2 = jax.value_and_grad(lambda q: loss(m_ckpt, q))(p)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestLayerDrop:
+    def test_layerdrop_trains_and_evals_clean(self):
+        model, p, feats, lens, prev = build(encoder_layerdrop=0.5)
+        out_train = model.apply(
+            {"params": p}, feats, lens, prev, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        out_eval = model.apply({"params": p}, feats, lens, prev)
+        assert np.isfinite(np.asarray(out_train["decoder_logits"])).all()
+        # eval ignores layerdrop: deterministic path
+        out_eval2 = model.apply({"params": p}, feats, lens, prev)
+        np.testing.assert_array_equal(
+            np.asarray(out_eval["decoder_logits"]),
+            np.asarray(out_eval2["decoder_logits"]),
+        )
