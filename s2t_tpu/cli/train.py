@@ -254,6 +254,20 @@ def main(cfg) -> Dict[str, Any]:
         interval_logs: Dict[str, float] = {}
         interval_n = 0
         for batch in itr:
+            if cfg.common.profile:
+                # jax profiler window (reference: --profile wrapping,
+                # fairseq_cli/train.py:491-494 — nvtx/cuda profiler there)
+                step_now = int(state.step)
+                if step_now == cfg.common.profile_start:
+                    logdir = Path(
+                        cfg.common.tensorboard_logdir or cfg.checkpoint.save_dir
+                    ) / "profile"
+                    logdir.mkdir(parents=True, exist_ok=True)
+                    jax.profiler.start_trace(str(logdir))
+                    logger.info("profiler trace started -> %s", logdir)
+                elif step_now == cfg.common.profile_start + cfg.common.profile_steps:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace stopped")
             state, metrics = trainer.train_step(state, to_device_batch(batch))
             interval_n += 1
             for k in ("loss", "gnorm"):

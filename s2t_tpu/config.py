@@ -163,6 +163,10 @@ class CommonConfig:
     dtype: str = "bfloat16"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"  # parameter dtype
     profile: bool = False
+    # jax.profiler trace window: [profile_start, profile_start+profile_steps)
+    # updates written to <tensorboard_logdir or save_dir>/profile
+    profile_start: int = 10
+    profile_steps: int = 5
     user_dir: Optional[str] = None
 
 

@@ -107,6 +107,96 @@ class CharTokenizer:
         return "".join(pieces).replace("▁", " ").strip()
 
 
+@register_tokenizer("gpt2")
+class GPT2Tokenizer:
+    """Byte-level BPE (reference: fairseq/data/encoders/gpt2_bpe.py) via HF
+    tokenizers ByteLevel pre-tokenisation; train or load from file."""
+
+    def __init__(self, model_path: Optional[str] = None, tok=None):
+        if tok is not None:
+            self.tok = tok
+        else:
+            from tokenizers import Tokenizer
+
+            self.tok = Tokenizer.from_file(str(model_path))
+
+    @classmethod
+    def train(cls, lines, vocab_size, model_path, special_tokens=None, **kw):
+        from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+        tok = Tokenizer(models.BPE())
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=vocab_size, special_tokens=special_tokens or [],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        )
+        tok.train_from_iterator(lines, trainer)
+        tok.save(str(model_path))
+        return cls(tok=tok)
+
+    def encode(self, text: str) -> List[str]:
+        return self.tok.encode(text).tokens
+
+    def encode_line(self, text: str) -> str:
+        return " ".join(self.encode(text))
+
+    def decode(self, pieces: List[str] | str) -> str:
+        if isinstance(pieces, str):
+            pieces = pieces.split()
+        ids = [self.tok.token_to_id(p) for p in pieces]
+        return self.tok.decode([i for i in ids if i is not None]).strip()
+
+    def vocab(self) -> List[str]:
+        v = self.tok.get_vocab()
+        return sorted(v, key=lambda s: v[s])
+
+
+@register_tokenizer("moses")
+class MosesTokenizer:
+    """Moses-style pre-tokenizer (reference: fairseq/data/encoders/
+    moses_tokenizer.py via sacremoses, absent here): the core rules —
+    punctuation splitting with number/abbreviation protection, aggressive
+    dash handling off, escape-free output."""
+
+    _PUNCT = r"([\.,!\?;:\(\)\[\]\{\}\"“”„…«»])"
+
+    def __init__(self, model_path: Optional[str] = None, **kw):
+        import re
+
+        self._re_punct = re.compile(self._PUNCT)
+        self._re_num = re.compile(r"(?<=\d)[\.,](?=\d)")
+        self._re_multi = re.compile(r"\s+")
+        self._re_apos = re.compile(r"(\w)'(\w)")
+
+    @classmethod
+    def train(cls, lines=None, **kw):
+        return cls()
+
+    def encode(self, text: str) -> List[str]:
+        return self.encode_line(text).split()
+
+    def encode_line(self, text: str) -> str:
+        import re
+
+        t = text.strip()
+        # protect decimal/thousand separators inside numbers
+        t = self._re_num.sub(lambda m: "\x00", t)
+        t = self._re_punct.sub(r" \1 ", t)
+        t = self._re_apos.sub(r"\1 '\2", t)  # l'homme -> l 'homme
+        t = t.replace("\x00", ".")
+        return self._re_multi.sub(" ", t).strip()
+
+    def decode(self, pieces: List[str] | str) -> str:
+        import re
+
+        if isinstance(pieces, list):
+            pieces = " ".join(pieces)
+        out = re.sub(r" ([\.,!\?;:\)\]\}])", r"\1", pieces)
+        out = re.sub(r"([\(\[\{]) ", r"\1", out)
+        return out.strip()
+
+
 def build_tokenizer(cfg: Optional[dict]) -> Optional[object]:
     """Build from a data-config dict like {"bpe_tokenizer": {"bpe": "unigram",
     "model_path": ...}} (reference: S2TDataConfig.bpe_tokenizer)."""
@@ -114,7 +204,7 @@ def build_tokenizer(cfg: Optional[dict]) -> Optional[object]:
         return None
     kind = cfg.get("bpe") or cfg.get("tokenizer") or "unigram"
     cls = TOKENIZERS.get(kind)
-    if kind == "char":
+    if kind in ("char", "moses"):
         return cls()
     path = cfg.get("model_path") or cfg.get("sentencepiece_model")
     if not path:

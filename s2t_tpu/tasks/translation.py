@@ -66,8 +66,21 @@ class TranslationTask(Task):
 
     def load_dataset(self, split: str, is_train: bool = False):
         root = Path(self.cfg.dataset.data)
-        src = root / f"{split}.{self.data_cfg.src_lang}"
-        tgt = root / f"{split}.{self.data_cfg.tgt_lang}"
+        sl, tl = self.data_cfg.src_lang, self.data_cfg.tgt_lang
+        # binarized mmap pair (fairseq-preprocess layout) takes precedence
+        bin_src = root / f"{split}.{sl}-{tl}.{sl}"
+        if Path(str(bin_src) + ".bin").exists():
+            from s2t_tpu.data.indexed_dataset import BinarizedTranslationDataset
+
+            bin_tgt = root / f"{split}.{sl}-{tl}.{tl}"
+            ds = BinarizedTranslationDataset(
+                bin_src,
+                bin_tgt if Path(str(bin_tgt) + ".bin").exists() else None,
+            )
+            self.datasets[split] = ds
+            return ds
+        src = root / f"{split}.{sl}"
+        tgt = root / f"{split}.{tl}"
         ds = TranslationDataset(
             src, tgt if tgt.exists() else None, self.src_dict, self.tgt_dict,
             self.src_bpe, self.bpe,

@@ -240,6 +240,19 @@ class Trainer:
         key = (accum, self._batch_key(batch))
         step = self._train_steps.get(key)
         if step is None:
+            # compile-count detector (reference: trainer.py:1283
+            # _check_xla_compilation): a growing program set after warmup
+            # means the data side is producing unbucketed shapes
+            n = sum(1 for k in self._train_steps if not (
+                isinstance(k, tuple) and k and k[0] == "many"))
+            if n >= 4:
+                import logging
+
+                logging.getLogger("s2t_tpu.trainer").warning(
+                    "compiling train program #%d for batch structure %s — "
+                    "check bucketing (each shape compiles its own program)",
+                    n + 1, key,
+                )
             rep = replicated(self.mesh)
             step = self._train_steps[key] = jax.jit(
                 self._make_train_step(accum),

@@ -1,0 +1,148 @@
+"""mmap indexed datasets, preprocess CLI, tokenizers, hub API, watchdog.
+
+(reference behaviours: data/indexed_dataset.py:576, fairseq_cli/preprocess.py,
+data/encoders/{moses_tokenizer,gpt2_bpe}.py, hub_utils.py:298,
+distributed/distributed_timeout_wrapper.py.)
+"""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+class TestIndexedDataset:
+    def test_roundtrip(self, tmp_path):
+        from s2t_tpu.data.indexed_dataset import (
+            MMapIndexedDataset, MMapIndexedDatasetBuilder,
+        )
+
+        b = MMapIndexedDatasetBuilder(tmp_path / "x")
+        items = [[4, 5, 6, 2], [7, 2], [8, 9, 10, 11, 2]]
+        for it in items:
+            b.add_item(it)
+        b.finalize()
+        ds = MMapIndexedDataset(tmp_path / "x")
+        assert len(ds) == 3
+        np.testing.assert_array_equal(ds.sizes, [4, 2, 5])
+        for i, it in enumerate(items):
+            np.testing.assert_array_equal(ds[i], it)
+
+    def test_preprocess_cli_and_train_load(self, tmp_path):
+        from s2t_tpu.cli.preprocess import main as preprocess_main
+        from s2t_tpu.data.indexed_dataset import BinarizedTranslationDataset
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        (raw / "train.en").write_text("a b c\nb c\na a b c\n")
+        (raw / "train.de").write_text("c b a\nc b\nc b a a\n")
+        dest = tmp_path / "bin"
+        preprocess_main([
+            "--source-lang", "en", "--target-lang", "de",
+            "--trainpref", str(raw / "train"), "--destdir", str(dest),
+            "--joined-dictionary",
+        ])
+        assert (dest / "dict.en.txt").exists()
+        ds = BinarizedTranslationDataset(
+            dest / "train.en-de.en", dest / "train.en-de.de"
+        )
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["source"][-1] == 2  # eos appended
+        assert "target" in item
+        batch = ds.collater([ds[0], ds[1]])
+        assert batch["src_tokens"].shape[0] == 2
+        assert "prev_tokens" in batch
+
+
+class TestTokenizers:
+    def test_moses_roundtrip(self):
+        from s2t_tpu.data.tokenizer import MosesTokenizer
+
+        t = MosesTokenizer()
+        enc = t.encode_line("Hello, world! It's 3.14 (approx).")
+        assert " , " in " " + enc + " "
+        assert "3.14" in enc  # number protected
+        assert "( approx" in enc
+        dec = t.decode(enc)
+        assert dec.startswith("Hello,")
+
+    def test_gpt2_bpe_train_encode_decode(self, tmp_path):
+        from s2t_tpu.data.tokenizer import GPT2Tokenizer
+
+        lines = ["the cat sat on the mat", "the dog ate the food",
+                 "cats and dogs"] * 10
+        tok = GPT2Tokenizer.train(lines, 400, tmp_path / "gpt2.json")
+        enc = tok.encode_line("the cat ate")
+        assert len(enc.split()) >= 1
+        assert tok.decode(enc) == "the cat ate"
+        # reload from file
+        tok2 = GPT2Tokenizer(model_path=tmp_path / "gpt2.json")
+        assert tok2.encode_line("the cat ate") == enc
+
+
+class TestWatchdog:
+    def test_fires_on_stall(self):
+        from s2t_tpu.utils.watchdog import Watchdog
+
+        fired = []
+        w = Watchdog(timeout=0.3, on_timeout=lambda: fired.append(1),
+                     kill=False).start()
+        time.sleep(1.0)
+        w.stop()
+        assert w.fired and fired
+
+    def test_heartbeat_prevents_fire(self):
+        from s2t_tpu.utils.watchdog import Watchdog
+
+        w = Watchdog(timeout=0.5, kill=False).start()
+        for _ in range(6):
+            time.sleep(0.15)
+            w.beat()
+        w.stop()
+        assert not w.fired
+
+
+class TestHub:
+    def test_from_pretrained_text(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        import jax
+        from test_nat import write_copy_corpus
+
+        from s2t_tpu import hub
+        from s2t_tpu.config import TrainConfig, from_dict
+        from s2t_tpu.tasks import setup_task
+        from s2t_tpu.utils.checkpoint import save_pytree
+        import json
+
+        data = write_copy_corpus(tmp_path / "bitext")
+        cfg_d = {
+            "task": "translation", "arch": "transformer_iwslt_de_en",
+            "model": {"encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+                      "encoder_layers": 1, "encoder_attention_heads": 2,
+                      "decoder_embed_dim": 32, "decoder_ffn_embed_dim": 64,
+                      "decoder_layers": 1, "decoder_attention_heads": 2},
+            "dataset": {"data": str(data)},
+            "generation": {"beam": 2, "max_len_b": 8, "post_process": "none"},
+        }
+        cfg = from_dict(TrainConfig, cfg_d)
+        task = setup_task(cfg)
+        model = task.build_model()
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+            jnp.full((1,), 4, jnp.int32), jnp.zeros((1, 3), jnp.int32),
+        )["params"]
+        ckpt = tmp_path / "m.pt"
+        save_pytree(ckpt, {"params": params})
+        (str(ckpt) + ".json")
+        with open(str(ckpt) + ".json", "w") as f:
+            json.dump({"model": cfg_d["model"]}, f)
+
+        m = hub.from_pretrained(ckpt, data_dir=str(data), config=cfg_d)
+        out = m.translate("aa bb cc")
+        assert isinstance(out, str)
