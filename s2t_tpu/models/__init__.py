@@ -4,7 +4,9 @@ from s2t_tpu.models import berard  # noqa: F401
 from s2t_tpu.models import cmlm_transformer  # noqa: F401
 from s2t_tpu.models import levenshtein_transformer  # noqa: F401
 from s2t_tpu.models import lightconv  # noqa: F401
+from s2t_tpu.models import lstm  # noqa: F401
 from s2t_tpu.models import pds  # noqa: F401
+from s2t_tpu.models import roberta  # noqa: F401
 from s2t_tpu.models import s2t_ctc  # noqa: F401
 from s2t_tpu.models import s2t_transformer  # noqa: F401
 from s2t_tpu.models import s2t_dual  # noqa: F401

@@ -1,0 +1,208 @@
+"""LSTM encoder-decoder MT model with attention (Luong-style input feeding).
+
+(reference: fairseq/models/lstm.py:27 — bidirectional LSTM encoder, LSTM
+decoder with attention and input feeding, incremental decoding.)
+
+TPU notes: the recurrence is a lax.scan over time (sequential by nature);
+all gates fuse into one (B, 4H) matmul per step via flax's LSTMCell.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s2t_tpu.registry import register_model, register_model_architecture
+from s2t_tpu.utils.masking import lengths_to_mask
+
+
+@dataclass(frozen=True)
+class LSTMConfig:
+    encoder_embed_dim: int = 512
+    encoder_hidden_size: int = 512
+    encoder_layers: int = 1
+    encoder_bidirectional: bool = True
+    decoder_embed_dim: int = 512
+    decoder_hidden_size: int = 512
+    decoder_layers: int = 1
+    dropout: float = 0.1
+    share_decoder_input_output_embed: bool = True
+    vocab_size: int = 1000
+    src_vocab_size: int = -1
+    max_source_positions: int = 1024
+    max_target_positions: int = 1024
+    pad_id: int = 1
+    dtype_str: str = "float32"
+    subsampling_layers: int = 0
+    subsampling_stride: int = 1
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+    @property
+    def src_vocab(self):
+        return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
+
+
+def _scan_cell():
+    """LSTMCell lifted over the time axis (flax nn.scan)."""
+    return nn.scan(
+        nn.OptimizedLSTMCell,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=1,
+        out_axes=1,
+    )
+
+
+@register_model("lstm")
+class LSTMModel(nn.Module):
+    cfg: LSTMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.dtype
+        H = cfg.encoder_hidden_size
+        self.src_embed = nn.Embed(
+            cfg.src_vocab, cfg.encoder_embed_dim, dtype=dt,
+            embedding_init=nn.initializers.normal(0.1), name="src_embed",
+        )
+        self.tgt_embed = nn.Embed(
+            cfg.vocab_size, cfg.decoder_embed_dim, dtype=dt,
+            embedding_init=nn.initializers.normal(0.1), name="tgt_embed",
+        )
+        Scan = _scan_cell()
+        self.enc_fw = [
+            Scan(H, name=f"enc_fw{i}") for i in range(cfg.encoder_layers)
+        ]
+        self.enc_bw = [
+            Scan(H, name=f"enc_bw{i}") for i in range(cfg.encoder_layers)
+        ] if cfg.encoder_bidirectional else []
+        enc_out_dim = H * (2 if cfg.encoder_bidirectional else 1)
+        if enc_out_dim != cfg.decoder_hidden_size:
+            self.enc_proj = nn.Dense(cfg.decoder_hidden_size, dtype=dt,
+                                     name="enc_proj")
+        Hd = cfg.decoder_hidden_size
+        self.dec_cells = [
+            nn.OptimizedLSTMCell(Hd, name=f"dec{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.attn_proj = nn.Dense(Hd, use_bias=False, dtype=dt, name="attn_proj")
+        self.out_proj = nn.Dense(Hd, dtype=dt, name="out_proj")
+        if not cfg.share_decoder_input_output_embed:
+            self.logits_proj = nn.Dense(cfg.vocab_size, use_bias=False,
+                                        dtype=dt, name="logits_proj")
+        self.drop = nn.Dropout(cfg.dropout)
+
+    # ------------------------------------------------------------------ #
+    def encode(self, src_tokens, src_lengths=None, deterministic: bool = True):
+        cfg = self.cfg
+        if src_lengths is None:
+            src_lengths = jnp.sum((src_tokens != cfg.pad_id).astype(jnp.int32), 1)
+        x = self.src_embed(src_tokens)
+        x = self.drop(x, deterministic=deterministic)
+        B = x.shape[0]
+        H = cfg.encoder_hidden_size
+        for i in range(cfg.encoder_layers):
+            init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+            _, fw = self.enc_fw[i](init, x)
+            if cfg.encoder_bidirectional:
+                # backward pass over the time-reversed padded sequence
+                _, bw = self.enc_bw[i](init, jnp.flip(x, axis=1))
+                x = jnp.concatenate([fw, jnp.flip(bw, axis=1)], axis=-1)
+            else:
+                x = fw
+        if x.shape[-1] != cfg.decoder_hidden_size:
+            x = self.enc_proj(x)
+        valid = lengths_to_mask(src_lengths, x.shape[1])
+        x = jnp.where(valid[..., None], x, 0.0)
+        return {
+            "encoder_out": x, "encoder_lengths": src_lengths,
+            "ctc_logits": None, "inter_ctc_logits": (), "xctc_logits": None,
+            "inter_xctc_logits": (), "mixup": None,
+        }
+
+    def _attend(self, h, enc_out, enc_valid):
+        # Luong general attention: score = h W enc
+        scores = jnp.einsum("bd,btd->bt", self.attn_proj(h), enc_out)
+        scores = jnp.where(enc_valid, scores, -1e30)
+        w = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+        return jnp.einsum("bt,btd->bd", w, enc_out)
+
+    def _dec_step(self, tok_emb, states, input_feed, enc_out, enc_valid,
+                  deterministic=True):
+        x = jnp.concatenate([tok_emb, input_feed], axis=-1)
+        new_states = []
+        for i, cell in enumerate(self.dec_cells):
+            (c, h), x = cell(states[i], x)
+            new_states.append((c, h))
+        ctx = self._attend(x, enc_out, enc_valid)
+        out = jnp.tanh(self.out_proj(jnp.concatenate([x, ctx], axis=-1)))
+        out = self.drop(out, deterministic=deterministic)
+        return out, new_states, out  # out doubles as next input_feed
+
+    def _logits(self, out):
+        if self.cfg.share_decoder_input_output_embed:
+            return self.tgt_embed.attend(out)
+        return self.logits_proj(out)
+
+    def __call__(self, src_tokens, src_lengths, prev_tokens,
+                 deterministic: bool = True) -> Dict[str, Any]:
+        cfg = self.cfg
+        enc = self.encode(src_tokens, src_lengths, deterministic)
+        enc_valid = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        B, U = prev_tokens.shape
+        Hd = cfg.decoder_hidden_size
+        emb = self.drop(self.tgt_embed(prev_tokens), deterministic=deterministic)
+        states = [
+            (jnp.zeros((B, Hd), cfg.dtype), jnp.zeros((B, Hd), cfg.dtype))
+            for _ in range(cfg.decoder_layers)
+        ]
+        feed = jnp.zeros((B, Hd), cfg.dtype)
+        outs = []
+        for t in range(U):  # python loop: U is static and short for MT
+            out, states, feed = self._dec_step(
+                emb[:, t], states, feed, enc["encoder_out"], enc_valid,
+                deterministic,
+            )
+            outs.append(out)
+        outs = jnp.stack(outs, axis=1)
+        return {"decoder_logits": self._logits(outs), **enc}
+
+    # -- incremental decode protocol ----------------------------------------- #
+    def init_cache(self, batch_size: int, max_len: int):
+        Hd = self.cfg.decoder_hidden_size
+        return {
+            "states": [
+                (jnp.zeros((batch_size, Hd), self.cfg.dtype),
+                 jnp.zeros((batch_size, Hd), self.cfg.dtype))
+                for _ in range(self.cfg.decoder_layers)
+            ],
+            "feed": jnp.zeros((batch_size, Hd), self.cfg.dtype),
+        }
+
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask):
+        emb = self.tgt_embed(tokens[:, 0])
+        out, states, feed = self._dec_step(
+            emb, cache["states"], cache["feed"], encoder_out,
+            encoder_valid_mask, True,
+        )
+        return self._logits(out), {"states": states, "feed": feed}
+
+
+@register_model_architecture("lstm", "lstm")
+@register_model_architecture("lstm", "lstm_wiseman_iwslt_de_en")
+def lstm_iwslt(**kw) -> LSTMConfig:
+    return LSTMConfig(
+        encoder_embed_dim=256, encoder_hidden_size=256, decoder_embed_dim=256,
+        decoder_hidden_size=256,
+    ).replace(**kw)

@@ -136,3 +136,50 @@ class TestMultiBranch:
         expect = 0.7 * float(logs["ce_loss"]) + 0.3 * float(logs["ctc_loss"])
         np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
         assert "trans_loss" in logs
+
+
+class TestLSTMMT:
+    def test_forward_incremental_and_generate(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.models.lstm import LSTMConfig, LSTMModel
+        from s2t_tpu.utils.masking import lengths_to_mask
+
+        V = 18
+        cfg = LSTMConfig(
+            encoder_embed_dim=24, encoder_hidden_size=24, decoder_embed_dim=24,
+            decoder_hidden_size=24, encoder_layers=1, decoder_layers=1,
+            vocab_size=V, dropout=0.0,
+        )
+        model = LSTMModel(cfg)
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.integers(4, V, size=(2, 6)), jnp.int32)
+        lens = jnp.asarray([6, 4], jnp.int32)
+        prev = jnp.asarray([[2, 5, 6], [2, 7, 8]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), src, lens, prev)["params"]
+        out = model.apply({"params": params}, src, lens, prev)
+        assert out["decoder_logits"].shape == (2, 3, V)
+
+        # incremental decode matches teacher forcing
+        enc = model.apply({"params": params}, src, lens, method=LSTMModel.encode)
+        em = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        cache = model.apply({"params": params}, 2, 8, method=LSTMModel.init_cache)
+        tf = np.asarray(out["decoder_logits"])
+        for t in range(3):
+            logit, cache = model.apply(
+                {"params": params}, prev[:, t : t + 1], cache, jnp.asarray(t),
+                enc["encoder_out"], em, method=LSTMModel.decode_step,
+            )
+            np.testing.assert_allclose(np.asarray(logit), tf[:, t], atol=1e-4)
+
+        from s2t_tpu.inference.generator import SequenceGenerator
+
+        gen = SequenceGenerator(model, beam_size=2, max_len_b=6, eos_id=2,
+                                pad_id=1, max_target_positions=16,
+                                input_keys=("src_tokens", "src_lengths"))
+        tokens, scores, _ = gen.generate(
+            params, {"src_tokens": src, "src_lengths": lens}
+        )
+        assert np.isfinite(np.asarray(scores)).all()
