@@ -12,6 +12,7 @@ from s2t_tpu.models import s2t_transformer  # noqa: F401
 from s2t_tpu.models import s2t_dual  # noqa: F401
 from s2t_tpu.models import s2t_multibranch  # noqa: F401
 from s2t_tpu.models import sate  # noqa: F401
+from s2t_tpu.models import streaming  # noqa: F401
 from s2t_tpu.models import s2t_w2v2_transformer  # noqa: F401
 from s2t_tpu.models import transformer  # noqa: F401
 from s2t_tpu.models import transformer_lm  # noqa: F401
