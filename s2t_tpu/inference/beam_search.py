@@ -294,7 +294,52 @@ def beam_search(
             None,
         )
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(L))
+    # Hybrid loop with fairseq's early termination (sequence_generator.py
+    # finalize logic): inner lax.scan chunks keep full step throughput; an
+    # outer while_loop checks between chunks whether every sentence already
+    # holds K finished hypotheses that no alive beam's optimistic bound can
+    # beat, and stops.  Real decodes finish in ~hypothesis-length steps
+    # instead of always max_len; the worst case pays one cheap check per
+    # CHUNK steps.
+    CHUNK = 16
+    n_full = L // CHUNK
+    rem = L % CHUNK
+
+    def should_continue(state, i):
+        all_filled = jnp.all(state.finished_mask)
+        # optimistic bound: cumulative logprobs are <= 0 and only decrease, so
+        # any future finalized score <= alive_score / max attainable norm
+        # (norm(L) for lenpen > 0, norm(i) for lenpen <= 0)
+        norm_bound = jnp.maximum(
+            length_penalty(jnp.maximum(i, 1), lenpen),
+            length_penalty(jnp.asarray(L), lenpen),
+        )
+        bound = state.alive_scores / norm_bound
+        can_improve = jnp.any(
+            jnp.max(bound, axis=1) > jnp.min(state.finished_scores, axis=1)
+        )
+        return ~all_filled | can_improve
+
+    def chunk_cond(carry):
+        state, ci = carry
+        return (ci < n_full) & should_continue(state, ci * CHUNK)
+
+    def chunk_body(carry):
+        state, ci = carry
+        state, _ = jax.lax.scan(step, state, ci * CHUNK + jnp.arange(CHUNK))
+        return state, ci + 1
+
+    state, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (state, jnp.zeros((), jnp.int32))
+    )
+    if rem:
+        def tail(s):
+            s, _ = jax.lax.scan(step, s, n_full * CHUNK + jnp.arange(rem))
+            return s
+
+        state = jax.lax.cond(
+            should_continue(state, n_full * CHUNK), tail, lambda s: s, state
+        )
 
     # any still-alive beams compete with finished ones at final length norm
     final_norm = length_penalty(jnp.asarray(L), lenpen)

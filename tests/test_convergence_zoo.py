@@ -1,0 +1,101 @@
+"""Tiny-train convergence for the research models (SATE / PDS / dual /
+multibranch) — the reference enforces these via recipe BLEU only; here each
+arch must overfit a deterministic micro-batch (VERDICT r1: forward tests are
+not enough)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2t_tpu.config import OptimizationConfig
+from s2t_tpu.criterions.build import build_criterion
+from s2t_tpu.models.build import build_model
+from s2t_tpu.trainer import Trainer
+
+B, T, D, V = 8, 48, 80, 16
+TINY = {"dropout": 0.0, "attention_dropout": 0.0, "activation_dropout": 0.0}
+
+ARCHS = {
+    "s2t_sate_s": {
+        **{f"acoustic_{k}": v for k, v in TINY.items()},
+        "acoustic_encoder_embed_dim": 32, "acoustic_encoder_ffn_embed_dim": 64,
+        "acoustic_encoder_layers": 1, "acoustic_encoder_attention_heads": 2,
+        "acoustic_decoder_embed_dim": 32, "acoustic_decoder_ffn_embed_dim": 64,
+        "acoustic_decoder_layers": 1, "acoustic_decoder_attention_heads": 2,
+        "acoustic_subsampling_filter": 32, "adapter_type": "league",
+        "text_encoder_layers": 1, "text_attention_heads": 2,
+        "text_ffn_embed_dim": 64,
+    },
+    "pdss2t_transformer_s_8": {
+        **TINY,
+        "pds_embed_dims": [16, 16, 16, 16], "pds_ffn_ratios": [2, 2, 2, 2],
+        "pds_attn_heads": [2, 2, 2, 2], "pds_layers": [1, 1, 1, 1],
+        "decoder_layers": 1, "decoder_embed_dim": 16,
+        "decoder_ffn_embed_dim": 32, "decoder_attention_heads": 2,
+    },
+    "s2t_dual_s": {
+        "speech_encoder_embed_dim": 32, "speech_encoder_ffn_embed_dim": 64,
+        "speech_encoder_layers": 1, "speech_encoder_attention_heads": 2,
+        "speech_decoder_embed_dim": 32, "speech_decoder_ffn_embed_dim": 64,
+        "speech_decoder_layers": 1, "speech_decoder_attention_heads": 2,
+        "speech_subsampling_filter": 32, "speech_dropout": 0.0,
+        "speech_attention_dropout": 0.0, "speech_activation_dropout": 0.0,
+        "text_encoder_layers": 1, "text_encoder_attention_heads": 2,
+        "text_encoder_ffn_embed_dim": 64, "text_dropout": 0.0,
+    },
+    "s2t_multibranch_s": {
+        **TINY,
+        "encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+        "encoder_attention_heads": 2, "junior_layers": 1, "senior_layers": 1,
+        "textual_layers": 1, "decoder_layers": 1, "decoder_embed_dim": 32,
+        "decoder_ffn_embed_dim": 64, "decoder_attention_heads": 2,
+        "subsampling_filter": 32,
+    },
+}
+
+
+def make_batch():
+    rng = np.random.default_rng(0)
+    feats = np.zeros((B, T, D), np.float32)
+    targets = np.full((B, 4), 1, np.int32)
+    for b in range(B):
+        toks = [4 + (b + j) % (V - 4) for j in range(3)]
+        targets[b, :3] = toks
+        targets[b, 3] = 2
+        for j, tk in enumerate(toks):
+            feats[b, j * (T // 3):(j + 1) * (T // 3),
+                  (tk - 4) * 6:(tk - 3) * 6] += 2.0
+    feats += rng.normal(scale=0.05, size=feats.shape).astype(np.float32)
+    prev = np.roll(targets, 1, 1)
+    prev[:, 0] = 2
+    return {
+        "features": jnp.asarray(feats),
+        "feat_lengths": jnp.full((B,), T, jnp.int32),
+        "prev_tokens": jnp.asarray(prev),
+        "target": jnp.asarray(targets),
+        "transcript": jnp.asarray(targets[:, :-1]),
+        "transcript_lengths": jnp.full((B,), 3, jnp.int32),
+        "ntokens": float(B * 4),
+    }
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", sorted(ARCHS))
+def test_arch_overfits(arch):
+    model = build_model(arch, dict(ARCHS[arch]), vocab_size=V)
+    criterion = build_criterion(
+        "label_smoothed_cross_entropy_with_ctc",
+        {"label_smoothing": 0.0, "ctc": {"ctc_weight": 0.3}},
+    )
+    trainer = Trainer(
+        model, criterion,
+        OptimizationConfig(lr=5e-3, warmup_updates=10, clip_norm=5.0),
+    )
+    batch = make_batch()
+    state = trainer.init_state(batch)
+    losses = []
+    for _ in range(3):
+        state, m = trainer.train_many(state, [batch] * 20)
+        losses.append(float(np.asarray(m["loss"])[-1]))
+    assert losses[-1] < losses[0] * 0.7, (arch, losses)
