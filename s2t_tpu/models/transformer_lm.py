@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -33,6 +33,10 @@ class TransformerLMConfig:
     vocab_size: int = 1000
     max_target_positions: int = 1024
     pad_id: int = 1
+    # clustered output layer (reference: modules/adaptive_softmax.py,
+    # criterions/adaptive_loss.py); e.g. (2000, 10000)
+    adaptive_softmax_cutoff: Tuple[int, ...] = ()
+    adaptive_softmax_factor: float = 4.0
     dtype_str: str = "float32"
 
     def replace(self, **kw):
@@ -61,11 +65,32 @@ class TransformerLM(nn.Module):
             max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
             dtype=cfg.dtype, no_cross_attention=True, name="decoder",
         )
+        if cfg.adaptive_softmax_cutoff:
+            from s2t_tpu.modules.adaptive_softmax import AdaptiveSoftmax
 
-    def __call__(self, prev_tokens, deterministic: bool = True) -> Dict[str, Any]:
+            self.adaptive = AdaptiveSoftmax(
+                cfg.vocab_size, cfg.adaptive_softmax_cutoff,
+                cfg.decoder_embed_dim, cfg.adaptive_softmax_factor,
+                cfg.dtype, name="adaptive",
+            )
+
+    def __call__(self, prev_tokens, deterministic: bool = True,
+                 targets: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
         B, U = prev_tokens.shape
         dummy_enc = jnp.zeros((B, 1, self.cfg.decoder_embed_dim), self.cfg.dtype)
         dummy_mask = jnp.zeros((B, 1), bool)
+        if self.cfg.adaptive_softmax_cutoff:
+            feats = self.decoder.forward_features(
+                prev_tokens, dummy_enc, dummy_mask, deterministic
+            )
+            out: Dict[str, Any] = {"decoder_features": feats}
+            if targets is not None:  # efficient training path
+                out["target_logprob"] = self.adaptive.target_logprob(feats, targets)
+                out["decoder_logits"] = None
+            else:  # eval/scoring: full distribution
+                out["decoder_logits"] = self.adaptive.log_probs(feats)
+                out["logits_are_log_probs"] = True
+            return out
         logits = self.decoder(prev_tokens, dummy_enc, dummy_mask, deterministic)
         return {"decoder_logits": logits}
 
@@ -73,6 +98,17 @@ class TransformerLM(nn.Module):
         B = tokens.shape[0]
         dummy_enc = jnp.zeros((B, 1, self.cfg.decoder_embed_dim), self.cfg.dtype)
         dummy_mask = jnp.zeros((B, 1), bool)
+        if self.cfg.adaptive_softmax_cutoff:
+            # step path: features then full log-probs over the small head+tails
+            logits, new_cache = self.decoder.step(
+                tokens, cache, index, dummy_enc, dummy_mask
+            )
+            # decoder.step already projected via the tied embedding; recompute
+            # from features instead
+            raise NotImplementedError(
+                "adaptive-softmax LMs are for training/eval_lm; use a softmax "
+                "LM for shallow fusion"
+            )
         return self.decoder.step(tokens, cache, index, dummy_enc, dummy_mask)
 
     def init_cache(self, batch_size: int, max_len: int):

@@ -30,7 +30,13 @@ class LanguageModelingTask(Task):
         tok_cfg = cfg.task_cfg.get("bpe_tokenizer")
         if tok_cfg:
             bpe = build_tokenizer(tok_cfg)
-        block = cfg.task_cfg.get("tokens_per_sample", 128)
+        # block length defaults to the model's position budget so the two
+        # can't drift apart (the reference couples them via tokens_per_sample)
+        block = (
+            cfg.task_cfg.get("tokens_per_sample")
+            or cfg.dataset.max_target_positions
+            or 128
+        )
         return cls(cfg, dictionary, bpe, block)
 
     def load_dataset(self, split: str, is_train: bool = False):
@@ -52,13 +58,21 @@ class LanguageModelingTask(Task):
 
     def forward_fn(self):
         def fwd(model, params, batch, deterministic, rngs=None):
+            kw = {}
+            if getattr(model.cfg, "adaptive_softmax_cutoff", ()) and \
+                    "target" in batch:
+                kw["targets"] = batch["target"]  # exact-path adaptive loss
             if params is None:  # init mode
-                return model.init(rngs["params"], batch["prev_tokens"], deterministic=True)
+                return model.init(
+                    rngs["params"], batch["prev_tokens"], deterministic=True,
+                    **kw,
+                )
             return model.apply(
                 {"params": params},
                 batch["prev_tokens"],
                 deterministic=deterministic,
                 rngs=rngs,
+                **kw,
             )
 
         return fwd
