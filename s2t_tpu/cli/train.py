@@ -53,23 +53,27 @@ def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _make_ctc_decode_fn(task, trainer):
-    """Encoder + CTC greedy decode for validation WER
-    (reference: criterions/ctc.py:1104+ valid-time wer/cer logging)."""
+    """Jitted encoder + CTC greedy decode for validation WER
+    (reference: criterions/ctc.py:1104+ valid-time wer/cer logging).
+    One program per feature shape (bucketed, so a bounded set)."""
     model = trainer.model
+    if not hasattr(type(model), "encode"):
+        return None
 
-    def fn(params, dev):
+    @jax.jit
+    def run(params, features, feat_lengths):
         from s2t_tpu.ops.ctc import ctc_greedy_decode
 
-        if not hasattr(type(model), "encode"):
-            return None
         enc = model.apply(
-            {"params": params}, dev["features"], dev["feat_lengths"],
+            {"params": params}, features, feat_lengths,
             method=type(model).encode,
         )
         if enc.get("ctc_logits") is None:
             return None
-        toks, lens = ctc_greedy_decode(enc["ctc_logits"], enc["encoder_lengths"])
-        return toks, lens
+        return ctc_greedy_decode(enc["ctc_logits"], enc["encoder_lengths"])
+
+    def fn(params, dev):
+        return run(params, dev["features"], dev["feat_lengths"])
 
     return fn
 
@@ -81,12 +85,16 @@ def _accumulate_ctc_wer(task, ctc_fn, state, dev, batch, counts) -> None:
     if out is None:
         return
     toks = np.asarray(out[0])
-    src_dict = getattr(task, "src_dict", task.tgt_dict)
-    key = "transcript" if "transcript" in batch else "target"
+    # CTC scores the transcript (source dict) when present; otherwise the
+    # target — decode references with the MATCHING dictionary
+    if "transcript" in batch:
+        key, dic = "transcript", getattr(task, "src_dict", task.tgt_dict)
+    else:
+        key, dic = "target", task.tgt_dict
     refs = np.asarray(batch[key])
     for b in range(batch["nsentences"]):
-        hyp = src_dict.string(toks[b]).split()
-        ref = src_dict.string(refs[b]).split()
+        hyp = dic.string(toks[b]).split()
+        ref = dic.string(refs[b]).split()
         counts["w_err"] += edit_distance(hyp, ref)
         counts["w_len"] += len(ref)
         counts["c_err"] += edit_distance(list(" ".join(hyp)), list(" ".join(ref)))
@@ -239,6 +247,7 @@ def main(cfg) -> Dict[str, Any]:
     patience_left = cfg.optimization.patience
     best_val = None
     history = []
+    profiling = False
     plateau = None
     if cfg.optimization.lr_scheduler in ("reduce_on_plateau", "reduce_lr_on_plateau"):
         from s2t_tpu.optim.builders import ReduceOnPlateau
@@ -258,15 +267,19 @@ def main(cfg) -> Dict[str, Any]:
                 # jax profiler window (reference: --profile wrapping,
                 # fairseq_cli/train.py:491-494 — nvtx/cuda profiler there)
                 step_now = int(state.step)
-                if step_now == cfg.common.profile_start:
+                if step_now == cfg.common.profile_start and not profiling:
                     logdir = Path(
                         cfg.common.tensorboard_logdir or cfg.checkpoint.save_dir
                     ) / "profile"
                     logdir.mkdir(parents=True, exist_ok=True)
                     jax.profiler.start_trace(str(logdir))
+                    profiling = True
                     logger.info("profiler trace started -> %s", logdir)
-                elif step_now == cfg.common.profile_start + cfg.common.profile_steps:
+                elif profiling and step_now >= (
+                    cfg.common.profile_start + cfg.common.profile_steps
+                ):
                     jax.profiler.stop_trace()
+                    profiling = False
                     logger.info("profiler trace stopped")
             state, metrics = trainer.train_step(state, to_device_batch(batch))
             interval_n += 1
@@ -324,6 +337,9 @@ def main(cfg) -> Dict[str, Any]:
                 break
         epoch_itr.next_epoch()
 
+    if profiling:  # loop may exit inside the profile window
+        jax.profiler.stop_trace()
+        logger.info("profiler trace stopped (loop exit)")
     progress.close()
     return {"state": state, "history": history, "task": task, "model": model}
 

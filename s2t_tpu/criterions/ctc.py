@@ -176,10 +176,9 @@ class CTCCriterion:
         ):
             atgt = batch["aligned_target"]
             atgt_ctc = jnp.where(atgt == cfg.eos_id, cfg.pad_id, atgt)
-            alen = batch.get(
-                "aligned_target_lengths",
-                jnp.sum((atgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1),
-            )
+            # always recompute lengths AFTER the eos->pad rewrite: the
+            # collater's aligned_target_lengths still count the EOS slot
+            alen = jnp.sum((atgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
             ax_logits = model_out.get("axctc_logits")
             if ax_logits is None:
                 ax_logits = model_out.get("xctc_logits")

@@ -104,7 +104,9 @@ class RawAudioDataset:
         lengths = np.asarray([len(s["source"]) for s in samples], np.int32)
         T = int(lengths.max())
         if frame_buckets is not None:
-            T = int(frame_buckets[np.searchsorted(frame_buckets, T)])
+            from s2t_tpu.data.batching import bucketize
+
+            T = int(bucketize(np.asarray([T]), frame_buckets)[0])
         src = np.zeros((B + pad_b, T), np.float32)
         for i, s in enumerate(samples):
             src[i, : lengths[i]] = s["source"][:T]

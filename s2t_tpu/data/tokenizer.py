@@ -180,11 +180,14 @@ class MosesTokenizer:
         import re
 
         t = text.strip()
-        # protect decimal/thousand separators inside numbers
-        t = self._re_num.sub(lambda m: "\x00", t)
+        # protect decimal/thousand separators inside numbers, preserving
+        # WHICH separator it was ('.' vs ',')
+        t = self._re_num.sub(
+            lambda m: "\x00" if m.group(0) == "." else "\x01", t
+        )
         t = self._re_punct.sub(r" \1 ", t)
         t = self._re_apos.sub(r"\1 '\2", t)  # l'homme -> l 'homme
-        t = t.replace("\x00", ".")
+        t = t.replace("\x00", ".").replace("\x01", ",")
         return self._re_multi.sub(" ", t).strip()
 
     def decode(self, pieces: List[str] | str) -> str:

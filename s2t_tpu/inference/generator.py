@@ -253,6 +253,11 @@ class SequenceGenerator:
         for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
             enc_T = (enc_T - 1) // getattr(self.model.cfg, "subsampling_stride", 2) + 1
         max_len = self._max_len_for(enc_T)
+        if len(extra_params or ()) != len(self.extra_models):
+            raise ValueError(
+                f"ensemble needs params for all {len(self.extra_models)} extra "
+                f"models, got {len(extra_params or ())}"
+            )
         prefix = None
         if self.prefix_size > 0 and "target" in batch:
             prefix = jnp.asarray(batch["target"])[:, : self.prefix_size]

@@ -53,6 +53,19 @@ class LSTMConfig:
         return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
 
 
+def reverse_padded(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's VALID prefix, zeroing the padded tail.
+
+    A plain jnp.flip would put pad embeddings first, contaminating the
+    backward LSTM state of every valid frame with batch-padding history
+    (the reference packs sequences to avoid exactly this)."""
+    T = x.shape[1]
+    idx = jnp.clip(lengths[:, None] - 1 - jnp.arange(T)[None, :], 0, T - 1)
+    rev = jnp.take_along_axis(x, idx[..., None], axis=1)
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    return jnp.where(valid[..., None], rev, 0.0)
+
+
 def _scan_cell():
     """LSTMCell lifted over the time axis (flax nn.scan)."""
     return nn.scan(
@@ -110,15 +123,18 @@ class LSTMModel(nn.Module):
             src_lengths = jnp.sum((src_tokens != cfg.pad_id).astype(jnp.int32), 1)
         x = self.src_embed(src_tokens)
         x = self.drop(x, deterministic=deterministic)
+        valid0 = lengths_to_mask(src_lengths, x.shape[1])
+        x = jnp.where(valid0[..., None], x, 0.0)
         B = x.shape[0]
         H = cfg.encoder_hidden_size
         for i in range(cfg.encoder_layers):
             init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
             _, fw = self.enc_fw[i](init, x)
             if cfg.encoder_bidirectional:
-                # backward pass over the time-reversed padded sequence
-                _, bw = self.enc_bw[i](init, jnp.flip(x, axis=1))
-                x = jnp.concatenate([fw, jnp.flip(bw, axis=1)], axis=-1)
+                # backward pass over each row's valid prefix reversed
+                _, bw = self.enc_bw[i](init, reverse_padded(x, src_lengths))
+                bw = reverse_padded(bw, src_lengths)
+                x = jnp.concatenate([fw, bw], axis=-1)
             else:
                 x = fw
         if x.shape[-1] != cfg.decoder_hidden_size:

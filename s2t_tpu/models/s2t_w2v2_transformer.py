@@ -101,7 +101,9 @@ class S2TW2V2Encoder(nn.Module):
 
     def __call__(self, source, lengths, deterministic: bool = True):
         cfg = self.cfg
-        x, out_lengths = self.w2v.extract_features(source, lengths, deterministic)
+        x, out_lengths = self.w2v.extract_features(
+            source, lengths, deterministic, apply_mask=not deterministic
+        )
         if cfg.freeze_w2v:
             import jax
 

@@ -321,6 +321,7 @@ class Wav2Vec2Model(nn.Module):
         deterministic: bool = True,
         temp: float = 0.5,
         features_only: bool = False,
+        apply_mask: bool = False,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         feats, out_lengths = self._features(source, lengths)
@@ -338,6 +339,17 @@ class Wav2Vec2Model(nn.Module):
         valid = lengths_to_mask(out_lengths, T)
 
         if features_only:
+            if apply_mask and not deterministic:
+                # fine-tuning regulariser: same span masking as pretraining
+                # (reference: wav2vec2_asr.py Wav2VecCtc apply_mask)
+                rng = self.make_rng("dropout")
+                _, mask = sample_mask_spans(
+                    rng, B, T, out_lengths, cfg.mask_prob, cfg.mask_length,
+                    cfg.min_masks,
+                )
+                x = jnp.where(
+                    mask[..., None], self.mask_emb.astype(x.dtype)[None, None], x
+                )
             x = self._encode(x, valid, deterministic)
             return {"x": x, "lengths": out_lengths}
 
@@ -401,8 +413,10 @@ class Wav2Vec2Model(nn.Module):
             out["num_vars"] = cfg.latent_vars * cfg.latent_groups
         return out
 
-    def extract_features(self, source, lengths, deterministic: bool = True):
-        out = self(source, lengths, deterministic, features_only=True)
+    def extract_features(self, source, lengths, deterministic: bool = True,
+                         apply_mask: bool = False):
+        out = self(source, lengths, deterministic, features_only=True,
+                   apply_mask=apply_mask)
         return out["x"], out["lengths"]
 
 
@@ -425,7 +439,10 @@ class Wav2VecCtc(nn.Module):
         self.final_drop = nn.Dropout(self.cfg.final_dropout)
 
     def __call__(self, source, lengths, deterministic: bool = True):
-        x, out_lengths = self.w2v.extract_features(source, lengths, deterministic)
+        # span masking stays active as a fine-tuning regulariser in training
+        x, out_lengths = self.w2v.extract_features(
+            source, lengths, deterministic, apply_mask=not deterministic
+        )
         x = self.final_drop(x, deterministic=deterministic)
         logits = self.proj(x)
         return {

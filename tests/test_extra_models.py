@@ -183,3 +183,32 @@ class TestLSTMMT:
             params, {"src_tokens": src, "src_lengths": lens}
         )
         assert np.isfinite(np.asarray(scores)).all()
+
+    def test_lstm_padding_invariance(self):
+        """Encoder outputs at valid positions must not depend on batch
+        padding (the code-review finding: flip-based backward contaminated
+        valid frames with pad history)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.models.lstm import LSTMConfig, LSTMModel
+
+        V = 18
+        cfg = LSTMConfig(
+            encoder_embed_dim=24, encoder_hidden_size=24, decoder_embed_dim=24,
+            decoder_hidden_size=24, vocab_size=V, dropout=0.0,
+        )
+        model = LSTMModel(cfg)
+        src = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        lens = jnp.asarray([4], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), src, lens,
+                            jnp.zeros((1, 2), jnp.int32))["params"]
+        e1 = model.apply({"params": params}, src, lens,
+                         method=LSTMModel.encode)["encoder_out"]
+        src_padded = jnp.asarray([[5, 6, 7, 8, 1, 1, 1]], jnp.int32)
+        e2 = model.apply({"params": params}, src_padded, lens,
+                         method=LSTMModel.encode)["encoder_out"]
+        np.testing.assert_allclose(
+            np.asarray(e1), np.asarray(e2[:, :4]), atol=1e-5
+        )
