@@ -268,7 +268,11 @@ class GenerationConfig:
     sampling_topp: float = -1.0
     diverse_beam_groups: int = -1
     diverse_beam_strength: float = 0.5
+    diversity_rate: float = -1.0
     prefix_size: int = 0
+    # lexically constrained decoding (reference: search.py:211,
+    # --constraints ordered|unordered)
+    constraints: Optional[str] = None
     # NAT iterative refinement (reference: GenerationConfig iter_decode_*)
     iter_decode_max_iter: int = 10
     # S2T-fork CTC inference extras (reference: dataclass/configs.py:811-885)

@@ -78,6 +78,7 @@ def beam_search(
     prefix_tokens: Optional[jnp.ndarray] = None,
     diverse_groups: int = 1,
     diverse_strength: float = 0.5,
+    diverse_siblings_gamma: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -189,6 +190,22 @@ def beam_search(
                 picked = jax.nn.one_hot(top_g % V, V, dtype=jnp.float32).sum(1)
                 div_buf = div_buf + picked
             logprobs = jnp.stack(penalised, axis=1).reshape(B, K, V)
+
+        if diverse_siblings_gamma > 0:
+            # Diverse Siblings (Li & Jurafsky; reference search.py:746):
+            # within each beam, the r-th best continuation is penalised by
+            # gamma*r, discouraging all K survivors sharing one parent.  Only
+            # the per-beam top 2K can ever be selected, so the rest are masked.
+            kk = min(2 * K, V)
+            s_lp, s_idx = jax.lax.top_k(logprobs, kk)  # (B, K, kk)
+            s_lp = s_lp - diverse_siblings_gamma * jnp.arange(
+                1, kk + 1, dtype=s_lp.dtype
+            )
+            sib_b = jnp.arange(B)[:, None, None]
+            sib_k = jnp.arange(K)[None, :, None]
+            logprobs = jnp.full_like(logprobs, NEG_INF).at[
+                sib_b, sib_k, s_idx
+            ].set(s_lp)
 
         cand_idx = cand_new_r = cand_psi = None
         if ctc_scorer is not None:

@@ -49,6 +49,8 @@ class SequenceGenerator:
         prefix_size: int = 0,
         diverse_beam_groups: int = -1,
         diverse_beam_strength: float = 0.5,
+        diversity_rate: float = -1.0,
+        constraints_mode: Optional[str] = None,
         extra_models: Optional[list] = None,
     ):
         self.model = model
@@ -80,6 +82,13 @@ class SequenceGenerator:
         # DiverseBeamSearch groups (reference: search.py:552)
         self.diverse_beam_groups = diverse_beam_groups
         self.diverse_beam_strength = diverse_beam_strength
+        # DiverseSiblingsSearch rank penalty (reference: search.py:746,
+        # selected by --diversity-rate > 0)
+        self.diversity_rate = diversity_rate
+        # lexically constrained decoding (reference: search.py:211; mode
+        # "ordered" or "unordered"); constraints ride in via
+        # batch["constraints"] as a (B, C, Lc) pad-padded id tensor
+        self.constraints_mode = constraints_mode
         # true multi-model ensembling in probability space (reference:
         # EnsembleModel, sequence_generator.py:788-900); params for the extra
         # models ride in at generate() time
@@ -91,11 +100,15 @@ class SequenceGenerator:
             min(self.max_len_a * enc_T + self.max_len_b, self.max_target_positions - 1)
         )
 
-    def _build(self, max_len: int, with_prefix: bool = False):
+    def _build(
+        self, max_len: int, with_prefix: bool = False,
+        with_constraints: bool = False,
+    ):
         K = self.beam_size
         n_extra = len(self.extra_models)
 
-        def run(params, features, feat_lengths, extra_params, prefix_tokens):
+        def run(params, features, feat_lengths, extra_params, prefix_tokens,
+                constraints):
             enc = self.model.apply(
                 {"params": params}, features, feat_lengths, method=self.model.encode
             )
@@ -195,6 +208,18 @@ class SequenceGenerator:
                 )
                 return tokens, scores, enc
 
+            if with_constraints:
+                from s2t_tpu.inference.constrained import constrained_beam_search
+
+                tokens, scores = constrained_beam_search(
+                    decode_step, cache, constraints,
+                    batch_size=B, beam_size=K, max_len=max_len,
+                    eos_id=self.eos_id, pad_id=self.pad_id, bos_id=self.eos_id,
+                    lenpen=self.lenpen, min_len=self.min_len,
+                    ordered=self.constraints_mode == "ordered",
+                )
+                return tokens, scores, enc
+
             ctc_scorer = None
             if self.infer_ctc_weight > 0:
                 # joint CTC rescoring from the encoder's CTC lattice
@@ -232,6 +257,7 @@ class SequenceGenerator:
                 prefix_tokens=prefix_tokens if with_prefix else None,
                 diverse_groups=G if G and G > 1 else 1,
                 diverse_strength=self.diverse_beam_strength,
+                diverse_siblings_gamma=max(self.diversity_rate, 0.0),
             )
             return tokens, scores, enc
 
@@ -261,11 +287,18 @@ class SequenceGenerator:
         prefix = None
         if self.prefix_size > 0 and "target" in batch:
             prefix = jnp.asarray(batch["target"])[:, : self.prefix_size]
+        cons = None
+        if self.constraints_mode and "constraints" in batch:
+            cons = jnp.asarray(batch["constraints"])
         key = (features.shape, max_len, prefix is not None,
-               None if prefix is None else prefix.shape)
+               None if prefix is None else prefix.shape,
+               None if cons is None else cons.shape)
         if key not in self._jitted:
-            self._jitted[key] = self._build(max_len, with_prefix=prefix is not None)
+            self._jitted[key] = self._build(
+                max_len, with_prefix=prefix is not None,
+                with_constraints=cons is not None,
+            )
         return self._jitted[key](
             params, features, batch[self.input_keys[1]],
-            tuple(extra_params or ()), prefix,
+            tuple(extra_params or ()), prefix, cons,
         )

@@ -2,6 +2,7 @@
 
 from s2t_tpu.models import berard  # noqa: F401
 from s2t_tpu.models import cmlm_transformer  # noqa: F401
+from s2t_tpu.models import fconv  # noqa: F401
 from s2t_tpu.models import levenshtein_transformer  # noqa: F401
 from s2t_tpu.models import lightconv  # noqa: F401
 from s2t_tpu.models import lstm  # noqa: F401

@@ -123,6 +123,8 @@ class TranslationTask(Task):
             prefix_size=g.prefix_size,
             diverse_beam_groups=g.diverse_beam_groups,
             diverse_beam_strength=g.diverse_beam_strength,
+            diversity_rate=g.diversity_rate,
+            constraints_mode=g.constraints,
         )
 
     def decode_tokens(self, tokens) -> str:

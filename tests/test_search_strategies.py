@@ -88,6 +88,120 @@ class TestDiverseBeam:
         assert np.isfinite(np.asarray(td)).all()
 
 
+class TestDiverseSiblings:
+    def test_rank_penalty_spreads_parents(self):
+        """With gamma > 0 the K survivors cannot all be siblings of one
+        parent beyond what the penalty allows (reference: search.py:746)."""
+        model, params, feats, lens = build()
+        plain = SequenceGenerator(model, beam_size=4, max_len_b=10,
+                                  max_target_positions=32)
+        sib = SequenceGenerator(model, beam_size=4, max_len_b=10,
+                                max_target_positions=32, diversity_rate=5.0)
+        tp, sp, _ = plain.generate(params, {"features": feats, "feat_lengths": lens})
+        ts, ss, _ = sib.generate(params, {"features": feats, "feat_lengths": lens})
+        tp, ts = np.asarray(tp), np.asarray(ts)
+        assert tp.shape == ts.shape
+        assert np.isfinite(np.asarray(ss)).all()
+
+        def n_unique(t):
+            return len({tuple(t[0, k]) for k in range(t.shape[1])})
+
+        assert n_unique(ts) >= n_unique(tp) - 1
+
+    def test_zero_rate_is_identity(self):
+        model, params, feats, lens = build()
+        g0 = SequenceGenerator(model, beam_size=3, max_len_b=8,
+                               max_target_positions=32)
+        g1 = SequenceGenerator(model, beam_size=3, max_len_b=8,
+                               max_target_positions=32, diversity_rate=-1.0)
+        t0, _, _ = g0.generate(params, {"features": feats, "feat_lengths": lens})
+        t1, _, _ = g1.generate(params, {"features": feats, "feat_lengths": lens})
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+class TestConstrainedSearch:
+    def _gen(self, model, mode="unordered", beam=4):
+        return SequenceGenerator(model, beam_size=beam, max_len_b=16,
+                                 max_target_positions=32,
+                                 constraints_mode=mode)
+
+    def test_single_token_constraints_appear(self):
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        cons = pack_constraints([[[5]], [[7]]])
+        gen = self._gen(model)
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        # best hypothesis of each sentence contains its constraint token
+        assert 5 in toks[0, 0], toks[0, 0]
+        assert 7 in toks[1, 0], toks[1, 0]
+        assert np.isfinite(np.asarray(scores)[:, 0]).all()
+
+    def test_phrase_constraint_is_contiguous(self):
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        phrase = [9, 4, 11]
+        cons = pack_constraints([[phrase], [phrase]])
+        gen = self._gen(model)
+        tokens, _, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        for b in range(B):
+            row = list(toks[b, 0])
+            found = any(
+                row[i : i + 3] == phrase for i in range(len(row) - 2)
+            )
+            assert found, f"phrase {phrase} not contiguous in {row}"
+
+    def test_ordered_constraints_in_order(self):
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        cons = pack_constraints([[[5], [9]], [[7], [3]]])
+        gen = self._gen(model, mode="ordered")
+        tokens, _, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        for b, (a, c) in enumerate([(5, 9), (7, 3)]):
+            row = list(toks[b, 0])
+            assert a in row and c in row, row
+            assert row.index(a) < row.index(c), (
+                f"ordered constraints out of order in {row}"
+            )
+
+    def test_unconstrained_batch_entry(self):
+        """A sentence with no constraints decodes normally alongside a
+        constrained one."""
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        cons = pack_constraints([[[5, 9]], []])
+        gen = self._gen(model)
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        row = list(toks[0, 0])
+        assert any(row[i : i + 2] == [5, 9] for i in range(len(row) - 1)), row
+        # unconstrained sentence still produces a finite, EOS-terminated hyp
+        assert np.isfinite(np.asarray(scores)[1, 0])
+        assert 2 in list(toks[1, 0])
+
+
 class TestEnsemble:
     def test_two_model_ensemble_runs_and_single_model_is_identity(self):
         model, params, feats, lens = build(seed=0)
