@@ -152,6 +152,9 @@ class EpochBatchIterator:
     def next_epoch(self):
         self.epoch += 1
         self._consumed = 0
+        if hasattr(self.dataset, "set_epoch"):
+            # datasets with epoch-varying noise (e.g. BART denoising)
+            self.dataset.set_epoch(self.epoch)
 
     def state_dict(self) -> Dict[str, Any]:
         return {"epoch": self.epoch, "consumed": self._consumed, "seed": self.seed}

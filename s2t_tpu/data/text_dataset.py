@@ -29,12 +29,16 @@ class TranslationDataset:
         src_bpe=None,
         tgt_bpe=None,
         tgt_lang_tag: Optional[int] = None,
+        src_lang_tag: Optional[int] = None,
     ):
         self.src_dict, self.tgt_dict = src_dict, tgt_dict
         self.src_bpe, self.tgt_bpe = src_bpe, tgt_bpe
         # multilingual: prepend <lang:xx> to targets (reference: lang-tag
         # prepend in translation_multi_simple_epoch data manager)
         self.tgt_lang_tag = tgt_lang_tag
+        # mBART-style source language id appended after EOS (reference:
+        # tasks/translation_from_pretrained_bart.py append_source_id)
+        self.src_lang_tag = src_lang_tag
         with open(src_path, encoding="utf-8") as f:
             self.src_lines = [l.rstrip("\n") for l in f]
         self.tgt_lines = None
@@ -57,10 +61,10 @@ class TranslationDataset:
         return dic.encode_line(line, append_eos=True)
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        item = {
-            "id": index,
-            "source": self._encode(self.src_lines[index], self.src_bpe, self.src_dict),
-        }
+        src = self._encode(self.src_lines[index], self.src_bpe, self.src_dict)
+        if self.src_lang_tag is not None:
+            src = np.concatenate([src, [self.src_lang_tag]]).astype(src.dtype)
+        item = {"id": index, "source": src}
         if self.tgt_lines is not None:
             tgt = self._encode(self.tgt_lines[index], self.tgt_bpe, self.tgt_dict)
             if self.tgt_lang_tag is not None:

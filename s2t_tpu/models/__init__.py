@@ -1,8 +1,10 @@
 """Model zoo. Importing this package registers all models/archs."""
 
+from s2t_tpu.models import bart  # noqa: F401
 from s2t_tpu.models import berard  # noqa: F401
 from s2t_tpu.models import cmlm_transformer  # noqa: F401
 from s2t_tpu.models import fconv  # noqa: F401
+from s2t_tpu.models import hf_gpt2  # noqa: F401
 from s2t_tpu.models import levenshtein_transformer  # noqa: F401
 from s2t_tpu.models import lightconv  # noqa: F401
 from s2t_tpu.models import lstm  # noqa: F401

@@ -42,6 +42,9 @@ class TransformerMTConfig:
     share_decoder_input_output_embed: bool = True
     share_all_embeddings: bool = False
     no_scale_embedding: bool = False
+    # post-embedding LayerNorm (reference: --layernorm-embedding, used by
+    # BART/mBART; fairseq/models/transformer.py encoder/decoder flags)
+    layernorm_embedding: bool = False
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
@@ -74,15 +77,27 @@ class TransformerMTConfig:
 
 class TransformerTextEncoder(nn.Module):
     cfg: TransformerMTConfig
+    shared_embed: Optional[nn.Module] = None
 
     def setup(self):
         cfg = self.cfg
         dt = cfg.dtype
-        self.embed_tokens = nn.Embed(
-            cfg.src_vocab, cfg.encoder_embed_dim,
-            embedding_init=nn.initializers.normal(cfg.encoder_embed_dim**-0.5),
-            dtype=dt, name="embed_tokens",
-        )
+        if self.shared_embed is not None:
+            self.embed_tokens = self.shared_embed
+        else:
+            self.embed_tokens = nn.Embed(
+                cfg.src_vocab, cfg.encoder_embed_dim,
+                embedding_init=nn.initializers.normal(cfg.encoder_embed_dim**-0.5),
+                dtype=dt, name="embed_tokens",
+            )
+        if cfg.encoder_learned_pos:
+            self.embed_positions = nn.Embed(
+                cfg.max_source_positions + 2, cfg.encoder_embed_dim, dtype=dt,
+                embedding_init=nn.initializers.normal(0.02),
+                name="embed_positions",
+            )
+        if cfg.layernorm_embedding:
+            self.emb_norm = nn.LayerNorm(dtype=dt, name="emb_norm")
         self.layers = [
             S2TEncoderLayer(
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
@@ -112,10 +127,17 @@ class TransformerTextEncoder(nn.Module):
         pos_emb = None
         if cfg.encoder_attention_type == "rel_pos":
             pos_emb = relative_encoding(T, cfg.encoder_embed_dim, x.dtype)
+        elif cfg.encoder_learned_pos:
+            # pad-aware positions (fairseq make_positions semantics)
+            v = (src_tokens != cfg.pad_id).astype(jnp.int32)
+            positions = jnp.cumsum(v, axis=1) * v + cfg.pad_id
+            x = x + self.embed_positions(positions)
         else:
             x = x + fairseq_sinusoidal_encoding(
                 T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype
             )[None]
+        if cfg.layernorm_embedding:
+            x = self.emb_norm(x)
         x = self.drop(x, deterministic=deterministic)
         valid = src_tokens != cfg.pad_id
         bias = padding_bias(valid, x.dtype)

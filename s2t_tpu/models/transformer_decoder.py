@@ -45,15 +45,25 @@ class TransformerDecoder(nn.Module):
     # False: full bidirectional self-attention (NAT decoders — CMLM/LevT fill
     # all positions in parallel; reference: models/nat/ NATransformerDecoder)
     causal: bool = True
+    # post-embedding LayerNorm (--layernorm-embedding, BART/mBART)
+    layernorm_embedding: bool = False
+    # share token embeddings with another module (--share-all-embeddings):
+    # the parent creates one nn.Embed and passes it to encoder and decoder
+    shared_embed: Optional[nn.Module] = None
 
     def setup(self):
-        self.embed_tokens = nn.Embed(
-            self.vocab_size,
-            self.embed_dim,
-            embedding_init=nn.initializers.normal(self.embed_dim**-0.5),
-            dtype=self.dtype,
-            name="embed_tokens",
-        )
+        if self.shared_embed is not None:
+            self.embed_tokens = self.shared_embed
+        else:
+            self.embed_tokens = nn.Embed(
+                self.vocab_size,
+                self.embed_dim,
+                embedding_init=nn.initializers.normal(self.embed_dim**-0.5),
+                dtype=self.dtype,
+                name="embed_tokens",
+            )
+        if self.layernorm_embedding:
+            self.emb_norm = nn.LayerNorm(dtype=self.dtype, name="emb_norm")
         if self.learned_pos:
             self.embed_positions = nn.Embed(
                 self.max_positions, self.embed_dim, dtype=self.dtype,
@@ -88,6 +98,8 @@ class TransformerDecoder(nn.Module):
             pe = fairseq_sinusoidal_encoding(self.max_positions, self.embed_dim,
                                              self.pad_id, x.dtype)
             x = x + jax.lax.dynamic_slice_in_dim(pe, pos_offset, T, axis=0)[None]
+        if self.layernorm_embedding:
+            x = self.emb_norm(x)
         return x
 
     def _output(self, x: jnp.ndarray) -> jnp.ndarray:

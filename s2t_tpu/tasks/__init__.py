@@ -1,6 +1,7 @@
 """Tasks. Importing registers all tasks."""
 
 from s2t_tpu.tasks import audio_pretraining  # noqa: F401
+from s2t_tpu.tasks import denoising  # noqa: F401
 from s2t_tpu.tasks import language_modeling  # noqa: F401
 from s2t_tpu.tasks import masked_lm  # noqa: F401
 from s2t_tpu.tasks import multilingual_translation  # noqa: F401

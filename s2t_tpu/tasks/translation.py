@@ -129,3 +129,50 @@ class TranslationTask(Task):
 
     def decode_tokens(self, tokens) -> str:
         return self.tgt_dict.string(tokens, bpe_symbol=self.cfg.generation.post_process)
+
+
+@register_task("translation_from_pretrained_bart")
+class TranslationFromPretrainedBARTTask(TranslationTask):
+    """MT fine-tuning of an mBART checkpoint (reference:
+    fairseq/tasks/translation_from_pretrained_bart.py): <lang:xx> tags for
+    every pretraining language are added to the dictionaries; the source
+    language id is appended after the source EOS and the target language tag
+    is prepended to the target, so the decoder conditions on the target
+    language the way mBART pretraining did.  Load the pretrained weights via
+    --finetune-from-model / checkpoint transplant."""
+
+    def __init__(self, cfg, data_cfg, tgt_dict, src_dict):
+        super().__init__(cfg, data_cfg, tgt_dict, src_dict)
+        langs = cfg.task_cfg.get("langs", "")
+        self.langs = [l for l in str(langs).split(",") if l]
+        for d in {id(self.src_dict): self.src_dict,
+                  id(self.tgt_dict): self.tgt_dict}.values():
+            d.add_symbol("<mask>")
+            for l in self.langs:
+                d.add_symbol(f"<lang:{l}>")
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        root = Path(self.cfg.dataset.data)
+        sl, tl = self.data_cfg.src_lang, self.data_cfg.tgt_lang
+        src = root / f"{split}.{sl}"
+        tgt = root / f"{split}.{tl}"
+        ds = TranslationDataset(
+            src, tgt if tgt.exists() else None, self.src_dict, self.tgt_dict,
+            self.src_bpe, self.bpe,
+            tgt_lang_tag=self.tgt_dict.index(f"<lang:{tl}>"),
+            src_lang_tag=self.src_dict.index(f"<lang:{sl}>"),
+        )
+        self.datasets[split] = ds
+        return ds
+
+    def build_model(self):
+        from s2t_tpu.models import build_model
+
+        return build_model(
+            self.cfg.arch or "mbart_large",
+            self.cfg.model,
+            vocab_size=len(self.tgt_dict),
+            src_vocab_size=len(self.src_dict),
+            max_source_positions=self.cfg.dataset.max_source_positions,
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
