@@ -275,6 +275,7 @@ class GenerationConfig:
     constraints: Optional[str] = None
     # NAT iterative refinement (reference: GenerationConfig iter_decode_*)
     iter_decode_max_iter: int = 10
+    iter_decode_eos_penalty: float = 0.0
     # S2T-fork CTC inference extras (reference: dataclass/configs.py:811-885)
     infer_ctc_weight: float = 0.0
     ctc_infer: bool = False

@@ -103,3 +103,45 @@ class LabelSmoothedCE:
             logs["n_correct"] = correct
             logs["total"] = total
         return loss, sample_size, logs
+
+
+@register_criterion("label_smoothed_cross_entropy_with_alignment")
+class LabelSmoothedCEWithAlignment:
+    """CE + supervised attention alignment (reference:
+    criterions/label_smoothed_cross_entropy_with_alignment.py — the
+    alignment loss is -log attn[tgt_j, src_i] summed over the word-aligned
+    pairs, scaled by --alignment-lambda)."""
+
+    @dataclass
+    class Config:
+        label_smoothing: float = 0.1
+        sentence_avg: bool = False
+        report_accuracy: bool = True
+        pad_id: int = 1
+        alignment_lambda: float = 0.05
+
+    def __init__(self, cfg: "LabelSmoothedCEWithAlignment.Config"):
+        self.cfg = cfg
+
+    def __call__(self, model_out, batch):
+        base_cfg = LabelSmoothedCE.Config(
+            label_smoothing=self.cfg.label_smoothing,
+            sentence_avg=self.cfg.sentence_avg,
+            report_accuracy=self.cfg.report_accuracy, pad_id=self.cfg.pad_id,
+        )
+        loss, sample_size, logs = LabelSmoothedCE(base_cfg)(model_out, batch)
+        attn = model_out.get("align_attn")
+        pairs = batch.get("alignments")
+        if attn is not None and pairs is not None:
+            # pairs (B, P, 2) = (src_idx, tgt_idx), -1-padded
+            src_i = pairs[..., 0]
+            tgt_j = pairs[..., 1]
+            valid = (src_i >= 0) & (tgt_j >= 0)
+            b_ix = jnp.arange(attn.shape[0])[:, None]
+            p = attn[b_ix, jnp.maximum(tgt_j, 0), jnp.maximum(src_i, 0)]
+            nll = -jnp.log(jnp.clip(p.astype(jnp.float32), 1e-9))
+            align_loss = jnp.sum(jnp.where(valid, nll, 0.0))
+            loss = loss + self.cfg.alignment_lambda * align_loss
+            logs["alignment_loss"] = align_loss
+            logs["loss"] = loss
+        return loss, sample_size, logs

@@ -40,6 +40,25 @@ class NATLoss:
     def __call__(
         self, model_out: Dict[str, Any], batch: Dict[str, Any]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        if "slot_logits" in model_out:
+            # insertion transformer: soft (tree-weighted) slot distributions
+            # (reference: insertion_transformer.py _get_ins_targets + CE)
+            lp = jax.nn.log_softmax(
+                model_out["slot_logits"].astype(jnp.float32), axis=-1
+            )
+            soft = model_out["slot_tgt"]
+            valid = model_out["slot_valid"].astype(jnp.float32)
+            per_slot = -jnp.sum(soft * lp, axis=-1)
+            denom = jnp.maximum(jnp.sum(valid), 1.0)
+            loss = jnp.sum(per_slot * valid) / denom
+            tgt = batch["target"]
+            logs = {
+                "loss": loss, "nll_loss": loss,
+                "ntokens": jnp.sum((tgt != self.cfg.pad_id).astype(jnp.float32)),
+                "nsentences": jnp.asarray(tgt.shape[0], jnp.float32),
+            }
+            return loss, jnp.asarray(1.0, jnp.float32), logs
+
         targets = model_out.get("word_ins_tgt", batch["target"])
         word_loss, word_nll = _masked_ls_ce(
             model_out["word_ins_logits"], targets,
@@ -47,6 +66,17 @@ class NATLoss:
         )
         loss = word_loss
         logs: Dict[str, jnp.ndarray] = {"word_ins_loss": word_loss, "nll_loss": word_nll}
+        if "crf_nll" in model_out:
+            # structured word loss (reference: nacrf_transformer.py — CRF
+            # sequence nll plus a down-weighted token CE)
+            ntok = jnp.maximum(
+                jnp.sum((targets != self.cfg.pad_id).astype(jnp.float32)), 1.0
+            )
+            crf_loss = jnp.sum(model_out["crf_nll"]) / ntok
+            factor = model_out.get("word_ins_factor", 0.5)
+            loss = factor * word_loss + crf_loss
+            logs["crf_loss"] = crf_loss
+            logs["nll_loss"] = crf_loss
         # Levenshtein heads: per-gap insertion counts + per-token deletion
         # (reference: levenshtein_transformer.py forward returns mask_ins /
         # word_del heads with 0.01-smoothed CE)

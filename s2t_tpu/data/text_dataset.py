@@ -30,6 +30,7 @@ class TranslationDataset:
         tgt_bpe=None,
         tgt_lang_tag: Optional[int] = None,
         src_lang_tag: Optional[int] = None,
+        align_path: Optional[str | Path] = None,
     ):
         self.src_dict, self.tgt_dict = src_dict, tgt_dict
         self.src_bpe, self.tgt_bpe = src_bpe, tgt_bpe
@@ -46,6 +47,23 @@ class TranslationDataset:
             with open(tgt_path, encoding="utf-8") as f:
                 self.tgt_lines = [l.rstrip("\n") for l in f]
             assert len(self.tgt_lines) == len(self.src_lines)
+        # word alignments in Pharaoh "i-j" format (reference:
+        # --load-alignments, load_langpair_dataset align path); indices are
+        # token positions, so alignment training assumes whitespace-token
+        # inputs (no BPE re-segmentation)
+        self.alignments = None
+        if align_path is not None and Path(align_path).exists():
+            self.alignments = []
+            with open(align_path, encoding="utf-8") as f:
+                for line in f:
+                    pairs = [
+                        tuple(int(x) for x in p.split("-"))
+                        for p in line.split()
+                    ]
+                    self.alignments.append(
+                        np.asarray(pairs or [(-1, -1)], dtype=np.int32)
+                    )
+            assert len(self.alignments) == len(self.src_lines)
         # approximate lengths in whitespace tokens for batching; exact subword
         # lengths are produced lazily in __getitem__
         self.n_frames = np.asarray(
@@ -70,6 +88,8 @@ class TranslationDataset:
             if self.tgt_lang_tag is not None:
                 tgt = np.concatenate([[self.tgt_lang_tag], tgt]).astype(tgt.dtype)
             item["target"] = tgt
+        if self.alignments is not None:
+            item["alignment"] = self.alignments[index]
         return item
 
     def ordered_indices(self, shuffle: bool = True, seed: int = 1, epoch: int = 1):
@@ -126,6 +146,13 @@ class TranslationDataset:
                 target=target, prev_tokens=prev, target_lengths=tgt_lengths,
                 ntokens=float(tgt_lengths.sum()),
             )
+        if "alignment" in samples[0]:
+            P = max(len(s["alignment"]) for s in samples)
+            aligns = np.full((B, P, 2), -1, dtype=np.int32)
+            for i, s in enumerate(samples):
+                a = s["alignment"]
+                aligns[i, : len(a)] = a
+            batch["alignments"] = aligns
         return batch
 
 

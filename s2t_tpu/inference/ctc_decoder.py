@@ -78,11 +78,20 @@ class CTCGenerator:
     CTCDecoder-as-decoder design, s2t_ctc.py:28-174)."""
 
     def __init__(self, model, decoder: "CTCDecoder",
-                 input_keys=("features", "feat_lengths"), use_xctc: bool = False):
+                 input_keys=("features", "feat_lengths"), use_xctc: bool = False,
+                 ngram_lm=None, lm_weight: float = 0.5,
+                 word_bonus: float = 0.0, dictionary=None):
         self.model = model
         self.decoder = decoder
         self.input_keys = input_keys
         self.use_xctc = use_xctc
+        # n-gram (ARPA/kenlm-style) shallow fusion: the jitted beam produces
+        # the n-best, the LM re-ranks it on the host — the same division of
+        # labour as the reference's ctcdecode+kenlm (s2t_ctc.py:215-231)
+        self.ngram_lm = ngram_lm
+        self.lm_weight = lm_weight
+        self.word_bonus = word_bonus
+        self.dictionary = dictionary
         self._jitted = {}
 
     def _build(self):
@@ -112,6 +121,15 @@ class CTCGenerator:
             B, T = tokens.shape
             scores = jnp.zeros((B, 1), jnp.float32)
             return tokens[:, None, :], scores, enc
+        if self.ngram_lm is not None and self.dictionary is not None:
+            from s2t_tpu.data.ngram_lm import rescore_nbest
+
+            tokens, second = rescore_nbest(
+                np.asarray(tokens), np.asarray(second), self.dictionary,
+                self.ngram_lm, self.lm_weight, self.word_bonus,
+                pad_id=self.decoder.pad_id,
+            )
+            return jnp.asarray(tokens), jnp.asarray(second), enc
         return tokens, second, enc  # beam: (B, K, T), scores (B, K)
 
 

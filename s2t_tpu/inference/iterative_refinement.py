@@ -112,6 +112,24 @@ class IterativeRefinementGenerator:
             tokens = tokens.astype(jnp.int32)
             scores = jnp.zeros((B, Tmax), jnp.float32)
 
+            if hasattr(type(model), "crf_decode"):
+                # structured single-pass decode (NACRF): emissions once,
+                # then Viterbi over the low-rank CRF lattice
+                logits = model.apply(
+                    {"params": params}, tokens, enc_out, enc_valid,
+                    method=type(model).nat_decode,
+                )
+                fill = tokens == unk
+                vit_tokens, vit_score = model.apply(
+                    {"params": params}, logits, fill,
+                    method=type(model).crf_decode,
+                )
+                tokens = jnp.where(fill, vit_tokens, tokens)
+                seq_scores = vit_score / jnp.maximum(
+                    lengths.astype(jnp.float32), 1.0
+                )
+                return tokens[:, None, :], seq_scores[:, None], enc
+
             def body(i, carry):
                 tokens, scores = carry
                 logits = model.apply(

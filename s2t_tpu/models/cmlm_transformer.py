@@ -101,6 +101,58 @@ class CMLMTransformerModel(nn.Module):
         return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
 
 
+@dataclass(frozen=True)
+class NACRFConfig(CMLMConfig):
+    crf_rank: int = 32
+    crf_beam: int = 8
+    # keep a (down-weighted) token-level CE alongside the CRF nll
+    # (reference: nacrf_transformer.py --word-ins-loss-factor, default 0.5)
+    word_ins_factor: float = 0.5
+
+
+@register_model("nacrf_transformer")
+class NACRFTransformerModel(CMLMTransformerModel):
+    """NAT with a structured (CRF) output layer (reference:
+    models/nat/nacrf_transformer.py:12 over modules/dynamic_crf_layer.py —
+    single parallel pass, then Viterbi over a low-rank beam-restricted
+    linear-chain CRF instead of independent argmax)."""
+
+    cfg: NACRFConfig
+
+    def setup(self):
+        super().setup()
+        from s2t_tpu.modules.dynamic_crf import DynamicCRF
+
+        self.crf = DynamicCRF(
+            self.cfg.vocab_size, self.cfg.crf_rank, self.cfg.crf_beam,
+            dtype=self.cfg.dtype, name="crf",
+        )
+
+    def __call__(self, src_tokens, src_lengths, prev_tokens,
+                 tgt_tokens=None, deterministic=True):
+        out = super().__call__(
+            src_tokens, src_lengths, prev_tokens, tgt_tokens, deterministic
+        )
+        if tgt_tokens is not None:
+            mask = tgt_tokens != self.cfg.pad_id
+            out["crf_nll"] = self.crf.nll(
+                out["word_ins_logits"], tgt_tokens, mask
+            )
+            out["word_ins_factor"] = self.cfg.word_ins_factor
+        return out
+
+    def crf_decode(self, emissions, nonpad_mask):
+        """Viterbi over the candidate lattice -> (tokens (B, T), score (B,))."""
+        return self.crf.viterbi(emissions, nonpad_mask)
+
+
+@register_model_architecture("nacrf_transformer", "nacrf_transformer")
+def nacrf_transformer(**kw) -> NACRFConfig:
+    return NACRFConfig(
+        encoder_normalize_before=False, decoder_normalize_before=False,
+    ).replace(**kw)
+
+
 @register_model_architecture("cmlm_transformer", "cmlm_transformer")
 def cmlm_transformer(**kw) -> CMLMConfig:
     return CMLMConfig(
@@ -114,4 +166,16 @@ def cmlm_transformer_small(**kw) -> CMLMConfig:
         encoder_embed_dim=256, encoder_ffn_embed_dim=1024,
         encoder_attention_heads=4, decoder_embed_dim=256,
         decoder_ffn_embed_dim=1024, decoder_attention_heads=4,
+    ).replace(**kw)
+
+
+@register_model_architecture("cmlm_transformer", "nonautoregressive_transformer")
+def nonautoregressive_transformer(**kw) -> CMLMConfig:
+    """Vanilla single-pass NAT (reference:
+    models/nat/nonautoregressive_transformer.py NATransformerModel — the
+    class CMLM extends).  Same graph as CMLM; vanilla NAT is trained with
+    full_mask noise (every target position is <unk>) and decoded with
+    iter_decode_max_iter=1, which reduces mask-predict to one parallel pass."""
+    return CMLMConfig(
+        encoder_normalize_before=False, decoder_normalize_before=False,
     ).replace(**kw)

@@ -222,3 +222,83 @@ def lstm_iwslt(**kw) -> LSTMConfig:
         encoder_embed_dim=256, encoder_hidden_size=256, decoder_embed_dim=256,
         decoder_hidden_size=256,
     ).replace(**kw)
+
+
+@register_model("lstm_lm")
+class LSTMLM(nn.Module):
+    """Decoder-only LSTM language model (reference: models/lstm_lm.py —
+    an LSTMDecoder without attention used for language_modeling).  Shares
+    the TransformerLM call/decode_step/init_cache protocol so eval_lm and
+    shallow fusion work unchanged."""
+
+    cfg: LSTMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.dtype
+        self.tgt_embed = nn.Embed(
+            cfg.vocab_size, cfg.decoder_embed_dim, dtype=dt,
+            embedding_init=nn.initializers.normal(0.1), name="tgt_embed",
+        )
+        Scan = _scan_cell()
+        self.cells = [
+            Scan(cfg.decoder_hidden_size, name=f"lstm{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        if cfg.decoder_hidden_size != cfg.decoder_embed_dim \
+                and cfg.share_decoder_input_output_embed:
+            self.out_to_emb = nn.Dense(cfg.decoder_embed_dim, dtype=dt,
+                                       name="out_to_emb")
+        if not cfg.share_decoder_input_output_embed:
+            self.logits_proj = nn.Dense(cfg.vocab_size, use_bias=False,
+                                        dtype=dt, name="logits_proj")
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def _logits(self, out):
+        if self.cfg.share_decoder_input_output_embed:
+            if out.shape[-1] != self.cfg.decoder_embed_dim:
+                out = self.out_to_emb(out)
+            return self.tgt_embed.attend(out)
+        return self.logits_proj(out)
+
+    def _run(self, x, init_states):
+        """x (B, T, E) -> (out (B, T, H), final states)."""
+        states = []
+        for i, cell in enumerate(self.cells):
+            s, x = cell(init_states[i], x)
+            states.append(s)
+        return x, states
+
+    def __call__(self, prev_tokens, deterministic: bool = True,
+                 targets: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        B = prev_tokens.shape[0]
+        H = cfg.decoder_hidden_size
+        x = self.drop(self.tgt_embed(prev_tokens), deterministic=deterministic)
+        init = [
+            (jnp.zeros((B, H), cfg.dtype), jnp.zeros((B, H), cfg.dtype))
+            for _ in range(cfg.decoder_layers)
+        ]
+        out, _ = self._run(x, init)
+        out = self.drop(out, deterministic=deterministic)
+        return {"decoder_logits": self._logits(out)}
+
+    def init_cache(self, batch_size: int, max_len: int):
+        H = self.cfg.decoder_hidden_size
+        return [
+            (jnp.zeros((batch_size, H), self.cfg.dtype),
+             jnp.zeros((batch_size, H), self.cfg.dtype))
+            for _ in range(self.cfg.decoder_layers)
+        ]
+
+    def decode_step(self, tokens, cache, index):
+        x = self.tgt_embed(tokens)  # (B, 1, E)
+        out, states = self._run(x, cache)
+        return self._logits(out[:, 0]), states
+
+
+@register_model_architecture("lstm_lm", "lstm_lm")
+def lstm_lm(**kw) -> LSTMConfig:
+    return LSTMConfig(
+        encoder_bidirectional=False, decoder_layers=1,
+    ).replace(**kw)

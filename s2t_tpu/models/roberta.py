@@ -127,3 +127,27 @@ def roberta_large(**kw) -> RobertaConfig:
         encoder_embed_dim=1024, encoder_ffn_embed_dim=4096,
         encoder_layers=24, encoder_attention_heads=16,
     ).replace(**kw)
+
+
+# language-specific RoBERTa variants are the same graph with different
+# pretraining corpora/vocabs (reference: models/roberta/model_camembert.py,
+# model_gottbert.py, model_xlmr.py — each subclasses RobertaModel and only
+# overrides hub checkpoint names)
+@register_model_architecture("roberta", "camembert")
+def camembert(**kw) -> RobertaConfig:
+    return RobertaConfig(vocab_size=32005).replace(**kw)
+
+
+@register_model_architecture("roberta", "gottbert")
+def gottbert(**kw) -> RobertaConfig:
+    return RobertaConfig(vocab_size=52009).replace(**kw)
+
+
+@register_model_architecture("roberta", "xlmr_base")
+def xlmr_base(**kw) -> RobertaConfig:
+    return RobertaConfig(vocab_size=250002).replace(**kw)
+
+
+@register_model_architecture("roberta", "xlmr_large")
+def xlmr_large(**kw) -> RobertaConfig:
+    return roberta_large(vocab_size=250002).replace(**kw)

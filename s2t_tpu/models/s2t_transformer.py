@@ -52,7 +52,11 @@ class S2TTransformerConfig:
     encoder_ffn_embed_dim: int = 2048
     encoder_layers: int = 12
     encoder_attention_heads: int = 4
-    encoder_attention_type: str = "abs"  # abs | rel_pos | rope
+    encoder_attention_type: str = "abs"  # abs | rel_pos | rope | light | dynamic
+    # per-layer conv kernel widths when encoder_attention_type is
+    # light/dynamic (reference: s2t_dynamic_transformer.py:38 kernel plan);
+    # empty = 15 everywhere
+    encoder_lconv_kernels: Tuple[int, ...] = ()
     # local/windowed self-attention: hide keys farther than this many frames
     # (reference: modules/local_multihead_attention.py); 0 = global
     encoder_attention_window: int = 0
@@ -189,6 +193,13 @@ class S2TTransformerEncoder(nn.Module):
             # rematerialise activations in the backward pass; deterministic
             # (arg index 4) stays static for flax Dropout control flow
             layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(4,))
+        def lconv_kernel(i):
+            if cfg.encoder_lconv_kernels:
+                return cfg.encoder_lconv_kernels[
+                    min(i, len(cfg.encoder_lconv_kernels) - 1)
+                ]
+            return 15
+
         self.layers = [
             layer_cls(
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
@@ -197,6 +208,7 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.encoder_normalize_before, cfg.encoder_attention_type,
                 cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
                 dt, cfg.seq_parallel, cfg.encoder_attention_stride,
+                lconv_kernel=lconv_kernel(i),
                 name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
@@ -325,7 +337,7 @@ class S2TTransformerEncoder(nn.Module):
             x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
         T = x.shape[1]
         pos_emb = None
-        if cfg.encoder_attention_type == "abs":
+        if cfg.encoder_attention_type in ("abs", "light", "dynamic"):
             # fairseq table: valid frame i gets absolute position pad+1+i
             pe = fairseq_sinusoidal_encoding(T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype)
             x = x + pe[None]
@@ -622,6 +634,25 @@ def convtransformer(**kw) -> S2TTransformerConfig:
     return s2t_transformer_s(
         subsampling_type="conv2d", subsampling_filter=64,
         subsampling_kernel=3, encoder_embed_dim=256,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_dynamic_transformer_s")
+def s2t_dynamic_transformer_s(**kw) -> S2TTransformerConfig:
+    """Dynamic-conv acoustic encoder (reference:
+    s2t_dynamic_transformer.py:38 — self-attention replaced by dynamic
+    convolutions with a growing kernel plan)."""
+    return s2t_transformer_s(
+        encoder_attention_type="dynamic",
+        encoder_lconv_kernels=(3, 7, 15, 31, 31, 31, 31),
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_light_transformer_s")
+def s2t_light_transformer_s(**kw) -> S2TTransformerConfig:
+    return s2t_transformer_s(
+        encoder_attention_type="light",
+        encoder_lconv_kernels=(3, 7, 15, 31, 31, 31, 31),
     ).replace(**kw)
 
 

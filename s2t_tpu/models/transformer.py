@@ -45,6 +45,8 @@ class TransformerMTConfig:
     # post-embedding LayerNorm (reference: --layernorm-embedding, used by
     # BART/mBART; fairseq/models/transformer.py encoder/decoder flags)
     layernorm_embedding: bool = False
+    # SE channel gate in encoder layers (reference: --squeeze-excitation)
+    squeeze_excitation: bool = False
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
@@ -104,6 +106,7 @@ class TransformerTextEncoder(nn.Module):
                 cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
                 cfg.activation_dropout, cfg.activation_fn,
                 cfg.encoder_normalize_before, cfg.encoder_attention_type,
+                use_se=cfg.squeeze_excitation,
                 dtype=dt, name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)

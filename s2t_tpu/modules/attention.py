@@ -128,6 +128,10 @@ class MultiHeadAttention(nn.Module):
             bias = step_bias if bias is None else bias + step_bias
 
         w = dot_attention_weights(q, k, bias, q.dtype)
+        # capture for alignment supervision / attention dumps when the caller
+        # applies with mutable=["intermediates"] (no-op otherwise); the
+        # reference returns attn from forward when need_attn is set
+        self.sow("intermediates", "attn_weights", w)
         w = self.drop(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
         out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)

@@ -99,6 +99,12 @@ class S2TEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     seq_parallel: bool = False  # ring attention over the mesh "seq" axis
     attention_stride: int = 1  # reduced-KV attention stride
+    # kernel width when attention_type is "light"/"dynamic" (reference:
+    # s2t_dynamic_transformer.py — conv layers replace self-attention)
+    lconv_kernel: int = 15
+    # squeeze-excitation channel gate after the FFN (reference:
+    # modules/squeeze_excitation.py SEAttention, --squeeze-excitation)
+    use_se: bool = False
 
     @nn.compact
     def __call__(
@@ -127,7 +133,17 @@ class S2TEncoderLayer(nn.Module):
         res = x
         norm_attn_norm = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
         h = norm_attn_norm(x) if self.normalize_before else x
-        if self.attention_type == "rel_pos":
+        if self.attention_type in ("light", "dynamic"):
+            from s2t_tpu.modules.lightconv import LightConvBlock
+
+            h, _ = LightConvBlock(
+                self.dim, self.dim, self.lconv_kernel, self.num_heads,
+                conv_type=("lightweight" if self.attention_type == "light"
+                           else "dynamic"),
+                weight_dropout=self.attention_dropout, dtype=self.dtype,
+                name="self_attn",
+            )(h, valid_mask, deterministic)
+        elif self.attention_type == "rel_pos":
             h = RelPositionMultiHeadAttention(
                 self.dim, self.num_heads, self.attention_dropout, self.dtype,
                 name="self_attn",
@@ -165,6 +181,15 @@ class S2TEncoderLayer(nn.Module):
         x = res + ffn_scale * drop(h, deterministic=deterministic)
         if not self.normalize_before:
             x = norm_ffn_norm(x)
+
+        if self.use_se:
+            m = valid_mask[..., None].astype(x.dtype)
+            pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+            g = nn.Dense(max(self.dim // 16, 1), use_bias=False,
+                         dtype=self.dtype, name="se_fc1")(pooled)
+            g = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="se_fc2")(nn.relu(g))
+            x = x * nn.sigmoid(g)[:, None, :]
 
         if self.use_cnn_module:
             x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)

@@ -167,8 +167,17 @@ class SpeechToTextTask(Task):
                 self_ensemble=g.ctc_self_ensemble,
                 intermediate_logit=g.ctc_inter_logit,
             )
+            ngram_lm = None
+            if g.lm_path and str(g.lm_path).endswith(".arpa"):
+                # kenlm-style n-gram fusion for CTC beams (reference:
+                # s2t_ctc.py:215-231 ctcdecode+kenlm)
+                from s2t_tpu.data.ngram_lm import ArpaLM
+
+                ngram_lm = ArpaLM.load(g.lm_path)
             return CTCGenerator(
-                model, dec, use_xctc=getattr(model.cfg, "use_xctc", False)
+                model, dec, use_xctc=getattr(model.cfg, "use_xctc", False),
+                ngram_lm=ngram_lm, lm_weight=g.lm_weight,
+                dictionary=self.tgt_dict,
             )
         return SequenceGenerator(
             model,

@@ -81,9 +81,13 @@ class TranslationTask(Task):
             return ds
         src = root / f"{split}.{sl}"
         tgt = root / f"{split}.{tl}"
+        align = root / f"{split}.align"
         ds = TranslationDataset(
             src, tgt if tgt.exists() else None, self.src_dict, self.tgt_dict,
             self.src_bpe, self.bpe,
+            align_path=align if (
+                self.cfg.task_cfg.get("load_alignments") and align.exists()
+            ) else None,
         )
         self.datasets[split] = ds
         return ds
@@ -105,6 +109,21 @@ class TranslationTask(Task):
             args = (batch["src_tokens"], batch["src_lengths"], batch["prev_tokens"])
             if params is None:  # init mode
                 return model.init(rngs["params"], *args, deterministic=True)
+            from s2t_tpu.models.transformer_align import (
+                TransformerAlignModel,
+                extract_alignment_attn,
+            )
+
+            if isinstance(model, TransformerAlignModel):
+                # capture the alignment layer's cross-attention
+                out, mods = model.apply(
+                    {"params": params}, *args, deterministic=deterministic,
+                    rngs=rngs, mutable=["intermediates"],
+                )
+                out["align_attn"] = extract_alignment_attn(
+                    mods["intermediates"], model.cfg
+                )
+                return out
             return model.apply(
                 {"params": params}, *args, deterministic=deterministic, rngs=rngs
             )

@@ -70,8 +70,44 @@ class TranslationLevTask(TranslationTask):
             self.tgt_dict.pad(), self.tgt_dict.bos(),
             self.tgt_dict.eos(), self.tgt_dict.unk(),
         )
+        tau = (self.cfg.task_cfg or {}).get("insertion_tau", 1.0)
+        vocab = len(self.tgt_dict)
+
+        def fwd_insertion(model, params, batch, deterministic, rngs=None):
+            # canvas subsampling + tree-weighted slot targets, all inside the
+            # compiled step (reference: insertion_transformer.py training)
+            from s2t_tpu.models.insertion_transformer import make_slot_targets
+
+            tgt = batch["target"]
+            core = jnp.where(tgt == eos, pad, tgt)  # eos is canvas framing
+            if params is None:
+                keep = jnp.zeros_like(core, bool)
+                canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau)
+                return model.init(
+                    {"params": rngs["params"], "dropout": rngs["params"]},
+                    batch["src_tokens"], batch["src_lengths"],
+                    canvas, soft, valid, deterministic=True,
+                )
+            if deterministic or rngs is None:
+                krng = jax.random.PRNGKey(0)
+            else:
+                krng = jax.random.fold_in(rngs["dropout"], 17)
+            k1, k2 = jax.random.split(krng)
+            rate = jax.random.uniform(k1, (core.shape[0], 1))
+            keep = jax.random.uniform(k2, core.shape) < rate
+            canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau)
+            return model.apply(
+                {"params": params}, batch["src_tokens"], batch["src_lengths"],
+                canvas, soft, valid, deterministic=deterministic, rngs=rngs,
+            )
 
         def fwd(model, params, batch, deterministic, rngs=None):
+            from s2t_tpu.models.insertion_transformer import (
+                InsertionTransformerModel,
+            )
+
+            if isinstance(model, InsertionTransformerModel):
+                return fwd_insertion(model, params, batch, deterministic, rngs)
             tgt = batch["target"]
             if params is None:
                 prev = jnp.full_like(tgt, unk)
@@ -98,8 +134,22 @@ class TranslationLevTask(TranslationTask):
         from s2t_tpu.inference.iterative_refinement import (
             IterativeRefinementGenerator,
         )
+        from s2t_tpu.models.insertion_transformer import (
+            InsertionGenerator,
+            InsertionTransformerModel,
+        )
 
         g = gen_cfg or self.cfg.generation
+        if isinstance(model, InsertionTransformerModel):
+            return InsertionGenerator(
+                model, max_iter=max(g.iter_decode_max_iter, 1),
+                max_target_positions=min(
+                    self.cfg.dataset.max_target_positions, 256
+                ),
+                bos_id=self.tgt_dict.bos(), pad_id=self.tgt_dict.pad(),
+                eos_id=self.tgt_dict.eos(),
+                pad_penalty=g.iter_decode_eos_penalty,
+            )
         return IterativeRefinementGenerator(
             model,
             max_iter=max(g.iter_decode_max_iter, 1),

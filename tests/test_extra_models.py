@@ -212,3 +212,74 @@ class TestLSTMMT:
         np.testing.assert_allclose(
             np.asarray(e1), np.asarray(e2[:, :4]), atol=1e-5
         )
+
+
+class TestLSTMLM:
+    def test_lm_trains_and_decodes_incrementally(self, tmp_path):
+        """lstm_lm (reference: models/lstm_lm.py) via the real LM task CLI,
+        plus incremental/full parity for the fusion path."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.config import TrainConfig, from_dict
+        from s2t_tpu.cli.train import main as train_main
+
+        root = tmp_path / "data"
+        root.mkdir(parents=True)
+        lines = ["aa bb cc dd " * 8 for _ in range(16)]
+        for split in ("train", "dev"):
+            (root / f"{split}.txt").write_text("\n".join(lines))
+        (root / "dict.txt").write_text("aa 5\nbb 5\ncc 5\ndd 5\n")
+        cfg = from_dict(TrainConfig, {
+            "task": "language_modeling", "arch": "lstm_lm",
+            "criterion": "cross_entropy",
+            "task_cfg": {"tokens_per_sample": 32},
+            "model": {"decoder_embed_dim": 24, "decoder_hidden_size": 24,
+                      "decoder_layers": 1, "dropout": 0.0},
+            "dataset": {"data": str(root), "max_tokens": 512,
+                        "max_target_positions": 32},
+            "optimization": {"max_epoch": 8, "lr": 5e-3,
+                             "warmup_updates": 5, "clip_norm": 2.0},
+            "checkpoint": {"save_dir": str(tmp_path / "ckpt"),
+                           "async_save": False},
+        })
+        out = train_main(cfg)
+        assert out["history"][-1]["loss"] < out["history"][0]["loss"]
+
+        model, params = out["model"], out["state"].params
+        toks = jnp.asarray([[2, 4, 5, 6]], jnp.int32)
+        full = np.asarray(
+            model.apply({"params": params}, toks)["decoder_logits"]
+        )
+        cache = model.apply({"params": params}, 1, 8,
+                            method=type(model).init_cache)
+        for t in range(4):
+            step, cache = model.apply(
+                {"params": params}, toks[:, t : t + 1], cache,
+                jnp.asarray(t), method=type(model).decode_step,
+            )
+            np.testing.assert_allclose(np.asarray(step), full[:, t], atol=1e-4)
+
+
+class TestRobertaVariants:
+    def test_language_specific_aliases(self):
+        """camembert/gottbert/xlmr are the RoBERTa graph with variant vocab
+        (reference: models/roberta/model_{camembert,gottbert,xlmr}.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from s2t_tpu.models.build import build_model
+
+        for arch in ("camembert", "gottbert", "xlmr_base"):
+            m = build_model(
+                arch,
+                {"encoder_embed_dim": 16, "encoder_ffn_embed_dim": 32,
+                 "encoder_layers": 1, "encoder_attention_heads": 2,
+                 "dropout": 0.0, "attention_dropout": 0.0},
+                vocab_size=30,
+            )
+            toks = jnp.asarray([[4, 5, 6, 1]], jnp.int32)
+            p = m.init(jax.random.PRNGKey(0), toks)
+            out = m.apply(p, toks)
+            assert out["lm_logits"].shape == (1, 4, 30)

@@ -99,3 +99,82 @@ class TestLayerDrop:
             np.asarray(out_eval["decoder_logits"]),
             np.asarray(out_eval2["decoder_logits"]),
         )
+
+
+class TestDynamicConvEncoder:
+    """s2t_dynamic_transformer: conv layers replace encoder self-attention
+    (reference: models/speech_to_text/s2t_dynamic_transformer.py:38)."""
+
+    def test_forward_and_grads(self):
+        for att in ("dynamic", "light"):
+            model, params, feats, lens, prev = build(
+                encoder_attention_type=att,
+                encoder_lconv_kernels=(3, 7),
+            )
+            out = model.apply({"params": params}, feats, lens, prev)
+            assert np.isfinite(np.asarray(out["decoder_logits"])).all()
+
+            def loss(p):
+                o = model.apply({"params": p}, feats, lens, prev)
+                return jnp.mean(o["decoder_logits"].astype(jnp.float32) ** 2)
+
+            g = jax.grad(loss)(params)
+            assert all(
+                np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g)
+            )
+
+    def test_registry_preset(self):
+        from s2t_tpu.models.build import build_model
+
+        m = build_model(
+            "s2t_dynamic_transformer_s",
+            {"encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+             "encoder_layers": 2, "encoder_attention_heads": 2,
+             "decoder_embed_dim": 32, "decoder_ffn_embed_dim": 64,
+             "decoder_layers": 1, "decoder_attention_heads": 2,
+             "subsampling_filter": 32, "dropout": 0.0},
+            vocab_size=V,
+        )
+        assert m.cfg.encoder_attention_type == "dynamic"
+        feats = jnp.ones((B, T, D))
+        lens = jnp.asarray([T, T], jnp.int32)
+        prev = jnp.zeros((B, 3), jnp.int32)
+        p = m.init(jax.random.PRNGKey(0), feats, lens, prev)
+        out = m.apply(p, feats, lens, prev)
+        assert out["decoder_logits"].shape[-1] == V
+
+
+class TestSqueezeExcitation:
+    def test_se_gate_changes_output_and_trains(self):
+        """--squeeze-excitation channel gate (reference:
+        modules/squeeze_excitation.py, transformer_layer.py:77-79)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.models.transformer import (
+            TransformerMTConfig, TransformerModel,
+        )
+
+        base = TransformerMTConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=1,
+            decoder_attention_heads=2, dropout=0.0, vocab_size=V,
+        )
+        src = jnp.asarray([[4, 5, 6, 7]], jnp.int32)
+        lens = jnp.asarray([4], jnp.int32)
+        prev = jnp.asarray([[2, 4, 5]], jnp.int32)
+        m_se = TransformerModel(base.replace(squeeze_excitation=True))
+        p = m_se.init(jax.random.PRNGKey(0), src, lens, prev)["params"]
+        assert "se_fc1" in p["encoder"]["layer0"]
+        out = m_se.apply({"params": p}, src, lens, prev)
+        assert np.isfinite(np.asarray(out["decoder_logits"])).all()
+
+        def loss(p):
+            o = m_se.apply({"params": p}, src, lens, prev)
+            return jnp.mean(o["decoder_logits"].astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p)
+        se_g = g["encoder"]["layer0"]["se_fc1"]["kernel"]
+        assert np.abs(np.asarray(se_g)).sum() > 0  # gate receives gradient
