@@ -27,6 +27,10 @@ def parse_args(argv=None):
         "--override", action="append", default=[],
         help="config override key=value (e.g. encoder_attention_heads=4)",
     )
+    p.add_argument(
+        "--type", default="s2t", choices=("s2t", "mt"),
+        help="checkpoint family: s2t_transformer or MT transformer",
+    )
     return p.parse_args(argv)
 
 
@@ -44,7 +48,10 @@ def _parse_value(v: str):
 
 
 def main(argv=None):
-    from s2t_tpu.interop.fairseq_import import import_fairseq_s2t
+    from s2t_tpu.interop.fairseq_import import (
+        import_fairseq_mt,
+        import_fairseq_s2t,
+    )
     from s2t_tpu.utils.checkpoint import save_pytree
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
@@ -53,7 +60,8 @@ def main(argv=None):
         (k, _parse_value(v))
         for k, v in (s.split("=", 1) for s in args.override)
     )
-    params, cfg = import_fairseq_s2t(args.input, **overrides)
+    importer = import_fairseq_mt if args.type == "mt" else import_fairseq_s2t
+    params, cfg = importer(args.input, **overrides)
     save_pytree(args.output, {"params": params})
     meta = {"imported_from": args.input, "model": dataclasses.asdict(cfg)}
     with open(args.output + ".json", "w") as f:

@@ -306,3 +306,140 @@ def import_fairseq_s2t(path: str, **overrides):
     state, args = load_fairseq_checkpoint(path)
     cfg = infer_config_from_args(args, state, **overrides)
     return convert_s2t_transformer(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# MT transformer checkpoints (reference: fairseq/models/transformer.py layout:
+# encoder/decoder.layers.{i}.{self_attn,encoder_attn,fc1,fc2,
+# *_layer_norm,final_layer_norm}; learned positions carry fairseq's pad+1
+# offset which the decoder table import re-bases).
+# --------------------------------------------------------------------------- #
+
+def infer_mt_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                              **overrides):
+    from s2t_tpu.models.transformer import TransformerMTConfig
+
+    vocab, dec_dim = state["decoder.embed_tokens.weight"].shape
+    src_vocab, enc_dim = state["encoder.embed_tokens.weight"].shape
+    enc_layers = 1 + max(
+        int(m.group(1)) for k in state
+        if (m := re.match(r"encoder\.layers\.(\d+)\.", k))
+    )
+    dec_layers = 1 + max(
+        int(m.group(1)) for k in state
+        if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+    )
+    enc_learned = "encoder.embed_positions.weight" in state
+    dec_learned = "decoder.embed_positions.weight" in state
+    max_src = int(_get(args, "max_source_positions", 1024))
+    if enc_learned:
+        max_src = state["encoder.embed_positions.weight"].shape[0] - 2
+    max_tgt = int(_get(args, "max_target_positions", 1024))
+    cfg = TransformerMTConfig(
+        encoder_embed_dim=enc_dim,
+        encoder_ffn_embed_dim=state["encoder.layers.0.fc1.weight"].shape[0],
+        encoder_layers=enc_layers,
+        encoder_attention_heads=int(_get(args, "encoder_attention_heads", 8)),
+        encoder_normalize_before="encoder.layer_norm.weight" in state,
+        encoder_learned_pos=enc_learned,
+        decoder_embed_dim=dec_dim,
+        decoder_ffn_embed_dim=state["decoder.layers.0.fc1.weight"].shape[0],
+        decoder_layers=dec_layers,
+        decoder_attention_heads=int(_get(args, "decoder_attention_heads", 8)),
+        decoder_normalize_before="decoder.layer_norm.weight" in state,
+        decoder_learned_pos=dec_learned,
+        layernorm_embedding="encoder.layernorm_embedding.weight" in state,
+        share_decoder_input_output_embed=(
+            "decoder.output_projection.weight" not in state
+            or np.array_equal(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+        ),
+        no_scale_embedding=bool(_get(args, "no_scale_embedding", False)),
+        dropout=float(_get(args, "dropout", 0.1)),
+        activation_fn=_get(args, "activation_fn", "relu"),
+        vocab_size=vocab,
+        src_vocab_size=src_vocab,
+        max_source_positions=max_src,
+        max_target_positions=max_tgt,
+        pad_id=1,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def convert_mt_transformer(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a reference MT transformer state dict to this framework's pytree."""
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    enc, dec = params["encoder"], params["decoder"]
+
+    enc["embed_tokens"] = {"embedding": state["encoder.embed_tokens.weight"]}
+    if cfg.encoder_learned_pos:
+        # fairseq pad-aware positions == ours; table copies verbatim
+        enc["embed_positions"] = {
+            "embedding": state["encoder.embed_positions.weight"]
+        }
+    if cfg.layernorm_embedding:
+        enc["emb_norm"] = _norm(state, "encoder.layernorm_embedding")
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        enc[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if cfg.encoder_normalize_before:
+        enc["final_norm"] = _norm(state, "encoder.layer_norm")
+
+    dec["embed_tokens"] = {"embedding": state["decoder.embed_tokens.weight"]}
+    if cfg.decoder_learned_pos:
+        # our decoder indexes positions from 0; fairseq's learned table is
+        # offset by pad+1 — re-base by slicing
+        w = state["decoder.embed_positions.weight"]
+        off = cfg.pad_id + 1
+        table = w[off:]
+        if table.shape[0] < cfg.max_target_positions:
+            table = np.pad(
+                table,
+                ((0, cfg.max_target_positions - table.shape[0]), (0, 0)),
+            )
+        dec["embed_positions"] = {
+            "embedding": np.ascontiguousarray(
+                table[: cfg.max_target_positions]
+            )
+        }
+    if cfg.layernorm_embedding:
+        dec["emb_norm"] = _norm(state, "decoder.layernorm_embedding")
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "self_attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "cross_attn": _attn(state, p + ".encoder_attn"),
+            "cross_attn_norm": _norm(state, p + ".encoder_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if cfg.decoder_normalize_before:
+        dec["final_norm"] = _norm(state, "decoder.layer_norm")
+    if not cfg.share_decoder_input_output_embed:
+        dec["output_proj"] = {
+            "kernel": np.ascontiguousarray(
+                state["decoder.output_projection.weight"].T
+            )
+        }
+    return params
+
+
+def import_fairseq_mt(path: str, **overrides):
+    """One-call MT import: path → (params pytree, TransformerMTConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_mt_config_from_args(args, state, **overrides)
+    return convert_mt_transformer(state, cfg), cfg

@@ -179,7 +179,9 @@ class TransformerModel(nn.Module):
             activation_dropout=cfg.activation_dropout, activation=cfg.activation_fn,
             normalize_before=cfg.decoder_normalize_before,
             share_input_output_embed=cfg.share_decoder_input_output_embed,
+            no_scale_embedding=cfg.no_scale_embedding,
             learned_pos=cfg.decoder_learned_pos,
+            layernorm_embedding=cfg.layernorm_embedding,
             max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
             dtype=cfg.dtype, name="decoder",
         )

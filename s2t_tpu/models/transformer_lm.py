@@ -37,6 +37,10 @@ class TransformerLMConfig:
     # criterions/adaptive_loss.py); e.g. (2000, 10000)
     adaptive_softmax_cutoff: Tuple[int, ...] = ()
     adaptive_softmax_factor: float = 4.0
+    # clustered input embeddings (reference: modules/adaptive_input.py,
+    # Baevski & Auli — transformer_lm_wiki103 pairs it with adaptive softmax)
+    adaptive_input_cutoff: Tuple[int, ...] = ()
+    adaptive_input_factor: float = 4.0
     dtype_str: str = "float32"
 
     def replace(self, **kw):
@@ -53,6 +57,17 @@ class TransformerLM(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        adaptive_embed = None
+        share_io = cfg.share_decoder_input_output_embed
+        if cfg.adaptive_input_cutoff:
+            from s2t_tpu.modules.adaptive_softmax import AdaptiveInput
+
+            adaptive_embed = AdaptiveInput(
+                cfg.vocab_size, cfg.adaptive_input_cutoff,
+                cfg.decoder_embed_dim, cfg.adaptive_input_factor,
+                cfg.dtype, name="adaptive_embed",
+            )
+            share_io = False  # no dense table to tie; pair with adaptive softmax
         self.decoder = TransformerDecoder(
             vocab_size=cfg.vocab_size, embed_dim=cfg.decoder_embed_dim,
             ffn_dim=cfg.decoder_ffn_embed_dim, num_layers=cfg.decoder_layers,
@@ -60,10 +75,11 @@ class TransformerLM(nn.Module):
             attention_dropout=cfg.attention_dropout,
             activation_dropout=cfg.activation_dropout, activation=cfg.activation_fn,
             normalize_before=cfg.decoder_normalize_before,
-            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            share_input_output_embed=share_io,
             learned_pos=cfg.decoder_learned_pos,
             max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
-            dtype=cfg.dtype, no_cross_attention=True, name="decoder",
+            dtype=cfg.dtype, no_cross_attention=True,
+            shared_embed=adaptive_embed, name="decoder",
         )
         if cfg.adaptive_softmax_cutoff:
             from s2t_tpu.modules.adaptive_softmax import AdaptiveSoftmax
@@ -125,4 +141,17 @@ def transformer_lm_big(**kw) -> TransformerLMConfig:
     return TransformerLMConfig(
         decoder_embed_dim=1024, decoder_ffn_embed_dim=4096,
         decoder_attention_heads=16, decoder_layers=12,
+    ).replace(**kw)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_wiki103")
+@register_model_architecture("transformer_lm", "transformer_lm_baevski_wiki103")
+def transformer_lm_wiki103(**kw) -> TransformerLMConfig:
+    """Adaptive-input + adaptive-softmax LM (reference:
+    transformer_lm.py transformer_lm_baevski_wiki103 — Baevski & Auli)."""
+    return TransformerLMConfig(
+        decoder_embed_dim=1024, decoder_ffn_embed_dim=4096,
+        decoder_attention_heads=8, decoder_layers=16, dropout=0.3,
+        adaptive_softmax_cutoff=(20000, 60000),
+        adaptive_input_cutoff=(20000, 60000),
     ).replace(**kw)

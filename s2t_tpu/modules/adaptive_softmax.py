@@ -86,3 +86,48 @@ class AdaptiveSoftmax(nn.Module):
 
     def __call__(self, x):
         return self.log_probs(x)
+
+
+class AdaptiveInput(nn.Module):
+    """Adaptive input embeddings (Baevski & Auli 2019).
+
+    (reference: fairseq/modules/adaptive_input.py — the embedding-side twin
+    of AdaptiveSoftmax: frequent head tokens get full-dim embeddings, tail
+    clusters get factor-reduced embeddings projected up to ``embed_dim``.)
+
+    Drop-in for nn.Embed as a decoder ``shared_embed`` (no ``attend``: tying
+    with the output layer pairs it with AdaptiveSoftmax instead).
+    """
+
+    vocab_size: int
+    cutoffs: Sequence[int]
+    embed_dim: int = 512
+    factor: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cuts = [0] + list(self.cutoffs) + [self.vocab_size]
+        self._cuts = cuts
+        embeds, projs = [], []
+        for k in range(len(cuts) - 1):
+            dim = max(int(self.embed_dim // (self.factor**k)), 8)
+            embeds.append(nn.Embed(
+                cuts[k + 1] - cuts[k], dim, dtype=self.dtype,
+                embedding_init=nn.initializers.normal(dim**-0.5),
+                name=f"embed{k}",
+            ))
+            projs.append(nn.Dense(self.embed_dim, use_bias=False,
+                                  dtype=self.dtype, name=f"proj{k}"))
+        self.embeds = embeds
+        self.projs = projs
+
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        cuts = self._cuts
+        out = None
+        for k in range(len(cuts) - 1):
+            idx = jnp.clip(tokens - cuts[k], 0, cuts[k + 1] - cuts[k] - 1)
+            e = self.projs[k](self.embeds[k](idx))
+            sel = (tokens >= cuts[k]) & (tokens < cuts[k + 1])
+            e = jnp.where(sel[..., None], e, 0.0)
+            out = e if out is None else out + e
+        return out

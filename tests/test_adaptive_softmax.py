@@ -72,3 +72,83 @@ class TestAdaptiveSoftmax:
             state, m = trainer.train_step(state, batch)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestAdaptiveInput:
+    def test_partition_covers_vocab_and_trains(self):
+        """AdaptiveInput (reference: modules/adaptive_input.py): every token
+        id maps to exactly one cluster, embeddings are full-dim, gradients
+        reach tail clusters."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.modules.adaptive_softmax import AdaptiveInput
+
+        V, D = 40, 16
+        mod = AdaptiveInput(V, (8, 20), D, factor=2.0)
+        toks = jnp.arange(V)[None, :]
+        params = mod.init(jax.random.PRNGKey(0), toks)["params"]
+        out = mod.apply({"params": params}, toks)
+        assert out.shape == (1, V, D)
+        assert np.isfinite(np.asarray(out)).all()
+        # distinct tokens from different clusters give distinct embeddings
+        o = np.asarray(out)[0]
+        assert not np.allclose(o[0], o[10]) and not np.allclose(o[10], o[30])
+
+        def loss(p):
+            return jnp.sum(mod.apply({"params": p}, toks) ** 2)
+
+        g = jax.grad(loss)(params)
+        for k in range(3):
+            assert np.abs(np.asarray(g[f"embed{k}"]["embedding"])).sum() > 0
+
+    def test_lm_with_adaptive_input_and_softmax(self):
+        """transformer_lm_wiki103-style LM trains with adaptive_loss."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from s2t_tpu.criterions.build import build_criterion
+        from s2t_tpu.models.build import build_model
+
+        V = 50
+        m = build_model(
+            "transformer_lm_wiki103",
+            {"decoder_embed_dim": 32, "decoder_ffn_embed_dim": 64,
+             "decoder_layers": 1, "decoder_attention_heads": 2,
+             "dropout": 0.0,
+             "adaptive_softmax_cutoff": (10, 25),
+             "adaptive_input_cutoff": (10, 25)},
+            vocab_size=V,
+        )
+        crit = build_criterion("adaptive_loss", {})
+        rng = np.random.default_rng(0)
+        prev = jnp.asarray(rng.integers(4, V, size=(4, 12)), jnp.int32)
+        tgt = jnp.asarray(np.roll(np.asarray(prev), -1, 1), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), prev, targets=tgt)
+        params = variables["params"]
+        # the shared AdaptiveInput binds at the model level (flax module
+        # sharing), the decoder reuses it
+        assert "adaptive_embed" in params
+
+        opt = optax.adam(3e-3)
+        st = opt.init(params)
+
+        @jax.jit
+        def step(params, st):
+            def loss_fn(p):
+                out = m.apply({"params": p}, prev, targets=tgt)
+                l, ss, _ = crit(out, {"target": tgt})
+                return l / ss
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            up, st2 = opt.update(g, st)
+            return optax.apply_updates(params, up), st2, l
+
+        first = None
+        for i in range(60):
+            params, st, l = step(params, st)
+            first = first or float(l)
+        assert float(l) < first, (first, float(l))

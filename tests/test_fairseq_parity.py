@@ -126,3 +126,85 @@ class TestS2TTransformerParity:
             share_decoder_input_output_embed=True,
         )
         assert cfg.share_decoder_input_output_embed
+
+
+class TestMTTransformerParity:
+    """MT transformer checkpoint import parity (reference:
+    fairseq/models/transformer.py state-dict layout)."""
+
+    def _roundtrip(self, tmp_path, arch="transformer_iwslt_de_en", **overrides):
+        import torch
+
+        from build_reference import build_mt_model, save_fairseq_checkpoint
+        from s2t_tpu.interop.fairseq_import import import_fairseq_mt
+
+        kw = dict(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=2,
+            decoder_attention_heads=2, dropout=0.0,
+            attention_dropout=0.0, activation_dropout=0.0,
+        )
+        kw.update(overrides)
+        model, args, d = build_mt_model(arch, **kw)
+        ckpt = str(tmp_path / "ref_mt.pt")
+        save_fairseq_checkpoint(model, args, ckpt)
+        params, cfg = import_fairseq_mt(ckpt)
+
+        rng = np.random.default_rng(0)
+        V = len(d)
+        src = rng.integers(4, V, size=(2, 6)).astype(np.int64)
+        src[1, 4:] = 1  # pad tail
+        lens = np.asarray([6, 4], np.int32)
+        prev = rng.integers(4, V, size=(2, 3)).astype(np.int64)
+        prev[:, 0] = 2
+
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(src), torch.tensor(lens))
+            ref_enc = enc["encoder_out"][0].transpose(0, 1).numpy()
+            ref_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        import jax
+        import jax.numpy as jnp
+
+        from s2t_tpu.models.transformer import TransformerModel
+
+        m = TransformerModel(cfg)
+        out = m.apply(
+            {"params": params}, jnp.asarray(src, jnp.int32),
+            jnp.asarray(lens), jnp.asarray(prev, jnp.int32),
+        )
+        my_enc = np.asarray(out["encoder_out"], np.float32)
+        my_logits = np.asarray(out["decoder_logits"], np.float32)
+        for b in range(2):
+            L = lens[b]
+            np.testing.assert_allclose(
+                my_enc[b, :L], ref_enc[b, :L], atol=3e-4,
+                err_msg=f"encoder mismatch row {b}",
+            )
+        np.testing.assert_allclose(ref_logits, my_logits, atol=3e-4)
+        return cfg
+
+    def test_postnorm_iwslt(self, tmp_path):
+        cfg = self._roundtrip(tmp_path)
+        assert not cfg.encoder_normalize_before
+
+    def test_prenorm_shared_embed(self, tmp_path):
+        cfg = self._roundtrip(
+            tmp_path,
+            encoder_normalize_before=True, decoder_normalize_before=True,
+            share_decoder_input_output_embed=True,
+        )
+        assert cfg.encoder_normalize_before
+        assert cfg.share_decoder_input_output_embed
+
+    def test_learned_pos_and_layernorm_embedding(self, tmp_path):
+        cfg = self._roundtrip(
+            tmp_path,
+            encoder_learned_pos=True, decoder_learned_pos=True,
+            layernorm_embedding=True, no_scale_embedding=True,
+        )
+        assert cfg.encoder_learned_pos and cfg.decoder_learned_pos
+        assert cfg.layernorm_embedding

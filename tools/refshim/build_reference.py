@@ -69,6 +69,39 @@ def build_s2t_model(arch="s2t_transformer_s", dictionary=None, **arg_overrides):
     return model, args, d
 
 
+def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
+                   **arg_overrides):
+    """Construct a reference MT TransformerModel (fairseq/models/transformer.py).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models import transformer as ref_mt
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mt.TransformerModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 1024
+    args.max_target_positions = 1024
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mt, arch)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mt.TransformerModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def save_fairseq_checkpoint(model, args, path):
     """Write a reference-layout checkpoint (fairseq/checkpoint_utils.py:244)."""
     import torch
