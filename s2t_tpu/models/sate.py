@@ -204,8 +204,13 @@ class S2TSATEModel(nn.Module):
     def decode(self, prev_tokens, encoder_out, encoder_valid_mask):
         return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
 
-    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask):
-        return self.decoder.step(tokens, cache, index, encoder_out, encoder_valid_mask)
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask,
+                    cross_kv=None):
+        return self.decoder.step(tokens, cache, index, encoder_out,
+                                 encoder_valid_mask, cross_kv=cross_kv)
+
+    def precompute_cross(self, encoder_out):
+        return self.decoder.precompute_cross(encoder_out)
 
     def init_cache(self, batch_size: int, max_len: int):
         return self.decoder.init_cache(batch_size, max_len)

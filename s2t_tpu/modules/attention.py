@@ -66,6 +66,13 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, self.head_dim)
 
+    def project_kv(self, key, value=None):
+        """Precompute split K/V for a static source (cross-attention during
+        incremental decode — the reference caches static_kv the same way;
+        re-projecting encoder states every step dominates per-step FLOPs)."""
+        value = key if value is None else value
+        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+
     def __call__(
         self,
         query: jnp.ndarray,
@@ -76,6 +83,7 @@ class MultiHeadAttention(nn.Module):
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
         valid_mask: Optional[jnp.ndarray] = None,
+        kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Returns (output (B, Tq, D), new_cache).
 
@@ -89,8 +97,11 @@ class MultiHeadAttention(nn.Module):
             if bias is not None:
                 bias = bias[..., :: self.kv_stride]
         q = self._split(self.q_proj(query))
-        k = self._split(self.k_proj(key))
-        v = self._split(self.v_proj(value))
+        if kv_override is not None:
+            k, v = kv_override
+        else:
+            k = self._split(self.k_proj(key))
+            v = self._split(self.v_proj(value))
 
         if self.attention_type == "rope":
             cos, sin = rope_tables(self.max_positions, self.head_dim, dtype=q.dtype)

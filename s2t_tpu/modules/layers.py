@@ -211,7 +211,34 @@ class TransformerDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     has_cross_attention: bool = True
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @compact) so cross_kv() can reuse the
+        # cross-attention projections outside __call__; param names match
+        # the previous compact layout exactly
+        self.self_attn_norm_mod = nn.LayerNorm(dtype=self.dtype,
+                                               name="self_attn_norm")
+        self.self_attn_mod = MultiHeadAttention(
+            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
+            name="self_attn",
+        )
+        if self.has_cross_attention:
+            self.cross_attn_norm_mod = nn.LayerNorm(dtype=self.dtype,
+                                                    name="cross_attn_norm")
+            self.cross_attn_mod = MultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout,
+                dtype=self.dtype, name="cross_attn",
+            )
+        self.ffn_norm_mod = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
+        self.ffn_mod = FeedForward(
+            self.dim, self.ffn_dim, self.activation, self.dropout,
+            self.activation_dropout, self.dtype, name="ffn",
+        )
+        self.drop_mod = nn.Dropout(self.dropout)
+
+    def cross_kv(self, encoder_out):
+        """Precompute the static cross-attention K/V for this layer."""
+        return self.cross_attn_mod.project_kv(encoder_out)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -221,40 +248,35 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        enc_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
-        drop = nn.Dropout(self.dropout)
+        drop = self.drop_mod
 
         res = x
-        norm_self_attn_norm = nn.LayerNorm(dtype=self.dtype, name="self_attn_norm")
-        h = norm_self_attn_norm(x) if self.normalize_before else x
-        h, new_cache = MultiHeadAttention(
-            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
-            name="self_attn",
-        )(h, h, h, self_bias, deterministic, cache=cache, cache_index=cache_index)
+        h = self.self_attn_norm_mod(x) if self.normalize_before else x
+        h, new_cache = self.self_attn_mod(
+            h, h, h, self_bias, deterministic, cache=cache,
+            cache_index=cache_index,
+        )
         x = res + drop(h, deterministic=deterministic)
         if not self.normalize_before:
-            x = norm_self_attn_norm(x)
+            x = self.self_attn_norm_mod(x)
 
         if self.has_cross_attention:
             res = x
-            norm_cross_attn_norm = nn.LayerNorm(dtype=self.dtype, name="cross_attn_norm")
-            h = norm_cross_attn_norm(x) if self.normalize_before else x
-            h, _ = MultiHeadAttention(
-                self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
-                name="cross_attn",
-            )(h, encoder_out, encoder_out, cross_bias, deterministic)
+            h = self.cross_attn_norm_mod(x) if self.normalize_before else x
+            h, _ = self.cross_attn_mod(
+                h, encoder_out, encoder_out, cross_bias, deterministic,
+                kv_override=enc_kv,
+            )
             x = res + drop(h, deterministic=deterministic)
             if not self.normalize_before:
-                x = norm_cross_attn_norm(x)
+                x = self.cross_attn_norm_mod(x)
 
         res = x
-        norm_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
-        h = norm_ffn_norm(x) if self.normalize_before else x
-        h = FeedForward(
-            self.dim, self.ffn_dim, self.activation, self.dropout,
-            self.activation_dropout, self.dtype, name="ffn",
-        )(h, deterministic)
+        h = self.ffn_norm_mod(x) if self.normalize_before else x
+        h = self.ffn_mod(h, deterministic)
         x = res + drop(h, deterministic=deterministic)
         if not self.normalize_before:
-            x = norm_ffn_norm(x)
+            x = self.ffn_norm_mod(x)
         return x, new_cache

@@ -13,6 +13,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from s2t_tpu.config import TrainConfig
 from s2t_tpu.data.dictionary import Dictionary
@@ -102,3 +103,57 @@ class MaskedLMTask(Task):
 
     def decode_tokens(self, tokens) -> str:
         return self.dictionary.string(tokens)
+
+
+@register_task("cross_lingual_lm")
+class CrossLingualLMTask(MaskedLMTask):
+    """XLM-style multilingual masked LM (reference: tasks/cross_lingual_lm.py
+    — MLM over per-language corpora; the language signal is a <lang:xx>
+    token prepended to every block, the token-embedding equivalent of XLM's
+    language embeddings).  Data: <data>/<lang>/{split}.txt; temperature
+    upsampling via ``task_cfg.sampling_alpha``."""
+
+    def __init__(self, cfg, dictionary, langs, block_size: int = 128):
+        super().__init__(cfg, dictionary, block_size)
+        self.langs = langs
+        self.lang_tags = {l: dictionary.add_symbol(f"<lang:{l}>") for l in langs}
+
+    @classmethod
+    def setup(cls, cfg: TrainConfig):
+        root = Path(cfg.dataset.data)
+        d = Dictionary.load(root / "dict.txt")
+        langs = cfg.task_cfg.get("langs")
+        if langs:
+            langs = [l for l in str(langs).split(",") if l]
+        else:
+            langs = sorted(
+                p.name for p in root.iterdir()
+                if p.is_dir() and (p / "train.txt").exists()
+            )
+        block = min(cfg.dataset.max_target_positions or 128, 512)
+        return cls(cfg, d, langs, block_size=block)
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        from s2t_tpu.data.multilingual import MultilingualS2TDataset
+
+        root = Path(self.cfg.dataset.data)
+        per_lang = []
+        for lang in self.langs:
+            ds = MonolingualDataset(
+                root / lang / f"{split}.txt", self.dictionary,
+                block_size=self.block_size - 1,  # room for the lang tag
+            )
+            tag = self.lang_tags[lang]
+            ds.blocks = np.concatenate(
+                [np.full((len(ds.blocks), 1), tag, np.int32), ds.blocks],
+                axis=1,
+            )
+            ds.n_frames = np.full(len(ds.blocks), ds.blocks.shape[1], np.int64)
+            per_lang.append(ds)
+        alpha = self.cfg.task_cfg.get("sampling_alpha", 0.7)
+        out = (
+            per_lang[0] if len(per_lang) == 1 else
+            MultilingualS2TDataset(per_lang, alpha=alpha, resample=is_train)
+        )
+        self.datasets[split] = out
+        return out

@@ -44,6 +44,10 @@ class TransDataConfig:
 
 @register_task("translation")
 @register_task("translation_with_tokenizer")
+# XLM-initialised MT (reference: tasks/translation_from_pretrained_xlm.py)
+# is this task + --load-pretrained-encoder-from pointing at a masked-LM
+# checkpoint; the transplant loader handles the key mapping
+@register_task("translation_from_pretrained_xlm")
 class TranslationTask(Task):
     def __init__(self, cfg, data_cfg, tgt_dict, src_dict):
         super().__init__(cfg)

@@ -231,3 +231,47 @@ class TestSequenceScorer:
             np.asarray(out["score"]), np.asarray(out["positional_scores"]).sum(-1),
             rtol=1e-5,
         )
+
+
+class TestCrossKVPrecompute:
+    def test_precomputed_cross_kv_matches_recompute(self):
+        """The opt-in static cross-attention K/V path (reference: static_kv
+        caching) is numerically identical to per-step recomputation.  The
+        generator defaults to recompute on TPU (bandwidth-bound; see
+        inference/generator.py note)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.models.transformer import (
+            TransformerMTConfig, TransformerModel,
+        )
+        from s2t_tpu.utils.masking import lengths_to_mask
+
+        cfg = TransformerMTConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=2,
+            decoder_attention_heads=2, dropout=0.0, vocab_size=20,
+        )
+        m = TransformerModel(cfg)
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.integers(4, 20, size=(2, 6)), jnp.int32)
+        lens = jnp.asarray([6, 4], jnp.int32)
+        prev = jnp.asarray([[2, 5, 6], [2, 7, 8]], jnp.int32)
+        p = m.init(jax.random.PRNGKey(0), src, lens, prev)["params"]
+        enc = m.apply({"params": p}, src, lens, method=TransformerModel.encode)
+        em = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        ckv = m.apply({"params": p}, enc["encoder_out"],
+                      method=TransformerModel.precompute_cross)
+        c1 = m.apply({"params": p}, 2, 8, method=TransformerModel.init_cache)
+        c2 = m.apply({"params": p}, 2, 8, method=TransformerModel.init_cache)
+        for t in range(3):
+            l1, c1 = m.apply({"params": p}, prev[:, t:t+1], c1, jnp.asarray(t),
+                             enc["encoder_out"], em,
+                             method=TransformerModel.decode_step)
+            l2, c2 = m.apply({"params": p}, prev[:, t:t+1], c2, jnp.asarray(t),
+                             enc["encoder_out"], em, cross_kv=ckv,
+                             method=TransformerModel.decode_step)
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       atol=1e-6)
