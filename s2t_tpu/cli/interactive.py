@@ -28,14 +28,37 @@ def encode_line(task, line: str):
             "features": jnp.asarray(feats[None]),
             "feat_lengths": jnp.asarray([feats.shape[0]]),
         }
-    # text task
+    # text task; with generation.constraints set, the input line may carry
+    # tab-separated constraint phrases after the source sentence
+    # (reference: fairseq_cli/interactive.py --constraints input format)
+    constraints = None
+    if getattr(task.cfg.generation, "constraints", None) and "\t" in line:
+        parts = line.rstrip("\n").split("\t")
+        line = parts[0]
+        phrases = [p for p in parts[1:] if p.strip()]
+        if phrases:
+            from s2t_tpu.inference.constrained import pack_constraints
+
+            ids = [
+                [int(t) for t in task.tgt_dict.encode_line(
+                    task.bpe.encode_line(p) if getattr(task, "bpe", None) else p,
+                    append_eos=False,
+                )]
+                for p in phrases
+            ]
+            constraints = jnp.asarray(
+                pack_constraints([ids], pad_id=task.tgt_dict.pad())
+            )
     toks = task.src_dict.encode_line(
         task.src_bpe.encode_line(line) if task.src_bpe else line
     )
-    return {
+    batch = {
         "src_tokens": jnp.asarray(toks[None].astype(np.int32)),
         "src_lengths": jnp.asarray([len(toks)]),
     }
+    if constraints is not None:
+        batch["constraints"] = constraints
+    return batch
 
 
 def main(cfg, params, lines=None, task=None):

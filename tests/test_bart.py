@@ -114,6 +114,7 @@ class TestBARTModel:
         )
 
 
+@pytest.mark.slow
 class TestDenoisingTask:
     def _cfg(self, data, save, task="denoising", **task_cfg):
         return from_dict(

@@ -146,3 +146,83 @@ class TestHub:
         m = hub.from_pretrained(ckpt, data_dir=str(data), config=cfg_d)
         out = m.translate("aa bb cc")
         assert isinstance(out, str)
+
+
+class TestBacktranslation:
+    def test_synthetic_pairs_with_toy_reverser(self, tmp_path):
+        """BacktranslationDataset (reference: data/backtranslation_dataset.py):
+        monolingual targets + an injected reverse fn -> parallel batches."""
+        import numpy as np
+
+        from s2t_tpu.data.backtranslation_dataset import BacktranslationDataset
+        from s2t_tpu.data.dictionary import Dictionary
+
+        d = Dictionary()
+        for w in ["aa", "bb", "cc", "dd"]:
+            d.add_symbol(w)
+
+        def toy_reverse(tgt, lens):
+            # "backtranslate" = reverse the valid prefix
+            out = np.full_like(tgt, d.pad())
+            for i, L in enumerate(lens):
+                if L > 1:
+                    out[i, : L - 1] = tgt[i, : L - 1][::-1]
+                    out[i, L - 1] = d.eos()
+            return out
+
+        lines = ["aa bb cc", "dd cc", "bb aa dd cc"]
+        ds = BacktranslationDataset(lines, d, toy_reverse)
+        assert len(ds) == 3
+        batch = ds.collater([ds[0], ds[1], ds[2]])
+        assert batch["src_tokens"].shape == batch["target"].shape
+        # synthetic source of "aa bb cc </s>" is "cc bb aa </s>"
+        row = [d.symbols[t] for t in batch["src_tokens"][2]
+               if t not in (d.pad(),)]
+        tgt_syms = [d.symbols[t] for t in batch["target"][2]
+                    if t not in (d.pad(), d.eos())]
+        assert row[:-1] == tgt_syms[::-1]
+        assert batch["prev_tokens"][0, 0] == d.eos()
+
+    def test_model_backtranslator_end_to_end(self, tmp_path):
+        """make_backtranslator drives a real reverse model's beam search to
+        build the synthetic batch (the semisupervised_translation core)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from s2t_tpu.data.backtranslation_dataset import (
+            BacktranslationDataset, make_backtranslator,
+        )
+        from s2t_tpu.data.dictionary import Dictionary
+        from s2t_tpu.inference.generator import SequenceGenerator
+        from s2t_tpu.models.transformer import (
+            TransformerMTConfig, TransformerModel,
+        )
+
+        d = Dictionary()
+        for w in ["aa", "bb", "cc", "dd"]:
+            d.add_symbol(w)
+        cfg = TransformerMTConfig(
+            encoder_embed_dim=16, encoder_ffn_embed_dim=32, encoder_layers=1,
+            encoder_attention_heads=2, decoder_embed_dim=16,
+            decoder_ffn_embed_dim=32, decoder_layers=1,
+            decoder_attention_heads=2, dropout=0.0, vocab_size=len(d),
+        )
+        rev = TransformerModel(cfg)
+        params = rev.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 4), jnp.int32),
+            jnp.asarray([4, 4]), jnp.zeros((2, 3), jnp.int32),
+        )["params"]
+        gen = SequenceGenerator(
+            rev, beam_size=2, max_len_b=8, max_target_positions=32,
+            input_keys=("src_tokens", "src_lengths"),
+        )
+        bt = make_backtranslator(rev, params, gen)
+        ds = BacktranslationDataset(["aa bb", "cc dd aa"], d, bt)
+        batch = ds.collater([ds[0], ds[1]])
+        assert batch["src_tokens"].shape[0] == 2
+        assert (batch["src_lengths"] >= 1).all()
+        assert np.array_equal(
+            batch["target"][0, :3],
+            [d.index("aa"), d.index("bb"), d.eos()],
+        )

@@ -8,6 +8,7 @@ beam decode, tiny-data convergence.)
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from s2t_tpu.models.build import build_model
@@ -91,6 +92,7 @@ class TestFConv:
         out = m.apply(p, src, lens, prev)
         assert out["decoder_logits"].shape[-1] == V
 
+    @pytest.mark.slow
     def test_tiny_convergence(self):
         """A 2-layer fconv memorises an 8-pair copy task (the reference's
         test_binaries-style convergence check)."""

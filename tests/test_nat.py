@@ -292,6 +292,7 @@ class TestDynamicCRF:
             np.testing.assert_allclose(float(nll[b]), logz - gold, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestNACRF:
     def test_train_and_viterbi_decode(self, tmp_path):
         """NACRF learns the reversal task single-pass; CRF Viterbi decode
@@ -375,6 +376,7 @@ class TestNACRF:
         assert np.isfinite(np.asarray(scores)).all()
 
 
+@pytest.mark.slow
 class TestInsertionTransformer:
     def test_slot_targets(self):
         """Canvas compaction, slot assignment, and tree weighting

@@ -227,3 +227,46 @@ class TestEnsemble:
         )
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s3), atol=1e-4)
+
+
+class TestInteractiveConstraints:
+    def test_tab_separated_constraints_line(self, tmp_path):
+        """fairseq_cli/interactive.py --constraints input format: the source
+        line carries tab-separated constraint phrases."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from test_text_tasks import make_mt_corpus, mt_cfg
+
+        from s2t_tpu.cli.interactive import encode_line
+        from s2t_tpu.tasks import setup_task
+
+        data = make_mt_corpus(tmp_path / "data")
+        cfg = mt_cfg(data, tmp_path / "ckpt")
+        cfg.generation.constraints = "unordered"
+        task = setup_task(cfg)
+        batch = encode_line(task, "aa bb cc\tAA BB\tCC")
+        assert "constraints" in batch
+        cons = np.asarray(batch["constraints"])
+        assert cons.shape[0] == 1 and cons.shape[1] == 2  # two phrases
+        assert cons[0, 0, 0] == task.tgt_dict.index("AA")
+        assert cons[0, 0, 1] == task.tgt_dict.index("BB")
+        assert cons[0, 1, 0] == task.tgt_dict.index("CC")
+        # source tokens exclude the constraint part
+        assert batch["src_tokens"].shape[1] == 4  # aa bb cc </s>
+
+    def test_no_tab_no_constraints(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from test_text_tasks import make_mt_corpus, mt_cfg
+
+        from s2t_tpu.cli.interactive import encode_line
+        from s2t_tpu.tasks import setup_task
+
+        data = make_mt_corpus(tmp_path / "data")
+        cfg = mt_cfg(data, tmp_path / "ckpt")
+        cfg.generation.constraints = "unordered"
+        task = setup_task(cfg)
+        batch = encode_line(task, "aa bb cc")
+        assert "constraints" not in batch

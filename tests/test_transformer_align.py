@@ -10,6 +10,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from s2t_tpu.config import OptimizationConfig, TrainConfig, from_dict
 
@@ -76,6 +77,7 @@ class TestAlignmentData:
         assert (batch["alignments"] >= -1).all()
 
 
+@pytest.mark.slow
 class TestAlignmentTraining:
     def test_alignment_loss_supervises_attention(self, tmp_path):
         from s2t_tpu.tasks import setup_task
