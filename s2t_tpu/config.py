@@ -227,6 +227,8 @@ class OptimizationConfig:
     # reduce_on_plateau controls (reference: reduce_lr_on_plateau.py)
     lr_shrink: float = 0.1
     lr_patience: int = 0
+    # manual scheduler: update-boundary -> lr (reference: manual_lr_scheduler)
+    lr_milestones: Dict[int, float] = field(default_factory=dict)
     # loss scaling is unnecessary in bf16 (TPU native); kept for fp16 parity
     fp16_init_scale: float = 2.0**15
 

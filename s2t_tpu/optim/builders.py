@@ -100,6 +100,33 @@ def reduce_on_plateau(cfg: OptimizationConfig) -> Callable:
     return optax.constant_schedule(cfg.lr)
 
 
+@register_lr_scheduler("pass_through")
+def pass_through(cfg: OptimizationConfig) -> Callable:
+    """No schedule of its own (reference: lr_scheduler/pass_through.py —
+    defers to the optimizer; here: constant base lr, optimizer-side scaling
+    such as adafactor's relative steps applies on top)."""
+    return optax.constant_schedule(cfg.lr)
+
+
+@register_lr_scheduler("manual")
+def manual(cfg: OptimizationConfig) -> Callable:
+    """Piecewise-constant epochs/updates schedule (reference:
+    lr_scheduler/manual_lr_scheduler.py).  ``cfg.lr_milestones`` maps update
+    boundaries to learning rates, e.g. {0: 1e-3, 10000: 5e-4, 50000: 1e-4}."""
+    stones = sorted(
+        (int(k), float(v))
+        for k, v in (getattr(cfg, "lr_milestones", None) or {0: cfg.lr}).items()
+    )
+    bounds = jnp.asarray([b for b, _ in stones], jnp.float32)
+    rates = jnp.asarray([r for _, r in stones], jnp.float32)
+
+    def schedule(step):
+        idx = jnp.sum(jnp.asarray(step, jnp.float32) >= bounds) - 1
+        return rates[jnp.clip(idx, 0, len(stones) - 1)]
+
+    return schedule
+
+
 @register_lr_scheduler("triangular")
 def triangular(cfg: OptimizationConfig) -> Callable:
     """Cyclical triangular LR (reference: lr_scheduler/triangular.py):

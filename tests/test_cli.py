@@ -113,3 +113,47 @@ class TestAverageCLI:
         ])
         tree, _ = load_checkpoint(tmp_path / "avg.pt")
         np.testing.assert_allclose(tree["params"]["w"], 3.0)
+
+
+class TestTextTools:
+    def test_spm_round_trip_and_lcrm(self, tmp_path):
+        """text_tools (reference: scripts/spm_{train,encode,decode}.py,
+        lcrm.py): train -> encode -> decode round-trips; lcrm normalises."""
+        from s2t_tpu.cli.text_tools import lcrm_line, main as tools_main
+
+        src = tmp_path / "in.txt"
+        src.write_text("hello world test\nthe quick brown fox\n")
+        model = tmp_path / "m.json"
+        tools_main(["spm_train", "--input", str(src), "--model", str(model),
+                    "--vocab-size", "60"])
+        enc = tmp_path / "enc.txt"
+        dec = tmp_path / "dec.txt"
+        tools_main(["spm_encode", "--model", str(model),
+                    "--input", str(src), "--output", str(enc)])
+        tools_main(["spm_decode", "--model", str(model),
+                    "--input", str(enc), "--output", str(dec)])
+        assert dec.read_text().split("\n")[:2] == src.read_text().split("\n")[:2]
+        assert lcrm_line("Hello, World! DON'T stop.") == "hello world don't stop"
+
+    def test_read_binarized(self, tmp_path):
+        """read_binarized (reference: scripts/read_binarized.py): dump a
+        mmap corpus back to text."""
+        from s2t_tpu.cli.text_tools import main as tools_main
+        from s2t_tpu.data.dictionary import Dictionary
+        from s2t_tpu.data.indexed_dataset import MMapIndexedDatasetBuilder
+
+        d = Dictionary()
+        for w in ("aa", "bb", "cc"):
+            d.add_symbol(w)
+        d.save(tmp_path / "dict.txt")
+        b = MMapIndexedDatasetBuilder(str(tmp_path / "corpus"))
+        b.add_item(np.asarray([d.index("aa"), d.index("bb"), d.eos()], np.int32))
+        b.add_item(np.asarray([d.index("cc"), d.eos()], np.int32))
+        b.finalize()
+        out = tmp_path / "dump.txt"
+        tools_main(["read_binarized", "--input", str(tmp_path / "corpus"),
+                    "--dict", str(tmp_path / "dict.txt"),
+                    "--output", str(out)])
+        lines = out.read_text().strip().split("\n")
+        assert lines[0].startswith("aa bb")
+        assert lines[1].startswith("cc")

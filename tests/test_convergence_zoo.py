@@ -52,6 +52,15 @@ ARCHS = {
         "decoder_ffn_embed_dim": 64, "decoder_attention_heads": 2,
         "subsampling_filter": 32,
     },
+    "s2t_dynamic_transformer_s": {
+        **TINY,
+        "encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+        "encoder_layers": 2, "encoder_attention_heads": 2,
+        "encoder_lconv_kernels": [3, 7],
+        "decoder_layers": 1, "decoder_embed_dim": 32,
+        "decoder_ffn_embed_dim": 64, "decoder_attention_heads": 2,
+        "subsampling_filter": 32,
+    },
 }
 
 

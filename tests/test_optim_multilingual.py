@@ -132,3 +132,30 @@ class TestMultilingualResampling:
         item1 = ds[1]
         assert item0["target"][0] == d.index("<lang:de>")
         assert item1["target"][0] == d.index("<lang:fr>")
+
+
+class TestManualAndPassThroughLR:
+    def test_manual_milestones(self):
+        """manual scheduler (reference: lr_scheduler/manual_lr_scheduler.py):
+        piecewise-constant lr by update boundary."""
+        import s2t_tpu.optim.builders  # noqa: F401 (registers)
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.registry import LR_SCHEDULERS
+
+        cfg = OptimizationConfig(
+            lr=1e-3, lr_milestones={0: 1e-3, 100: 5e-4, 200: 1e-4}
+        )
+        s = LR_SCHEDULERS.get("manual")(cfg)
+        assert abs(float(s(0)) - 1e-3) < 1e-9
+        assert abs(float(s(99)) - 1e-3) < 1e-9
+        assert abs(float(s(100)) - 5e-4) < 1e-9
+        assert abs(float(s(500)) - 1e-4) < 1e-9
+
+    def test_pass_through(self):
+        import s2t_tpu.optim.builders  # noqa: F401
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.registry import LR_SCHEDULERS
+
+        cfg = OptimizationConfig(lr=1e-3)
+        p = LR_SCHEDULERS.get("pass_through")(cfg)
+        assert abs(float(p(123)) - 1e-3) < 1e-9
