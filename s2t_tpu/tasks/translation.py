@@ -154,6 +154,60 @@ class TranslationTask(Task):
         return self.tgt_dict.string(tokens, bpe_symbol=self.cfg.generation.post_process)
 
 
+@register_task("semisupervised_translation")
+class SemisupervisedTranslationTask(TranslationTask):
+    """Bitext + online backtranslation of monolingual target text
+    (reference: tasks/semisupervised_translation.py — joint parallel + BT
+    training.  The reference trains the reverse direction inside one
+    multilingual model; here the reverse (tgt->src) model is a pretrained
+    checkpoint — the standard online-BT recipe — given by
+    ``task_cfg.bt_checkpoint`` with arch ``task_cfg.bt_arch``.)
+
+    Data: ``{split}.{src}/.{tgt}`` bitext plus ``mono.{tgt}`` monolingual
+    targets; training batches alternate bitext and synthetic-BT batches
+    (each batch single-origin via ConcatHomogeneous)."""
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        bitext = super().load_dataset(split, is_train)
+        t = self.cfg.task_cfg or {}
+        root = Path(self.cfg.dataset.data)
+        mono = root / f"mono.{self.data_cfg.tgt_lang}"
+        ckpt = t.get("bt_checkpoint")
+        if not is_train or not ckpt or not mono.exists():
+            return bitext
+        from s2t_tpu.data.backtranslation_dataset import (
+            BacktranslationDataset, ConcatHomogeneous, make_backtranslator,
+        )
+        from s2t_tpu.models import build_model
+        from s2t_tpu.utils.checkpoint import load_checkpoint
+
+        tree, meta = load_checkpoint(ckpt)
+        params = tree["params"] if "params" in tree else tree
+        # reverse model translates tgt -> src
+        rev = build_model(
+            t.get("bt_arch", self.cfg.arch or "transformer"),
+            t.get("bt_model", meta.get("model", {})),
+            vocab_size=len(self.src_dict),
+            src_vocab_size=len(self.tgt_dict),
+            max_source_positions=self.cfg.dataset.max_source_positions,
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
+        gen = SequenceGenerator(
+            rev, beam_size=int(t.get("bt_beam", 1)),
+            max_len_b=self.cfg.dataset.max_source_positions,
+            eos_id=self.src_dict.eos(), pad_id=self.src_dict.pad(),
+            max_target_positions=self.cfg.dataset.max_source_positions,
+            input_keys=("src_tokens", "src_lengths"),
+        )
+        bt = BacktranslationDataset(
+            mono, self.tgt_dict, make_backtranslator(rev, params, gen),
+            tgt_bpe=self.bpe,
+        )
+        ds = ConcatHomogeneous([bitext, bt])
+        self.datasets[split] = ds
+        return ds
+
+
 @register_task("translation_from_pretrained_bart")
 class TranslationFromPretrainedBARTTask(TranslationTask):
     """MT fine-tuning of an mBART checkpoint (reference:

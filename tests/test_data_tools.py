@@ -226,3 +226,86 @@ class TestBacktranslation:
             batch["target"][0, :3],
             [d.index("aa"), d.index("bb"), d.eos()],
         )
+
+
+class TestSemisupervisedTranslation:
+    def test_bitext_plus_bt_batches(self, tmp_path):
+        """semisupervised_translation (reference:
+        tasks/semisupervised_translation.py): train batches alternate real
+        bitext and synthetic backtranslated pairs, each batch single-origin."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from test_text_tasks import make_mt_corpus
+
+        from s2t_tpu.config import OptimizationConfig, TrainConfig, from_dict
+        from s2t_tpu.models.build import build_model
+        from s2t_tpu.tasks import setup_task
+        from s2t_tpu.trainer import Trainer
+        from s2t_tpu.utils.checkpoint import save_pytree
+
+        data = make_mt_corpus(tmp_path / "data")
+        # monolingual target-side text
+        (data / "mono.de").write_text("AA BB CC\nDD EE\nBB AA\nCC DD EE AA\n")
+
+        model_kw = {"encoder_embed_dim": 16, "encoder_ffn_embed_dim": 32,
+                    "encoder_layers": 1, "encoder_attention_heads": 2,
+                    "decoder_embed_dim": 16, "decoder_ffn_embed_dim": 32,
+                    "decoder_layers": 1, "decoder_attention_heads": 2,
+                    "dropout": 0.0}
+        cfg = from_dict(TrainConfig, {
+            "task": "semisupervised_translation", "arch": "transformer",
+            "criterion": "label_smoothed_cross_entropy",
+            "task_cfg": {"bt_checkpoint": str(tmp_path / "rev.pt"),
+                         "bt_arch": "transformer", "bt_model": model_kw},
+            "model": model_kw,
+            "criterion_cfg": {"label_smoothing": 0.0},
+            "dataset": {"data": str(data), "max_tokens": 128,
+                        "max_source_positions": 32, "max_target_positions": 16,
+                        "num_buckets": 2},
+            "optimization": {"lr": 3e-3, "warmup_updates": 5, "clip_norm": 5.0},
+            "generation": {"beam": 1, "max_len_b": 8, "post_process": "none"},
+        })
+        task = setup_task(cfg)
+        # a (random) reverse de->en checkpoint — BT plumbing, not quality
+        V = len(task.tgt_dict)
+        rev = build_model("transformer", dict(model_kw), vocab_size=V,
+                          src_vocab_size=V)
+        rparams = rev.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+            jnp.asarray([4]), jnp.zeros((1, 3), jnp.int32),
+        )["params"]
+        save_pytree(tmp_path / "rev.pt", {"params": rparams})
+        ds = task.load_dataset("train", is_train=True)
+        from s2t_tpu.data.backtranslation_dataset import ConcatHomogeneous
+
+        assert isinstance(ds, ConcatHomogeneous)
+        itr = task.get_batch_iterator(ds, max_tokens=128, shuffle=False,
+                                      batch_size_multiple=2).next_epoch_itr()
+        batches = list(itr)
+        assert len(batches) >= 2
+        # every batch is a full translation batch (synthetic or real)
+        for b in batches:
+            assert "src_tokens" in b and "target" in b and "prev_tokens" in b
+        # the combined dataset is larger than the bitext alone
+        assert len(ds) == 32 + 4
+
+        model = task.build_model()
+        criterion = task.build_criterion()
+        trainer = Trainer(
+            model, criterion,
+            OptimizationConfig(lr=3e-3, warmup_updates=5, clip_norm=5.0),
+            forward_fn=task.forward_fn(), seed=0,
+        )
+        dev = [{k: jnp.asarray(v) for k, v in b.items()
+                if k not in ("ids", "nsentences")} for b in batches[:4]]
+        state = trainer.init_state(dev[0])
+        losses = []
+        for _ in range(15):
+            for b in dev:
+                state, m = trainer.train_step(state, b)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
