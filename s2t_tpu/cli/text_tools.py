@@ -19,11 +19,13 @@ import string
 import sys
 
 
+_LCRM_TABLE = {ord(c): None for c in string.punctuation if c != "'"}
+
+
 def lcrm_line(line: str) -> str:
     """Lowercase + remove punctuation except apostrophes (reference:
     scripts/lcrm.py — the MuST-C ASR-side text normalisation)."""
-    table = {ord(c): None for c in string.punctuation if c != "'"}
-    return " ".join(line.lower().translate(table).split())
+    return " ".join(line.lower().translate(_LCRM_TABLE).split())
 
 
 def main(argv=None):

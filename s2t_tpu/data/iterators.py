@@ -152,14 +152,20 @@ class EpochBatchIterator:
     def next_epoch(self):
         self.epoch += 1
         self._consumed = 0
-        if hasattr(self.dataset, "set_epoch"):
-            # datasets with epoch-varying noise (e.g. BART denoising)
-            self.dataset.set_epoch(self.epoch)
+        # datasets with epoch-varying noise (e.g. BART denoising)
+        self._sync_dataset_epoch()
 
     def state_dict(self) -> Dict[str, Any]:
         return {"epoch": self.epoch, "consumed": self._consumed, "seed": self.seed}
+
+    def _sync_dataset_epoch(self):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
 
     def load_state_dict(self, d: Dict[str, Any]):
         self.epoch = d["epoch"]
         self._consumed = d["consumed"]
         self.seed = d.get("seed", self.seed)
+        # epoch-aware datasets (denoising noise) must resume at epoch N,
+        # not their constructor default
+        self._sync_dataset_epoch()

@@ -56,6 +56,11 @@ class MultilingualS2TDataset:
     def collater(self, samples, **kw):
         return self.datasets[0].collater(samples, **kw)
 
+    def set_epoch(self, epoch: int):
+        for ds in self.datasets:
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+
     def ordered_indices(self, shuffle: bool = True, seed: int = 1, epoch: int = 1):
         """Global indices with per-epoch upsampling: dataset d contributes
         ~ratio_d * len(d) samples (fractional part resolved per epoch)."""

@@ -135,16 +135,18 @@ def constrained_beam_search(
 
         all_done = jnp.all(state.done, axis=-1)  # (B, K)
         vocab = jnp.arange(V)[None, None, :]
-        # EOS only once all constraints are met (and not before min_len)
+        # EOS only once all constraints are met (and not before min_len) —
+        # EXCEPT at the horizon, where force-EOS takes precedence so an
+        # unsatisfiable constraint set still yields a best-effort hypothesis
+        # (the reference's finalize-at-max-len)
         logprobs = jnp.where(
-            (vocab == eos_id) & (~all_done[..., None] | (i < min_len)),
+            (vocab == eos_id)
+            & (~all_done[..., None] | (i < min_len))
+            & (i < L - 1),
             NEG_INF,
             logprobs,
         )
         logprobs = logprobs.at[:, :, pad_id].set(NEG_INF)
-        # force EOS at the horizon so every hypothesis terminates (an
-        # unsatisfiable constraint set still yields output, like the
-        # reference's finalize-at-max-len)
         logprobs = jnp.where(
             (i == L - 1) & (vocab != eos_id), NEG_INF, logprobs
         )
@@ -192,8 +194,12 @@ def constrained_beam_search(
             flat + BONUS * met_after.reshape(B, K * V).astype(flat.dtype),
             NEG_INF,
         )
-        # dedup: drop candidates the free bank already took
-        sel_flat = sel_flat.at[jnp.arange(B)[:, None], free_idx].set(NEG_INF)
+        # dedup against the free candidates that will actually survive as
+        # alive beams (its top Kf) — blanking all 2*Kf would starve a
+        # progress candidate that the free bank lists but never keeps
+        sel_flat = sel_flat.at[
+            jnp.arange(B)[:, None], free_idx[:, :Kf]
+        ].set(NEG_INF)
         prog_sel_scores, prog_idx = jax.lax.top_k(sel_flat, 2 * Kp)
         prog_true = jnp.take_along_axis(flat, prog_idx, axis=1)
         prog_true = jnp.where(prog_sel_scores > NEG_INF / 2, prog_true, NEG_INF)
@@ -216,7 +222,13 @@ def constrained_beam_search(
 
         # ---- finished set ---------------------------------------------------
         norm = length_penalty(jnp.asarray(i + 1), lenpen)
-        eos_norm = jnp.where(is_eos, cand_scores / norm, NEG_INF)
+        # horizon-forced EOS can finalize a hypothesis with unmet
+        # constraints (best-effort output for an unsatisfiable set); rank it
+        # strictly below every satisfying hypothesis, more-met first
+        total_con = jnp.sum(jnp.where(con_exists, con_len, 0), axis=-1)  # (B,)
+        met_cand = jnp.take_along_axis(met_parent, beam_idx, axis=1)
+        unmet = (total_con[:, None] - met_cand).astype(jnp.float32)  # (B, 2K)
+        eos_norm = jnp.where(is_eos, cand_scores / norm - 1e4 * unmet, NEG_INF)
         all_fin_scores = jnp.concatenate([state.finished_scores, eos_norm], 1)
         all_fin_tokens = jnp.concatenate([state.finished_tokens, cand_tokens], 1)
         all_fin_mask = jnp.concatenate([state.finished_mask, is_eos], 1)

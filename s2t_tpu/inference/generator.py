@@ -51,6 +51,7 @@ class SequenceGenerator:
         diverse_beam_strength: float = 0.5,
         diversity_rate: float = -1.0,
         constraints_mode: Optional[str] = None,
+        static_cross_kv: bool = False,
         extra_models: Optional[list] = None,
     ):
         self.model = model
@@ -89,6 +90,8 @@ class SequenceGenerator:
         # "ordered" or "unordered"); constraints ride in via
         # batch["constraints"] as a (B, C, Lc) pad-padded id tensor
         self.constraints_mode = constraints_mode
+        # opt-in static cross-attention K/V (see note in _build)
+        self.static_cross_kv = static_cross_kv
         # true multi-model ensembling in probability space (reference:
         # EnsembleModel, sequence_generator.py:788-900); params for the extra
         # models ride in at generate() time
@@ -123,10 +126,14 @@ class SequenceGenerator:
             # opposite holds: recomputing K/V from the ONE shared encoder-out
             # buffer reads half the bytes of loading cached K+V tensors
             # (measured on v5e: 1241x RTF recompute vs 943x cached, B=64
-            # beam=5).  decode_step therefore recomputes; the
-            # precompute_cross/cross_kv API exists for bandwidth-rich or
-            # tiny-encoder regimes.
+            # beam=5).  Default is therefore recompute; pass
+            # static_cross_kv=True for bandwidth-rich or tiny-encoder regimes.
             cross_kv = None
+            if self.static_cross_kv and hasattr(self.model, "precompute_cross"):
+                cross_kv = self.model.apply(
+                    {"params": params}, enc_out_b,
+                    method=self.model.precompute_cross,
+                )
             cache = self.model.apply(
                 {"params": params}, B * K, max_len, method=self.model.init_cache
             )

@@ -52,7 +52,14 @@ class S2TTransformerConfig:
     encoder_ffn_embed_dim: int = 2048
     encoder_layers: int = 12
     encoder_attention_heads: int = 4
-    encoder_attention_type: str = "abs"  # abs | rel_pos | rope | light | dynamic
+    encoder_attention_type: str = "abs"  # abs | rel_pos | rope | relative | light | dynamic
+    # Shaw relative attention clip distances (reference preset
+    # s2t_transformer_s_relative: encoder 100, decoder 20, k_only;
+    # s2t_transformer.py:2418-2423).  encoder length applies when
+    # encoder_attention_type == "relative"; decoder length > 0 switches the
+    # decoder's self-attention to relative on its own
+    max_encoder_relative_length: int = 0
+    max_decoder_relative_length: int = 0
     # per-layer conv kernel widths when encoder_attention_type is
     # light/dynamic (reference: s2t_dynamic_transformer.py:38 kernel plan);
     # empty = 15 everywhere
@@ -209,6 +216,7 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
                 dt, cfg.seq_parallel, cfg.encoder_attention_stride,
                 lconv_kernel=lconv_kernel(i),
+                max_relative_length=cfg.max_encoder_relative_length,
                 name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
@@ -337,7 +345,7 @@ class S2TTransformerEncoder(nn.Module):
             x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
         T = x.shape[1]
         pos_emb = None
-        if cfg.encoder_attention_type in ("abs", "light", "dynamic"):
+        if cfg.encoder_attention_type in ("abs", "relative", "light", "dynamic"):
             # fairseq table: valid frame i gets absolute position pad+1+i
             pe = fairseq_sinusoidal_encoding(T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype)
             x = x + pe[None]
@@ -504,6 +512,10 @@ class S2TTransformerModel(nn.Module):
             max_positions=cfg.max_target_positions,
             pad_id=cfg.pad_id,
             dtype=cfg.dtype,
+            self_attn_type=(
+                "relative" if cfg.max_decoder_relative_length > 0 else "abs"
+            ),
+            max_relative_length=cfg.max_decoder_relative_length,
             name="decoder",
         )
 
@@ -578,6 +590,18 @@ def s2t_transformer_s(**kw) -> S2TTransformerConfig:
         encoder_embed_dim=256, encoder_ffn_embed_dim=2048,
         encoder_attention_heads=4, decoder_embed_dim=256,
         decoder_ffn_embed_dim=2048, decoder_attention_heads=4, dropout=0.1,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_s_relative")
+def s2t_transformer_s_relative(**kw) -> S2TTransformerConfig:
+    """Shaw clipped relative-key attention in encoder self-attn (clip 100)
+    and decoder self-attn (clip 20) — reference: s2t_transformer.py:2418-2423
+    (k_only=True)."""
+    return s2t_transformer_s(
+        encoder_attention_type="relative",
+        max_encoder_relative_length=100,
+        max_decoder_relative_length=20,
     ).replace(**kw)
 
 

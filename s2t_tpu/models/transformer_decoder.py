@@ -50,6 +50,9 @@ class TransformerDecoder(nn.Module):
     # share token embeddings with another module (--share-all-embeddings):
     # the parent creates one nn.Embed and passes it to encoder and decoder
     shared_embed: Optional[nn.Module] = None
+    # "abs" | "relative" (Shaw clipped relative-key) self-attention
+    self_attn_type: str = "abs"
+    max_relative_length: int = 0
 
     def setup(self):
         if self.shared_embed is not None:
@@ -74,7 +77,9 @@ class TransformerDecoder(nn.Module):
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
                 self.attention_dropout, self.activation_dropout, self.activation,
                 self.normalize_before, self.dtype,
-                has_cross_attention=not self.no_cross_attention, name=f"layer{i}",
+                has_cross_attention=not self.no_cross_attention,
+                self_attn_type=self.self_attn_type,
+                max_relative_length=self.max_relative_length, name=f"layer{i}",
             )
             for i in range(self.num_layers)
         ]

@@ -51,6 +51,11 @@ class MultiHeadAttention(nn.Module):
     # reduced attention: subsample keys/values by this stride (reference:
     # fairseq/modules/reduced_multihead_attention.py downsampled-KV variant)
     kv_stride: int = 1
+    # Shaw-style relative attention (attention_type == "relative"): clipped
+    # learned relative-key embeddings added to the content score, k_only mode
+    # (reference: fairseq/modules/relative_multihead_attention.py:16-57,
+    # preset s2t_transformer_s_relative max_encoder_relative_length=100)
+    max_relative_length: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -60,7 +65,27 @@ class MultiHeadAttention(nn.Module):
         self.k_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")
         self.v_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")
         self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")
+        if self.attention_type == "relative":
+            assert self.max_relative_length > 0
+            self.relative_position_keys = self.param(
+                "relative_position_keys",
+                nn.initializers.xavier_uniform(),
+                (2 * self.max_relative_length + 1, self.head_dim),
+            )
         self.drop = nn.Dropout(self.dropout)
+
+    def _relative_bias(self, q, key_pos, q_pos):
+        """Shaw relative-key score as an additive (B, H, Tq, Tk) bias term
+        (pre-scaled by 1/sqrt(Dh) to compose with dot_attention_weights).
+
+        q: (B, Tq, H, Dh); key_pos: (Tk,) absolute key positions;
+        q_pos: (Tq,) absolute query positions (a traced scalar-per-row array
+        in incremental mode)."""
+        L = self.max_relative_length
+        dist = jnp.clip(key_pos[None, :] - q_pos[:, None], -L, L) + L  # (Tq, Tk)
+        rk = jnp.take(self.relative_position_keys, dist, axis=0)  # (Tq, Tk, Dh)
+        rel = jnp.einsum("bqhd,qkd->bhqk", q, rk.astype(q.dtype))
+        return rel / jnp.sqrt(self.head_dim).astype(q.dtype)
 
     def _split(self, x):
         B, T, _ = x.shape
@@ -137,6 +162,17 @@ class MultiHeadAttention(nn.Module):
             step_mask = jnp.arange(Tk)[None, None, None, :] <= cache_index
             step_bias = jnp.where(step_mask, 0.0, NEG).astype(q.dtype)
             bias = step_bias if bias is None else bias + step_bias
+
+        if self.attention_type == "relative":
+            if cache is not None:
+                q_pos = cache_index + jnp.arange(q.shape[1])
+            else:
+                q_pos = jnp.arange(q.shape[1])
+            key_pos = jnp.arange(k.shape[1]) * (
+                self.kv_stride if cache is None else 1
+            )
+            rel = self._relative_bias(q, key_pos, q_pos)
+            bias = rel if bias is None else bias + rel
 
         w = dot_attention_weights(q, k, bias, q.dtype)
         # capture for alignment supervision / attention dumps when the caller

@@ -82,7 +82,11 @@ class DynamicCRF(nn.Module):
 
         alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
         logz = jax.nn.logsumexp(alpha, axis=-1)
-        return logz - gold
+        # fully-padded rows (batch padding) contribute zero nll — alpha0 is
+        # unconditional, so without this an all-pad row returns logsumexp of
+        # its position-0 emissions
+        any_valid = jnp.any(mask, axis=1).astype(logz.dtype)
+        return (logz - gold) * any_valid
 
     def viterbi(self, emissions: jnp.ndarray,
                 mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -92,13 +92,15 @@ class S2TEncoderLayer(nn.Module):
     activation_dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = True
-    attention_type: str = "abs"  # abs | rel_pos | rope
+    attention_type: str = "abs"  # abs | rel_pos | rope | relative | light | dynamic
     macaron_style: bool = False
     use_cnn_module: bool = False
     cnn_kernel: int = 31
     dtype: jnp.dtype = jnp.float32
     seq_parallel: bool = False  # ring attention over the mesh "seq" axis
     attention_stride: int = 1  # reduced-KV attention stride
+    # Shaw relative attention clip distance when attention_type=="relative"
+    max_relative_length: int = 0
     # kernel width when attention_type is "light"/"dynamic" (reference:
     # s2t_dynamic_transformer.py — conv layers replace self-attention)
     lconv_kernel: int = 15
@@ -153,7 +155,8 @@ class S2TEncoderLayer(nn.Module):
                 self.dim, self.num_heads, self.attention_dropout,
                 attention_type=self.attention_type,
                 seq_parallel=self.seq_parallel,
-                kv_stride=self.attention_stride, dtype=self.dtype,
+                kv_stride=self.attention_stride,
+                max_relative_length=self.max_relative_length, dtype=self.dtype,
                 name="self_attn",
             )(h, h, h, attn_bias, deterministic, valid_mask=valid_mask)
         x = res + drop(h, deterministic=deterministic)
@@ -210,6 +213,10 @@ class TransformerDecoderLayer(nn.Module):
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
     has_cross_attention: bool = True
+    # "abs" or "relative" (Shaw) self-attention; reference preset
+    # s2t_transformer_s_relative sets max_decoder_relative_length=20
+    self_attn_type: str = "abs"
+    max_relative_length: int = 0
 
     def setup(self):
         # setup-style (not @compact) so cross_kv() can reuse the
@@ -218,7 +225,9 @@ class TransformerDecoderLayer(nn.Module):
         self.self_attn_norm_mod = nn.LayerNorm(dtype=self.dtype,
                                                name="self_attn_norm")
         self.self_attn_mod = MultiHeadAttention(
-            self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
+            self.dim, self.num_heads, self.attention_dropout,
+            attention_type=self.self_attn_type,
+            max_relative_length=self.max_relative_length, dtype=self.dtype,
             name="self_attn",
         )
         if self.has_cross_attention:

@@ -168,3 +168,67 @@ class TestBuildRegistry:
     def test_unknown_key(self):
         with pytest.raises(ValueError, match="unknown model config"):
             build_model("s2t_transformer_s", {"bogus_key": 1})
+
+
+class TestShawRelativeAttention:
+    """attention_type="relative" — Shaw clipped relative-key attention
+    (reference: modules/relative_multihead_attention.py, preset
+    s2t_transformer_s_relative)."""
+
+    def test_relative_variant_forward(self):
+        cfg = tiny_cfg(encoder_attention_type="relative",
+                       max_encoder_relative_length=5,
+                       max_decoder_relative_length=3)
+        model, params = init_model(cfg)
+        # the Shaw table exists in encoder and decoder self-attention
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        paths = ["/".join(str(k.key) for k in p) for p, _ in flat]
+        assert any("relative_position_keys" in p and "encoder" in p for p in paths)
+        assert any("relative_position_keys" in p and "decoder" in p for p in paths)
+        feats = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, T, D_FEAT)), jnp.float32
+        )
+        prev = jnp.zeros((B, 3), jnp.int32)
+        out = model.apply(params, feats, jnp.asarray([T, T]), prev)
+        assert np.all(np.isfinite(np.asarray(out["decoder_logits"])))
+        # relative term changes the output vs zeroing the table
+        import flax
+        zeroed = flax.traverse_util.flatten_dict(params)
+        zeroed = {
+            k: (jnp.zeros_like(v) if "relative_position_keys" in k else v)
+            for k, v in zeroed.items()
+        }
+        zeroed = flax.traverse_util.unflatten_dict(zeroed)
+        out0 = model.apply(zeroed, feats, jnp.asarray([T, T]), prev)
+        assert not np.allclose(
+            np.asarray(out["decoder_logits"]), np.asarray(out0["decoder_logits"])
+        )
+
+    def test_relative_incremental_matches_full(self):
+        """Cache-mode distance computation must reproduce the teacher-forced
+        relative self-attention exactly."""
+        cfg = tiny_cfg(max_decoder_relative_length=3)
+        model, params = init_model(cfg)
+        rng = np.random.default_rng(5)
+        feats = jnp.asarray(rng.normal(size=(B, T, D_FEAT)), jnp.float32)
+        lens = jnp.asarray([T, T - 8])
+        U = 6
+        tokens = jnp.asarray(rng.integers(4, V, size=(B, U)), jnp.int32)
+
+        enc = model.apply(params, feats, lens, method=model.encode)
+        enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        full_logits = model.apply(
+            params, tokens, enc["encoder_out"], enc_mask, method=model.decode
+        )
+        cache = model.apply(params, B, U, method=model.init_cache)
+        step_logits = []
+        for u in range(U):
+            logits, cache = model.apply(
+                params, tokens[:, u : u + 1], cache, jnp.asarray(u, jnp.int32),
+                enc["encoder_out"], enc_mask, method=model.decode_step,
+            )
+            step_logits.append(logits)
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(step_logits, axis=1)),
+            np.asarray(full_logits), atol=1e-4,
+        )

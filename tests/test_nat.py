@@ -479,3 +479,22 @@ class TestInsertionTransformer:
             f"{matches}/{B_real}",
             [task.decode_tokens(toks[b]) for b in range(min(B_real, 4))],
         )
+
+
+class TestDynamicCRFPadding:
+    def test_all_pad_row_contributes_zero_nll(self):
+        """Batch-padding rows (mask all False) must contribute nothing to
+        any loss (base.py contract)."""
+        from s2t_tpu.modules.dynamic_crf import DynamicCRF
+
+        crf = DynamicCRF(6, rank=4, beam=4)
+        rng = np.random.default_rng(0)
+        em = jnp.asarray(rng.normal(size=(2, 3, 6)), jnp.float32)
+        tgt = jnp.asarray(rng.integers(0, 6, size=(2, 3)), jnp.int32)
+        mask = jnp.asarray([[True, True, False], [False, False, False]])
+        params = crf.init(jax.random.PRNGKey(0), em, tgt, mask,
+                          method=DynamicCRF.nll)["params"]
+        nll = np.asarray(crf.apply({"params": params}, em, tgt, mask,
+                                   method="nll"))
+        assert nll[1] == 0.0, nll
+        assert nll[0] != 0.0

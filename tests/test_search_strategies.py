@@ -270,3 +270,39 @@ class TestInteractiveConstraints:
         task = setup_task(cfg)
         batch = encode_line(task, "aa bb cc")
         assert "constraints" not in batch
+
+
+class TestConstrainedEdgeCases:
+    def test_unsatisfiable_constraints_finalize_at_horizon(self):
+        """A constraint set longer than the budget still yields an
+        EOS-terminated best-effort hypothesis with a finite-ish score
+        (the reference finalizes at max_len)."""
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        # 10-token phrase with max_len 6: impossible to satisfy
+        cons = pack_constraints([[list(range(4, 14))], [list(range(4, 14))]])
+        gen = SequenceGenerator(model, beam_size=2, max_len_b=6,
+                                max_target_positions=32,
+                                constraints_mode="unordered")
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        for b in range(B):
+            assert 2 in list(toks[b, 0]), toks[b, 0]  # EOS-terminated
+        # scores are real hypothesis scores, not NEG_INF artifacts
+        assert (np.asarray(scores)[:, 0] > -1e6).all(), np.asarray(scores)
+
+    def test_static_cross_kv_generate_matches_default(self):
+        model, params, feats, lens = build()
+        g0 = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                               max_target_positions=32)
+        g1 = SequenceGenerator(model, beam_size=2, max_len_b=8,
+                               max_target_positions=32, static_cross_kv=True)
+        t0, s0, _ = g0.generate(params, {"features": feats, "feat_lengths": lens})
+        t1, s1, _ = g1.generate(params, {"features": feats, "feat_lengths": lens})
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-4)
