@@ -229,6 +229,17 @@ class OptimizationConfig:
     lr_patience: int = 0
     # manual scheduler: update-boundary -> lr (reference: manual_lr_scheduler)
     lr_milestones: Dict[int, float] = field(default_factory=dict)
+    # PRNG implementation for the training rng stream.  "rbg" uses the TPU
+    # hardware RNG path — measured 13.3 -> 6.0 ms/step fwd+bwd for
+    # s2t_transformer_s B=32 on v5e vs the default threefry, identical
+    # statistics (different stream).  "threefry" restores JAX's default.
+    rng_impl: str = "rbg"
+    # quantization-noise training for iPQ ("Training with Quantization Noise
+    # for Extreme Model Compression"; reference: fairseq/modules/
+    # quant_noise.py + --quant-noise-pq): randomly drop block_size-wide
+    # input-feature blocks of every weight kernel during training
+    quant_noise_p: float = 0.0
+    quant_noise_block_size: int = 8
     # loss scaling is unnecessary in bf16 (TPU native); kept for fp16 parity
     fp16_init_scale: float = 2.0**15
 

@@ -131,6 +131,20 @@ class S2TTransformerConfig:
     # axctc branches + aligned_speech_to_text_dataset.py)
     use_axctc: bool = False
     inter_axctc_layers: Tuple[int, ...] = ()
+    # CTC-probability sequence compression at designated inter-CTC layers
+    # (reference: s2t_transformer.py:1948-2040 — frames the inter-CTC head
+    # calls blank with prob >= threshold are removed).  Each listed layer
+    # must also be an inter_ctc_layer (the logit source), as in the
+    # reference.  TPU-native form: surviving frames are left-packed by one
+    # stable static-shape permutation and the valid length shrinks (the
+    # reference's "create" per-sentence gather loop); the reference's "mask"
+    # mode differs only in keeping original absolute positions, which only
+    # matters with compression_pos — both names are accepted
+    compression_layers: Tuple[int, ...] = ()
+    compression_mode: str = "create"  # create | mask (alias, see above)
+    compression_threshold: float = 0.95
+    compression_norm: bool = False
+    compression_pos: bool = False
     # inter-mixup (reference: s2t_transformer.py:2390-2400 mixup args)
     inter_mixup: bool = False
     inter_mixup_layer: int = 0  # 0 = right after subsampling
@@ -261,6 +275,11 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
                 cfg.pae_ctc_temperature, dtype=dt, name="xpae",
             )
+        if cfg.compression_layers and cfg.compression_norm:
+            self.compression_norms = {
+                str(l): nn.LayerNorm(dtype=dt, name=f"compression_norm{l}")
+                for l in cfg.compression_layers
+            }
         if cfg.use_axctc:
             self.axctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt,
                                       name="axctc_head")
@@ -303,6 +322,35 @@ class S2TTransformerEncoder(nn.Module):
             "keep_boundary": m,
         }
         return x, new_lengths, info
+
+    def _compress(self, x, ctc_logits, lengths, layer_idx):
+        """CTC-blank sequence compression (reference: s2t_transformer.py
+        :1948-2040): drop frames whose inter-CTC blank probability is >=
+        compression_threshold, left-packing survivors with one stable
+        static-shape permutation (T stays constant for XLA; the valid
+        length shrinks)."""
+        cfg = self.cfg
+        B, T, _ = x.shape
+        valid = lengths_to_mask(lengths, T)
+        blank_prob = jax.nn.softmax(
+            ctc_logits.astype(jnp.float32), axis=-1
+        )[..., 0]
+        keep = (blank_prob < cfg.compression_threshold) & valid
+        # never emit an empty utterance: if everything is blank, keep frame 0
+        any_keep = jnp.any(keep, axis=1, keepdims=True)
+        keep = keep | (~any_keep & (jnp.arange(T)[None, :] == 0) & valid)
+        order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
+        x = jnp.take_along_axis(x, order[:, :, None], axis=1)
+        new_lengths = jnp.sum(keep, axis=1).astype(lengths.dtype)
+        x = x * lengths_to_mask(new_lengths, T)[..., None].astype(x.dtype)
+        if cfg.compression_norm:
+            x = self.compression_norms[str(layer_idx)](x)
+        if cfg.compression_pos:
+            pe = fairseq_sinusoidal_encoding(
+                T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype
+            )
+            x = x + pe[None]
+        return x, new_lengths
 
     def _oracle_probs(
         self, logits, lengths, tokens, token_lengths, ratio
@@ -428,6 +476,16 @@ class S2TTransformerEncoder(nn.Module):
                             cfg.ctc_pae_ground_truth_ratio,
                         )
                     x = self.pae(x, logits, deterministic=deterministic, probs=probs)
+                if layer_idx in cfg.compression_layers:
+                    x, lengths = self._compress(x, logits, lengths, layer_idx)
+                    valid = lengths_to_mask(lengths, T)
+                    bias = padding_bias(valid, x.dtype)
+                    if cfg.encoder_attention_window > 0:
+                        from s2t_tpu.modules.attention import local_window_bias
+
+                        bias = bias + local_window_bias(
+                            T, cfg.encoder_attention_window, x.dtype
+                        )
             if (
                 cfg.use_xctc
                 and layer_idx in cfg.inter_xctc_layers

@@ -38,10 +38,17 @@ def _extend_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
 def _lattice_logp(
     log_probs: jnp.ndarray, ext_labels: jnp.ndarray
 ) -> jnp.ndarray:
-    """Gather per-state emission scores: (B, T, V),(B, S) -> (B, T, S)."""
-    B, T, V = log_probs.shape
-    idx = jnp.broadcast_to(ext_labels[:, None, :], (B, T, ext_labels.shape[1]))
-    return jnp.take_along_axis(log_probs, idx, axis=2)
+    """Gather per-state emission scores: (B, T, V),(B, S) -> (B, T, S).
+
+    Implemented as a one-hot matmul, not take_along_axis: on TPU the dynamic
+    gather over the vocab axis lowers to scalarised loads (~35 ms at
+    B=32,T=250,V=10k measured on v5e) while the equivalent einsum rides the
+    MXU (<1 ms), and its transpose (the backward scatter) does too.  0/1
+    selection in f32 is exact."""
+    one_hot = jax.nn.one_hot(ext_labels, log_probs.shape[-1], dtype=jnp.float32)
+    return jnp.einsum(
+        "btv,bsv->bts", log_probs.astype(jnp.float32), one_hot
+    )
 
 
 def _transition_mask(ext_labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
@@ -133,15 +140,24 @@ def ctc_loss(
     Matches torch.nn.functional.ctc_loss semantics (parity-tested in
     tests/test_ctc.py).
     """
-    alpha, _ = ctc_forward_alphas(log_probs, labels, input_lengths, blank_id)
-    B, S = alpha.shape
-    last_label = 2 * label_lengths - 1  # final label state
-    last_blank = 2 * label_lengths  # final blank state
-    a_label = jnp.take_along_axis(alpha, last_label[:, None].clip(0), axis=1)[:, 0]
-    a_label = jnp.where(label_lengths > 0, a_label, NEG_INF)
-    a_blank = jnp.take_along_axis(alpha, last_blank[:, None], axis=1)[:, 0]
-    ll = jnp.logaddexp(a_label, a_blank)
-    nll = -ll
+    from s2t_tpu.ops.ctc_pallas import ctc_nll_pallas, pallas_ctc_available
+
+    B, T, _ = log_probs.shape
+    S = 2 * labels.shape[1] + 1
+    if pallas_ctc_available(B, T, S):
+        # fused single-kernel lattice (custom fwd/bwd); same numerics as the
+        # scan below, ~10x faster on TPU (see ops/ctc_pallas.py)
+        nll = ctc_nll_pallas(
+            log_probs, labels, input_lengths, label_lengths, blank_id
+        )
+    else:
+        alpha, _ = ctc_forward_alphas(log_probs, labels, input_lengths, blank_id)
+        last_label = 2 * label_lengths - 1  # final label state
+        last_blank = 2 * label_lengths  # final blank state
+        a_label = jnp.take_along_axis(alpha, last_label[:, None].clip(0), axis=1)[:, 0]
+        a_label = jnp.where(label_lengths > 0, a_label, NEG_INF)
+        a_blank = jnp.take_along_axis(alpha, last_blank[:, None], axis=1)[:, 0]
+        nll = -jnp.logaddexp(a_label, a_blank)
     if zero_infinity:
         bad = (nll > -NEG_INF / 2) | ~jnp.isfinite(nll)
         # feasibility: need input_lengths >= label path length

@@ -173,6 +173,49 @@ class ReduceOnPlateau:
         return self.scale
 
 
+class SkipNonFiniteState(NamedTuple):
+    notfinite_count: jnp.ndarray  # consecutive non-finite updates
+    inner_state: object
+
+
+def skip_nonfinite(
+    tx: optax.GradientTransformation, max_consecutive_errors: int = 8
+) -> optax.GradientTransformation:
+    """Skip updates whose gradients contain non-finite values.
+
+    Same contract as ``optax.apply_if_finite`` (which this replaces in the
+    Trainer), but the skip is a fused elementwise select instead of a
+    ``lax.cond``: the cond introduces a program boundary XLA cannot fuse or
+    alias across, which copies the whole optimizer state every step.  After
+    ``max_consecutive_errors`` consecutive bad steps the update is applied
+    anyway so the non-finite values surface loudly (apply_if_finite
+    semantics).
+    """
+
+    def init(params):
+        return SkipNonFiniteState(jnp.zeros((), jnp.int32), tx.init(params))
+
+    def update(updates, state, params=None):
+        new_updates, new_inner = tx.update(updates, state.inner_state, params)
+        ok = jnp.array(True)
+        for leaf in jax.tree.leaves(updates):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        give_up = state.notfinite_count >= max_consecutive_errors
+        apply_it = ok | give_up
+        out_updates = jax.tree.map(
+            lambda u: jnp.where(apply_it, u, jnp.zeros_like(u)), new_updates
+        )
+        keep_state = jax.tree.map(
+            lambda new, old: jnp.where(apply_it, new, old)
+            if hasattr(new, "dtype") else new,
+            new_inner, state.inner_state,
+        )
+        count = jnp.where(ok, 0, state.notfinite_count + 1)
+        return out_updates, SkipNonFiniteState(count, keep_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 class LRScaleState(NamedTuple):
     scale: jnp.ndarray
 

@@ -75,10 +75,20 @@ class Trainer:
         self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
         self.forward_fn = forward_fn
         self.schedule = build_lr_schedule(opt_cfg)
-        self.tx = optax.apply_if_finite(
+        from s2t_tpu.optim.builders import skip_nonfinite
+
+        # fused non-finite-update skip (see skip_nonfinite: apply_if_finite's
+        # lax.cond copies the whole optimizer state every step)
+        self.tx = skip_nonfinite(
             build_optimizer(opt_cfg, self.schedule), max_consecutive_errors=8
         )
-        self.base_rng = jax.random.PRNGKey(seed)
+        impl = getattr(opt_cfg, "rng_impl", "rbg")
+        if impl and impl != "threefry":
+            # hardware RNG stream: ~7 ms/step cheaper dropout than threefry
+            # on v5e (see OptimizationConfig.rng_impl)
+            self.base_rng = jax.random.key(seed, impl=impl)
+        else:
+            self.base_rng = jax.random.PRNGKey(seed)
         # compiled steps cached per batch *structure* (key set + ranks), so a
         # later batch with different keys or accum setting is never silently
         # run through shardings built for the first batch
@@ -148,6 +158,17 @@ class Trainer:
         multiply_grads(1/sample_size) over the summed loss (trainer.py:720)
         — per-microbatch normalisation would weight unequal microbatches
         incorrectly."""
+        if self.opt_cfg.quant_noise_p > 0.0:
+            # iPQ quantization-noise: block-mask weight kernels for this
+            # step's forward/backward (reference: modules/quant_noise.py);
+            # the optimizer still updates the un-noised params
+            from s2t_tpu.modules.quant_noise import quant_noise_params
+
+            params = quant_noise_params(
+                params, jax.random.fold_in(rng, 0x51AE),
+                self.opt_cfg.quant_noise_p,
+                self.opt_cfg.quant_noise_block_size,
+            )
         out = self.forward_fn(
             self.model, params, batch, deterministic=False, rngs={"dropout": rng}
         )

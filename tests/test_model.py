@@ -232,3 +232,75 @@ class TestShawRelativeAttention:
             np.asarray(jnp.stack(step_logits, axis=1)),
             np.asarray(full_logits), atol=1e-4,
         )
+
+
+class TestCTCCompression:
+    """CTC-blank sequence compression at inter-CTC layers (reference:
+    s2t_transformer.py:1948-2040, --compression-layers)."""
+
+    def _cfg(self, **kw):
+        kw.setdefault("compression_threshold", 0.95)
+        return tiny_cfg(
+            inter_ctc_layers=(1,), compression_layers=(1,), **kw,
+        )
+
+    def test_lengths_shrink_and_pack(self):
+        """With a biased CTC head (high blank logit on some frames) the
+        valid length shrinks by exactly the dropped-frame count."""
+        cfg = self._cfg(compression_threshold=0.5)
+        model, params = init_model(cfg)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(size=(B, T, D_FEAT)), jnp.float32)
+        lens = jnp.asarray([T, T // 2])
+        # push the shared CTC head's blank bias up so ~all frames are blank;
+        # the never-empty guard must still leave one frame
+        import flax
+
+        p = flax.traverse_util.flatten_dict(params["params"])
+        for k in list(p):
+            if "ctc_head" in "/".join(k) and k[-1] == "bias":
+                p[k] = p[k].at[0].set(50.0)
+        biased = {"params": flax.traverse_util.unflatten_dict(p)}
+        enc = model.apply(biased, feats, lens, method=model.encode)
+        out_len = np.asarray(enc["encoder_lengths"])
+        np.testing.assert_array_equal(out_len, [1, 1])
+        assert np.isfinite(np.asarray(enc["encoder_out"])).all()
+
+    def test_aggressive_threshold_compresses(self):
+        """With an untrained CTC head, threshold 1.0 keeps everything and a
+        sub-uniform threshold drops frames."""
+        model_hi, params = init_model(self._cfg(compression_threshold=1.1))
+        model_lo = S2TTransformerModel(
+            model_hi.cfg.replace(compression_threshold=1.0 / V * 0.5)
+        )
+        rng = np.random.default_rng(1)
+        feats = jnp.asarray(rng.normal(size=(B, T, D_FEAT)), jnp.float32)
+        lens = jnp.asarray([T, T])
+        hi = model_hi.apply(params, feats, lens, method=model_hi.encode)
+        lo = model_lo.apply(params, feats, lens, method=model_lo.encode)
+        hi_len = np.asarray(hi["encoder_lengths"])
+        lo_len = np.asarray(lo["encoder_lengths"])
+        T_sub = hi["encoder_out"].shape[1]
+        np.testing.assert_array_equal(hi_len, [T_sub, T_sub])  # keeps all
+        assert (lo_len >= 1).all()
+        # the never-empty guard holds even when everything is "blank"
+        assert (lo_len <= hi_len).all()
+
+    def test_trains_with_compression(self):
+        cfg = self._cfg(compression_norm=True, compression_pos=True)
+        model, params = init_model(cfg)
+        rng = np.random.default_rng(2)
+        feats = jnp.asarray(rng.normal(size=(B, T, D_FEAT)), jnp.float32)
+        lens = jnp.asarray([T, T - 6])
+        prev = jnp.asarray(rng.integers(4, V, size=(B, 5)), jnp.int32)
+        assert "compression_norm1" in params["params"]["encoder"]
+
+        def loss(p):
+            out = model.apply(
+                p, feats, lens, prev, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return jnp.mean(out["decoder_logits"].astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))

@@ -178,3 +178,81 @@ class TestSqueezeExcitation:
         g = jax.grad(loss)(p)
         se_g = g["encoder"]["layer0"]["se_fc1"]["kernel"]
         assert np.abs(np.asarray(se_g)).sum() > 0  # gate receives gradient
+
+
+class TestQuantNoise:
+    """iPQ quantization-noise training (reference: modules/quant_noise.py,
+    --quant-noise-pq)."""
+
+    def test_zero_p_is_identity(self):
+        from s2t_tpu.modules.quant_noise import quant_noise_params
+
+        params = {"layer": {"kernel": jnp.ones((16, 4)), "bias": jnp.ones((4,))}}
+        out = quant_noise_params(params, jax.random.PRNGKey(0), 0.0, 4)
+        assert out is params
+
+    def test_block_structure_and_scaling(self):
+        from s2t_tpu.modules.quant_noise import quant_noise_params
+
+        kernel = jnp.ones((32, 8))
+        params = {"m": {"kernel": kernel, "bias": jnp.ones((8,)),
+                        "scale": jnp.ones((8,))}}
+        out = quant_noise_params(params, jax.random.PRNGKey(1), 0.5, 4)
+        k = np.asarray(out["m"]["kernel"])
+        # bias / norm scale untouched
+        np.testing.assert_array_equal(np.asarray(out["m"]["bias"]), 1.0)
+        np.testing.assert_array_equal(np.asarray(out["m"]["scale"]), 1.0)
+        # every value is either dropped (0) or rescaled by 1/(1-p) = 2
+        assert set(np.unique(k)).issubset({0.0, 2.0})
+        # mask is constant within each block_size-row block per column
+        blocks = k.reshape(8, 4, 8)
+        assert (blocks == blocks[:, :1, :]).all()
+        # roughly p of the blocks dropped
+        drop_frac = (blocks[:, 0, :] == 0).mean()
+        assert 0.2 < drop_frac < 0.8
+
+    def test_embedding_blocked_along_dim(self):
+        from s2t_tpu.modules.quant_noise import quant_noise_params
+
+        params = {"embed_tokens": {"embedding": jnp.ones((10, 16))}}
+        out = quant_noise_params(params, jax.random.PRNGKey(2), 0.5, 4)
+        e = np.asarray(out["embed_tokens"]["embedding"])
+        blocks = e.reshape(10, 4, 4)
+        assert (blocks == blocks[:, :, :1]).all()
+        assert set(np.unique(e)).issubset({0.0, 2.0})
+
+    def test_trainer_integration(self):
+        """quant_noise_p > 0 trains (loss decreases) and perturbs the loss
+        relative to the noise-free forward."""
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.criterions import build_criterion
+        from s2t_tpu.trainer import Trainer
+
+        model, params, feats, lens, prev = build()
+        crit = build_criterion(
+            "label_smoothed_cross_entropy_with_ctc", {"ctc": {"ctc_weight": 0.3}}
+        )
+        tgt = jnp.asarray([[5, 6, 2], [7, 8, 2]], jnp.int32)
+        B, U = tgt.shape
+        batch = {
+            "features": feats, "feat_lengths": lens, "prev_tokens": prev,
+            "target": tgt, "transcript": tgt[:, :-1],
+            "transcript_lengths": jnp.full((B,), U - 1, jnp.int32),
+            "ntokens": float(B * U),
+        }
+        import jax as _jax
+        from s2t_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices=_jax.devices()[:1])
+        tr = Trainer(model, crit, OptimizationConfig(
+            lr=1e-3, warmup_updates=10, clip_norm=5.0, quant_noise_p=0.2,
+            quant_noise_block_size=8,
+        ), mesh=mesh)
+        state = tr.init_state(batch)
+        l0 = None
+        for i in range(15):
+            state, m = tr.train_step(state, batch)
+            if i == 0:
+                l0 = float(m["loss"])
+        assert float(m["loss"]) < l0
+        assert np.isfinite(float(m["loss"]))

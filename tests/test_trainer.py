@@ -111,3 +111,45 @@ class TestTrainer:
         assert lrs[0] < lrs[1] < lrs[2]
         assert abs(lrs[2] - 2e-3) < 1e-4
         assert abs(lrs[3] - 2e-3 * (100 / 400) ** 0.5) < 1e-5
+
+
+class TestSkipNonFinite:
+    def test_nonfinite_grads_skip_update(self):
+        """A NaN gradient leaves params and adam state untouched and bumps
+        the consecutive counter; a finite one resets it (reference:
+        DynamicLossScaler overflow-skip, trainer.py:777-781)."""
+        import optax
+
+        from s2t_tpu.optim.builders import skip_nonfinite
+
+        tx = skip_nonfinite(optax.adam(1e-2), max_consecutive_errors=3)
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        bad = {"w": jnp.full((4,), jnp.nan)}
+        good = {"w": jnp.ones((4,))}
+
+        up, state = tx.update(bad, state, params)
+        assert np.all(np.asarray(up["w"]) == 0.0)
+        assert int(state.notfinite_count) == 1
+        up, state = tx.update(good, state, params)
+        assert np.all(np.isfinite(np.asarray(up["w"])))
+        assert np.any(np.asarray(up["w"]) != 0.0)
+        assert int(state.notfinite_count) == 0
+
+    def test_gives_up_after_max_consecutive(self):
+        import optax
+
+        from s2t_tpu.optim.builders import skip_nonfinite
+
+        tx = skip_nonfinite(optax.sgd(1.0), max_consecutive_errors=2)
+        params = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        bad = {"w": jnp.full((2,), jnp.nan)}
+        for _ in range(3):
+            up, state = tx.update(bad, state, params)
+            assert np.all(np.asarray(up["w"]) == 0.0) or np.isnan(
+                np.asarray(up["w"])
+            ).any()
+        # counter exceeded: the NaN now propagates (loud failure)
+        up, _ = tx.update(bad, state, params)
+        assert np.isnan(np.asarray(up["w"])).any()
