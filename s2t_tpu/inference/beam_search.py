@@ -67,6 +67,7 @@ def beam_search(
     eos_id: int = 2,
     pad_id: int = 1,
     bos_id: int = 2,
+    blank_id: int = 0,
     vocab_size: int = 0,
     lenpen: float = 1.0,
     min_len: int = 1,
@@ -143,8 +144,12 @@ def beam_search(
             NEG_INF,
             logprobs,
         )
-        # never emit pad
+        # never emit pad; never emit the blank/bos index (the reference
+        # fork bans index 0 unconditionally — sequence_generator.py:74,401:
+        # self.blank defaults to 0, which is also <s> in fairseq dicts)
         logprobs = logprobs.at[:, :, pad_id].set(NEG_INF)
+        if blank_id is not None and blank_id >= 0:
+            logprobs = logprobs.at[:, :, blank_id].set(NEG_INF)
         # at max_len, force EOS so every hypothesis terminates
         # (reference: sequence_generator.py max-len forcing)
         logprobs = jnp.where(

@@ -81,6 +81,7 @@ def constrained_beam_search(
     eos_id: int = 2,
     pad_id: int = 1,
     bos_id: int = 2,
+    blank_id: int = 0,
     lenpen: float = 1.0,
     min_len: int = 1,
     ordered: bool = False,
@@ -147,6 +148,8 @@ def constrained_beam_search(
             logprobs,
         )
         logprobs = logprobs.at[:, :, pad_id].set(NEG_INF)
+        if blank_id is not None and blank_id >= 0:
+            logprobs = logprobs.at[:, :, blank_id].set(NEG_INF)
         logprobs = jnp.where(
             (i == L - 1) & (vocab != eos_id), NEG_INF, logprobs
         )

@@ -35,6 +35,10 @@ class SequenceGenerator:
         no_repeat_ngram_size: int = 0,
         eos_id: int = 2,
         pad_id: int = 1,
+        # banned output index; the reference fork bans index 0 (CTC blank ==
+        # <s> in fairseq dicts) in every decode (sequence_generator.py:74,401).
+        # Set to -1 to allow it.
+        blank_id: int = 0,
         max_target_positions: Optional[int] = None,
         input_keys: Tuple[str, str] = ("features", "feat_lengths"),
         infer_ctc_weight: float = 0.0,
@@ -64,6 +68,7 @@ class SequenceGenerator:
         self.no_repeat_ngram_size = no_repeat_ngram_size
         self.eos_id = eos_id
         self.pad_id = pad_id
+        self.blank_id = blank_id
         self.max_target_positions = max_target_positions or getattr(
             model.cfg, "max_target_positions", 1024
         )
@@ -222,6 +227,7 @@ class SequenceGenerator:
                     decode_step, cache, jax.random.PRNGKey(self.sampling_seed),
                     batch_size=B, num_samples=K, max_len=max_len,
                     eos_id=self.eos_id, pad_id=self.pad_id, bos_id=self.eos_id,
+                    blank_id=self.blank_id,
                     temperature=1.0,  # decode_step already applies temperature
                     topk=self.sampling_topk, topp=self.sampling_topp,
                 )
@@ -234,6 +240,7 @@ class SequenceGenerator:
                     decode_step, cache, constraints,
                     batch_size=B, beam_size=K, max_len=max_len,
                     eos_id=self.eos_id, pad_id=self.pad_id, bos_id=self.eos_id,
+                    blank_id=self.blank_id,
                     lenpen=self.lenpen, min_len=self.min_len,
                     ordered=self.constraints_mode == "ordered",
                 )
@@ -267,6 +274,7 @@ class SequenceGenerator:
                 eos_id=self.eos_id,
                 pad_id=self.pad_id,
                 bos_id=self.eos_id,  # fairseq seeds generation with EOS
+                blank_id=self.blank_id,
                 lenpen=self.lenpen,
                 min_len=self.min_len,
                 no_repeat_ngram_size=self.no_repeat_ngram_size,

@@ -48,6 +48,7 @@ def sampling_decode(
     eos_id: int = 2,
     pad_id: int = 1,
     bos_id: int = 2,
+    blank_id: int = 0,
     temperature: float = 1.0,
     topk: int = -1,
     topp: float = -1.0,
@@ -64,6 +65,10 @@ def sampling_decode(
         logprobs, cache = decode_step(prev[:, None], cache, i)
         logprobs = logprobs / temperature
         logprobs = logprobs.at[:, pad_id].set(NEG)
+        if blank_id is not None and blank_id >= 0:
+            # reference fork bans index 0 in every decode
+            # (sequence_generator.py:74,401)
+            logprobs = logprobs.at[:, blank_id].set(NEG)
         filtered = _filter_topp(_filter_topk(logprobs, topk), topp)
         filtered = jax.nn.log_softmax(filtered, axis=-1)
         rng, sub = jax.random.split(rng)
