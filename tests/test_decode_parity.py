@@ -147,3 +147,87 @@ class TestBeamDecodeParity:
                 scores[b, 0], float(ref_best["score"]), atol=5e-3,
                 err_msg=f"hypothesis score differs at b={b}",
             )
+
+
+class TestMTBeamDecodeParity:
+    def test_same_hypothesis_tokens(self, tmp_path):
+        """Same contract for the MT transformer: the reference torch beam and
+        ours agree token-for-token on a decisive (overfit) model."""
+        import torch
+
+        from build_reference import build_mt_model
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.interop.fairseq_import import import_fairseq_mt
+        from s2t_tpu.models.transformer import TransformerModel
+
+        model, args, d = build_mt_model(
+            arch="transformer_iwslt_de_en",
+            encoder_layers=2, decoder_layers=2, encoder_embed_dim=64,
+            decoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            decoder_ffn_embed_dim=128, encoder_attention_heads=2,
+            decoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        # tiny copy task: source tokens -> same tokens
+        n, S = 4, 5
+        rng = np.random.default_rng(0)
+        src = rng.integers(4, len(d), size=(n, S)).astype(np.int64)
+        src[:, -1] = d.eos()
+        tgt = src.copy()
+        prev = np.roll(tgt, 1, 1)
+        prev[:, 0] = d.eos()
+        src_t = torch.tensor(src)
+        lens_t = torch.full((n,), S, dtype=torch.long)
+        model.train()
+        opt = torch.optim.Adam(model.parameters(), lr=3e-3)
+        for _ in range(200):
+            opt.zero_grad()
+            out = model(src_t, lens_t, torch.tensor(prev))
+            logits = out[0]
+            loss = torch.nn.functional.cross_entropy(
+                logits.reshape(-1, logits.size(-1)),
+                torch.tensor(tgt).reshape(-1),
+            )
+            loss.backward()
+            opt.step()
+        model.eval()
+        assert float(loss) < 0.2, float(loss)
+
+        from build_reference import save_fairseq_checkpoint
+
+        ckpt = tmp_path / "mt.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_mt(str(ckpt))
+
+        setup_paths()
+        from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+        gen = RefGen([model], d, beam_size=BEAM, max_len_a=0, max_len_b=10,
+                     len_penalty=1.0)
+        sample = {"net_input": {"src_tokens": src_t, "src_lengths": lens_t}}
+        with torch.no_grad():
+            ref = gen.forward(sample)
+
+        import jax.numpy as jnp
+
+        my = TransformerModel(cfg)
+        g = MyGen(my, beam_size=BEAM, max_len_a=0.0, max_len_b=10,
+                  lenpen=1.0, max_target_positions=64,
+                  input_keys=("src_tokens", "src_lengths"))
+        toks, scores, _ = g.generate(
+            params,
+            {"src_tokens": jnp.asarray(src.astype(np.int32)),
+             "src_lengths": jnp.full((n,), S, jnp.int32)},
+        )
+        toks, scores = np.asarray(toks), np.asarray(scores)
+        for b in range(n):
+            ref_toks = ref[b][0]["tokens"].numpy()
+            mine = [int(t) for t in toks[b, 0]]
+            assert 2 in mine
+            mine = mine[: mine.index(2) + 1]
+            np.testing.assert_array_equal(
+                mine, ref_toks, err_msg=f"MT hypothesis differs at b={b}"
+            )
+            np.testing.assert_allclose(
+                scores[b, 0], float(ref[b][0]["score"]), atol=5e-3
+            )

@@ -193,7 +193,11 @@ class TestLevenshtein:
         criterion = task.build_criterion()
         trainer = Trainer(
             model, criterion,
-            OptimizationConfig(lr=5e-3, warmup_updates=10, clip_norm=2.0),
+            # the match threshold below was calibrated on the threefry stream;
+            # LevT's roll-in noise makes tiny-corpus convergence sensitive to
+            # the rng stream, so pin the impl rather than chase seeds
+            OptimizationConfig(lr=5e-3, warmup_updates=10, clip_norm=2.0,
+                               rng_impl="threefry"),
             forward_fn=task.forward_fn(), seed=3,
         )
         itr = task.get_batch_iterator(train_ds, max_tokens=512, shuffle=False,
