@@ -91,6 +91,27 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, self.head_dim)
 
+    def _grouped_cross(self, q, k, v, bias, deterministic):
+        """Cross-attention with sentence-level K/V shared by G beams.
+
+        q: (B*G, 1, H, Dh); k, v: (B, Tk, H, Dh);
+        bias: (B*G, 1, 1, Tk) or None.  Returns ((B*G, 1, D), None).
+        """
+        B, Tk = k.shape[0], k.shape[1]
+        G = q.shape[0] // B
+        qg = q.reshape(B, G, self.num_heads, self.head_dim)
+        scores = jnp.einsum("bghd,bthd->bhgt", qg, k) / jnp.sqrt(
+            self.head_dim
+        ).astype(q.dtype)
+        if bias is not None:
+            # (B*G, 1, 1, Tk) -> (B, 1, G, Tk), broadcast over heads
+            scores = scores + bias.reshape(B, G, 1, Tk).transpose(0, 2, 1, 3)
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        w = self.drop(w, deterministic=deterministic)
+        out = jnp.einsum("bhgt,bthd->bghd", w, v)
+        out = out.reshape(B * G, 1, self.embed_dim)
+        return self.out_proj(out), None
+
     def project_kv(self, key, value=None):
         """Precompute split K/V for a static source (cross-attention during
         incremental decode — the reference caches static_kv the same way;
@@ -124,6 +145,12 @@ class MultiHeadAttention(nn.Module):
         q = self._split(self.q_proj(query))
         if kv_override is not None:
             k, v = kv_override
+            if k.shape[0] != q.shape[0] and cache is None:
+                # beam-shared cross K/V: kv has one row per sentence, q has
+                # G beams per sentence (incremental decode, Tq == 1).  The
+                # encoder projections are computed once per sentence instead
+                # of once per beam — 1/G of the projection FLOPs and reads
+                return self._grouped_cross(q, k, v, bias, deterministic)
         else:
             k = self._split(self.k_proj(key))
             v = self._split(self.v_proj(value))

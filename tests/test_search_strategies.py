@@ -297,9 +297,11 @@ class TestConstrainedEdgeCases:
         assert (np.asarray(scores)[:, 0] > -1e6).all(), np.asarray(scores)
 
     def test_static_cross_kv_generate_matches_default(self):
+        """Beam-shared precomputed cross-KV (the default) must decode
+        identically to per-step recompute."""
         model, params, feats, lens = build()
         g0 = SequenceGenerator(model, beam_size=2, max_len_b=8,
-                               max_target_positions=32)
+                               max_target_positions=32, static_cross_kv=False)
         g1 = SequenceGenerator(model, beam_size=2, max_len_b=8,
                                max_target_positions=32, static_cross_kv=True)
         t0, s0, _ = g0.generate(params, {"features": feats, "feat_lengths": lens})
