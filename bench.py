@@ -74,6 +74,43 @@ def bench_generation(jax, jnp):
     }
 
 
+def bench_nast_generation(jax, jnp):
+    """Non-autoregressive serving: encoder-only CTC greedy decode (the NAST
+    deployment mode — reference: s2t_ctc.py CTCDecoder) at the same batch/
+    shape regime as the AR bench."""
+    from s2t_tpu.inference.ctc_decoder import CTCDecoder, CTCGenerator
+    from s2t_tpu.models.s2t_ctc import S2TCTCModel, s2t_ctc_base
+
+    B, T, N_BATCHES, VOCAB = 256, 1000, 2, 10000
+    cfg = s2t_ctc_base(
+        vocab_size=VOCAB, dtype_str="bfloat16", max_target_positions=1024
+    )
+    model = S2TCTCModel(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens)["params"]
+    gen = CTCGenerator(model, CTCDecoder())
+    toks, _, _ = gen.generate(params, {"features": feats, "feat_lengths": lens})
+    np.asarray(toks)  # compile + warm
+    batches = [
+        jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+        for _ in range(N_BATCHES)
+    ]
+    for f in batches:
+        np.asarray(f[0, 0, 0])
+    t0 = time.perf_counter()
+    for f in batches:
+        toks, _, _ = gen.generate(params, {"features": f, "feat_lengths": lens})
+        np.asarray(toks)
+    wall = time.perf_counter() - t0
+    n = B * N_BATCHES
+    return {
+        "nast_rtf": round(n * T * 0.01 / wall, 2),
+        "nast_utts_per_sec": round(n / wall, 2),
+    }
+
+
 def bench_training(jax, jnp):
     """Full train-step throughput + MFU for s2t_transformer_s (bf16)."""
     from s2t_tpu.config import OptimizationConfig
@@ -240,6 +277,7 @@ def main():
     import jax.numpy as jnp
 
     rtf, gen_extra = bench_generation(jax, jnp)
+    nast_extra = bench_nast_generation(jax, jnp)
     train_extra = bench_training(jax, jnp)
     wer_extra = bench_wer_sanity(jax, jnp)
     out = {
@@ -248,7 +286,7 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
         "extra": {
-            **gen_extra, **train_extra, **wer_extra,
+            **gen_extra, **nast_extra, **train_extra, **wer_extra,
             "device": str(jax.devices()[0]),
         },
     }
