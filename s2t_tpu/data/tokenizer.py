@@ -200,6 +200,133 @@ class MosesTokenizer:
         return out.strip()
 
 
+@register_tokenizer("byte")
+class ByteTokenizer:
+    """Byte-level tokenization (reference: fairseq/data/encoders/bytes.py —
+    UTF-8 bytes as tokens, printable-escape symbols so the vocab is plain
+    text).  Vocabulary is the fixed 256 byte symbols."""
+
+    _OFFSET = 0x2400  # map control/space bytes into the Unicode pictures block
+
+    def __init__(self, model_path: Optional[str] = None):
+        pass
+
+    @classmethod
+    def train(cls, lines=None, **kw):
+        return cls()
+
+    def _sym(self, b: int) -> str:
+        ch = chr(b)
+        if b <= 0x20 or b >= 0x7F:  # non-printable: escape
+            return chr(self._OFFSET + b)
+        return ch
+
+    def encode(self, text: str) -> List[str]:
+        return [self._sym(b) for b in text.encode("utf-8")]
+
+    def encode_line(self, text: str) -> str:
+        return " ".join(self.encode(text))
+
+    def decode(self, pieces: List[str] | str) -> str:
+        if isinstance(pieces, str):
+            pieces = pieces.split()
+        bs = bytearray()
+        for p in pieces:
+            for ch in p:
+                o = ord(ch)
+                bs.append(o - self._OFFSET if o >= self._OFFSET else o)
+        return bs.decode("utf-8", errors="replace")
+
+    def vocab(self) -> List[str]:
+        return [self._sym(b) for b in range(256)]
+
+
+@register_tokenizer("bert")
+class BertWordpieceTokenizer:
+    """Greedy longest-match WordPiece over a BERT-style vocab file
+    (reference: fairseq/data/encoders/hf_bert_bpe.py): continuation pieces
+    carry the ## prefix; unknown spans fall back to [UNK]."""
+
+    def __init__(self, model_path: Optional[str] = None, vocab=None):
+        if vocab is None:
+            with open(model_path) as f:
+                vocab = [l.rstrip("\n") for l in f if l.strip()]
+        self._vocab = list(vocab)
+        self._set = set(self._vocab)
+
+    @classmethod
+    def train(cls, lines, vocab_size=1000, model_path=None, **kw):
+        """Character + frequent-substring vocab (a practical stand-in for the
+        original WordPiece trainer; real BERT vocabs load via model_path)."""
+        from collections import Counter
+
+        counts = Counter()
+        words = Counter()
+        for line in lines:
+            for w in line.strip().lower().split():
+                words[w] += 1
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        chars = set()
+        for w in words:
+            chars.add(w[0])
+            chars.update("##" + c for c in w[1:])
+        vocab += sorted(chars)
+        for w, c in words.most_common():
+            if len(vocab) >= vocab_size:
+                break
+            if w not in vocab:
+                vocab.append(w)
+        tok = cls(vocab=vocab[:vocab_size])
+        if model_path:
+            with open(model_path, "w") as f:
+                f.write("\n".join(tok._vocab))
+        return tok
+
+    def _wordpiece(self, word: str) -> List[str]:
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while end > start:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self._set:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return ["[UNK]"]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def encode(self, text: str) -> List[str]:
+        out = []
+        for w in text.strip().lower().split():
+            out.extend(self._wordpiece(w))
+        return out
+
+    def encode_line(self, text: str) -> str:
+        return " ".join(self.encode(text))
+
+    def decode(self, pieces: List[str] | str) -> str:
+        if isinstance(pieces, str):
+            pieces = pieces.split()
+        words: List[str] = []
+        for p in pieces:
+            if p in ("[CLS]", "[SEP]", "[PAD]"):
+                continue
+            if p.startswith("##") and words:
+                words[-1] += p[2:]
+            else:
+                words.append(p)
+        return " ".join(words)
+
+    def vocab(self) -> List[str]:
+        return list(self._vocab)
+
+
 def build_tokenizer(cfg: Optional[dict]) -> Optional[object]:
     """Build from a data-config dict like {"bpe_tokenizer": {"bpe": "unigram",
     "model_path": ...}} (reference: S2TDataConfig.bpe_tokenizer)."""
@@ -207,7 +334,7 @@ def build_tokenizer(cfg: Optional[dict]) -> Optional[object]:
         return None
     kind = cfg.get("bpe") or cfg.get("tokenizer") or "unigram"
     cls = TOKENIZERS.get(kind)
-    if kind in ("char", "moses"):
+    if kind in ("char", "moses", "byte"):
         return cls()
     path = cfg.get("model_path") or cfg.get("sentencepiece_model")
     if not path:

@@ -82,6 +82,44 @@ class TestTokenizers:
         assert tok2.encode_line("the cat ate") == enc
 
 
+class TestByteAndBertTokenizers:
+    def test_byte_roundtrip(self):
+        from s2t_tpu.data.tokenizer import ByteTokenizer
+
+        t = ByteTokenizer()
+        for text in ("hello world", "naïve café", "日本語 text", "tabs\tand\nnewlines"):
+            pieces = t.encode(text)
+            assert all(" " not in p for p in pieces)
+            assert t.decode(pieces) == text
+        assert len(t.vocab()) == 256
+
+    def test_bert_wordpiece(self, tmp_path):
+        from s2t_tpu.data.tokenizer import BertWordpieceTokenizer
+
+        lines = ["the quick brown fox", "the lazy dog", "quick thinking"]
+        tok = BertWordpieceTokenizer.train(
+            lines, vocab_size=64, model_path=tmp_path / "vocab.txt"
+        )
+        pieces = tok.encode("the quicker")
+        assert pieces[0] == "the"
+        # "quickest" greedily matches "quick" + ## continuations
+        assert pieces[1] == "quick" and all(
+            p.startswith("##") for p in pieces[2:]
+        )
+        assert tok.decode(pieces) == "the quicker"
+        # unknown characters fall back to [UNK]
+        assert tok.encode("Ω")[0] == "[UNK]"
+        # vocab file round-trip
+        tok2 = BertWordpieceTokenizer(model_path=tmp_path / "vocab.txt")
+        assert tok2.encode("the quicker") == pieces
+
+    def test_build_tokenizer_byte(self):
+        from s2t_tpu.data.tokenizer import build_tokenizer
+
+        t = build_tokenizer({"bpe": "byte"})
+        assert t.decode(t.encode("abc")) == "abc"
+
+
 class TestWatchdog:
     def test_fires_on_stall(self):
         from s2t_tpu.utils.watchdog import Watchdog
