@@ -289,6 +289,10 @@ class GenerationConfig:
     # NAT iterative refinement (reference: GenerationConfig iter_decode_*)
     iter_decode_max_iter: int = 10
     iter_decode_eos_penalty: float = 0.0
+    # CTC-drafted Jacobi decoding (inference/jacobi.py — no reference
+    # equivalent): exact greedy output from parallel teacher-forced passes
+    # seeded by the CTC draft; implies beam-1 semantics
+    jacobi: bool = False
     # S2T-fork CTC inference extras (reference: dataclass/configs.py:811-885)
     infer_ctc_weight: float = 0.0
     ctc_infer: bool = False

@@ -179,6 +179,17 @@ class SpeechToTextTask(Task):
                 ngram_lm=ngram_lm, lm_weight=g.lm_weight,
                 dictionary=self.tgt_dict,
             )
+        if getattr(g, "jacobi", False):
+            from s2t_tpu.inference.jacobi import JacobiGenerator
+
+            return JacobiGenerator(
+                model,
+                max_len_a=g.max_len_a,
+                max_len_b=g.max_len_b,
+                max_target_positions=self.cfg.dataset.max_target_positions,
+                eos_id=self.tgt_dict.eos(),
+                pad_id=self.tgt_dict.pad(),
+            )
         return SequenceGenerator(
             model,
             beam_size=g.beam,

@@ -102,3 +102,25 @@ class TestJacobiExactness:
             g = g[: g.index(2) + 1] if 2 in g else g
             j = j[: j.index(2) + 1] if 2 in j else j
             assert g == j, f"b={b}: {g} vs {j}"
+
+
+class TestJacobiCLI:
+    def test_generate_cli_flag(self, tmp_path):
+        """generation.jacobi=true routes the generate CLI through
+        JacobiGenerator and still decodes the overfit corpus exactly."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from test_binaries import make_tiny_corpus, tiny_train_cfg
+
+        from s2t_tpu.cli.generate import main as generate_main
+        from s2t_tpu.cli.train import main as train_main
+
+        data = make_tiny_corpus(tmp_path / "data")
+        cfg = tiny_train_cfg(data, tmp_path / "ckpt")
+        out = train_main(cfg)
+        cfg.generation.jacobi = True
+        cfg.generation.results_path = str(tmp_path / "gen")
+        gen = generate_main(cfg, out["state"].params, task=out["task"])
+        matches = sum(1 for r in gen["results"].values() if r["hyp"] == r["ref"])
+        assert matches >= 9, matches
