@@ -198,11 +198,20 @@ def constrained_beam_search(
             NEG_INF,
         )
         # dedup against the free candidates that will actually survive as
-        # alive beams (its top Kf) — blanking all 2*Kf would starve a
-        # progress candidate that the free bank lists but never keeps
-        sel_flat = sel_flat.at[
-            jnp.arange(B)[:, None], free_idx[:, :Kf]
-        ].set(NEG_INF)
+        # alive beams — the first Kf NON-EOS entries of the free list (EOS
+        # candidates go to the finished set, not the beam; alive selection
+        # below masks them).  Blanking all 2*Kf would starve progress
+        # candidates the free bank lists but never keeps; blanking only the
+        # top Kf positions would let an EOS-displaced survivor be selected
+        # twice, duplicating alive beams
+        free_is_eos = (free_idx % V) == eos_id
+        nf_rank = jnp.cumsum((~free_is_eos).astype(jnp.int32), axis=1)
+        kept_free = ~free_is_eos & (nf_rank <= Kf)  # (B, 2Kf)
+        b_sel = jnp.arange(B)[:, None]
+        cur = jnp.take_along_axis(sel_flat, free_idx, axis=1)
+        sel_flat = sel_flat.at[b_sel, free_idx].set(
+            jnp.where(kept_free, NEG_INF, cur)
+        )
         prog_sel_scores, prog_idx = jax.lax.top_k(sel_flat, 2 * Kp)
         prog_true = jnp.take_along_axis(flat, prog_idx, axis=1)
         prog_true = jnp.where(prog_sel_scores > NEG_INF / 2, prog_true, NEG_INF)

@@ -151,6 +151,8 @@ class JacobiGenerator:
         max_len_a: float = 0.0,
         max_target_positions: int = 1024,
         max_iters: Optional[int] = None,
+        min_len: int = 1,
+        lenpen: float = 1.0,
         eos_id: int = 2,
         pad_id: int = 1,
         blank_id: int = 0,
@@ -161,6 +163,8 @@ class JacobiGenerator:
         self.max_len_a = max_len_a
         self.max_target_positions = max_target_positions
         self.max_iters = max_iters
+        self.min_len = min_len
+        self.lenpen = lenpen
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.blank_id = blank_id
@@ -196,8 +200,12 @@ class JacobiGenerator:
             y, scores, iters = jacobi_greedy_decode(
                 decode_fn, y0, max_iters=self.max_iters,
                 pad_id=self.pad_id, eos_id=self.eos_id, bos_id=self.eos_id,
-                blank_id=self.blank_id,
+                blank_id=self.blank_id, min_len=self.min_len,
             )
+            # length-penalty-normalised scores, matching SequenceGenerator
+            # (hypothesis length includes the EOS)
+            hyp_len = jnp.sum((y != self.pad_id).astype(jnp.float32), axis=1)
+            scores = scores / jnp.power(jnp.maximum(hyp_len, 1.0), self.lenpen)
             return y[:, None, :], scores[:, None], iters
 
         return jax.jit(run)
@@ -205,8 +213,15 @@ class JacobiGenerator:
     def generate(self, params, batch: Dict[str, Any]):
         feats = batch[self.input_keys[0]]
         lengths = batch[self.input_keys[1]]
+        # same horizon as SequenceGenerator: max_len_a scales the SUBSAMPLED
+        # encoder length, not the raw frame count
+        enc_T = feats.shape[1]
+        for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
+            enc_T = (enc_T - 1) // getattr(
+                self.model.cfg, "subsampling_stride", 2
+            ) + 1
         max_len = int(min(
-            self.max_len_a * feats.shape[1] + self.max_len_b,
+            self.max_len_a * enc_T + self.max_len_b,
             self.max_target_positions - 1,
         ))
         key = (feats.shape, max_len)

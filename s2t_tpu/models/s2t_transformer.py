@@ -134,14 +134,16 @@ class S2TTransformerConfig:
     # CTC-probability sequence compression at designated inter-CTC layers
     # (reference: s2t_transformer.py:1948-2040 — frames the inter-CTC head
     # calls blank with prob >= threshold are removed).  Each listed layer
-    # must also be an inter_ctc_layer (the logit source), as in the
-    # reference.  TPU-native form: surviving frames are left-packed by one
-    # stable static-shape permutation and the valid length shrinks (the
-    # reference's "create" per-sentence gather loop); the reference's "mask"
-    # mode differs only in keeping original absolute positions, which only
-    # matters with compression_pos — both names are accepted
+    # must also be an inter_ctc_layer (the logit source; validated at
+    # setup), as in the reference.  TPU-native form: surviving frames are
+    # left-packed by one stable static-shape permutation and the valid
+    # length shrinks — the reference's "create" mode.  Its "mask" mode
+    # (frames masked in place) is deliberately not offered: interior
+    # masking breaks the contiguous-length contract every downstream CTC
+    # lattice relies on (the reference itself computes CTC input_lengths as
+    # mask sums over non-contiguous masks there, silently scoring the
+    # wrong frames)
     compression_layers: Tuple[int, ...] = ()
-    compression_mode: str = "create"  # create | mask (alias, see above)
     compression_threshold: float = 0.95
     compression_norm: bool = False
     compression_pos: bool = False
@@ -275,6 +277,17 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
                 cfg.pae_ctc_temperature, dtype=dt, name="xpae",
             )
+        if cfg.compression_layers:
+            missing = [
+                l for l in cfg.compression_layers
+                if not cfg.use_ctc or l not in cfg.inter_ctc_layers
+            ]
+            if missing:
+                raise ValueError(
+                    f"compression_layers {missing} need use_ctc=True and a "
+                    "matching entry in inter_ctc_layers (the CTC logit "
+                    "source, as in the reference)"
+                )
         if cfg.compression_layers and cfg.compression_norm:
             self.compression_norms = {
                 str(l): nn.LayerNorm(dtype=dt, name=f"compression_norm{l}")

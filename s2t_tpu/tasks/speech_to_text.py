@@ -180,16 +180,29 @@ class SpeechToTextTask(Task):
                 dictionary=self.tgt_dict,
             )
         if getattr(g, "jacobi", False):
-            from s2t_tpu.inference.jacobi import JacobiGenerator
+            if g.no_repeat_ngram_size > 0:
+                # ngram blocking is not expressible in the parallel
+                # iteration; fall back to the sequential engine so output
+                # still matches the configured semantics
+                import logging
 
-            return JacobiGenerator(
-                model,
-                max_len_a=g.max_len_a,
-                max_len_b=g.max_len_b,
-                max_target_positions=self.cfg.dataset.max_target_positions,
-                eos_id=self.tgt_dict.eos(),
-                pad_id=self.tgt_dict.pad(),
-            )
+                logging.getLogger("s2t_tpu").warning(
+                    "generation.jacobi ignored: no_repeat_ngram_size > 0 "
+                    "requires the sequential beam engine"
+                )
+            else:
+                from s2t_tpu.inference.jacobi import JacobiGenerator
+
+                return JacobiGenerator(
+                    model,
+                    max_len_a=g.max_len_a,
+                    max_len_b=g.max_len_b,
+                    max_target_positions=self.cfg.dataset.max_target_positions,
+                    min_len=g.min_len,
+                    lenpen=g.lenpen,
+                    eos_id=self.tgt_dict.eos(),
+                    pad_id=self.tgt_dict.pad(),
+                )
         return SequenceGenerator(
             model,
             beam_size=g.beam,

@@ -104,6 +104,35 @@ class TestJacobiExactness:
             assert g == j, f"b={b}: {g} vs {j}"
 
 
+class TestJacobiNonDefaultConfigs:
+    def test_min_len_and_maxlen_a_parity(self):
+        """Non-default min_len and a frame-scaled horizon must still match
+        beam-1 exactly (review findings: max_len was computed from raw
+        frames; min_len was dropped)."""
+        model, params, feats, lens = build(seed=4)
+        greedy = SequenceGenerator(
+            model, beam_size=1, max_len_a=0.5, max_len_b=4, min_len=3,
+            max_target_positions=32,
+        )
+        gt, gs, _ = greedy.generate(
+            params, {"features": feats, "feat_lengths": lens}
+        )
+        jac = JacobiGenerator(model, max_len_a=0.5, max_len_b=4, min_len=3,
+                              max_target_positions=32)
+        jt, js, _ = jac.generate(params, {"features": feats, "feat_lengths": lens})
+        gt, jt = np.asarray(gt), np.asarray(jt)
+        for b in range(B):
+            g = [int(x) for x in gt[b, 0]]
+            j = [int(x) for x in jt[b, 0]]
+            g = g[: g.index(2) + 1] if 2 in g else g
+            j = j[: j.index(2) + 1] if 2 in j else j
+            assert g == j, f"b={b}: {g} vs {j}"
+        # scores are length-penalty-normalised like the beam engine
+        np.testing.assert_allclose(
+            np.asarray(js)[:, 0], np.asarray(gs)[:, 0], atol=1e-3
+        )
+
+
 class TestJacobiCLI:
     def test_generate_cli_flag(self, tmp_path):
         """generation.jacobi=true routes the generate CLI through

@@ -304,3 +304,16 @@ class TestCTCCompression:
 
         g = jax.grad(loss)(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+class TestCompressionValidation:
+    def test_compression_requires_inter_ctc_layer(self):
+        """compression_layers without a matching inter_ctc_layer (the logit
+        source) must fail loudly, not silently no-op (review finding)."""
+        cfg = tiny_cfg(compression_layers=(1,))  # no inter_ctc_layers
+        model = S2TTransformerModel(cfg)
+        with pytest.raises(ValueError, match="compression_layers"):
+            model.init(
+                jax.random.PRNGKey(0), jnp.zeros((B, T, D_FEAT)),
+                jnp.asarray([T, T]), jnp.zeros((B, 3), jnp.int32),
+            )
