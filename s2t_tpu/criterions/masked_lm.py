@@ -44,3 +44,43 @@ class MaskedLMCriterion:
             "n_correct": correct, "total": sample_size,
         }
         return loss, sample_size, logs
+
+
+@register_criterion("legacy_masked_lm")
+class LegacyMaskedLMCriterion:
+    """BERT pretraining loss: masked-LM CE + next-sentence-prediction CE
+    (reference: fairseq/criterions/legacy_masked_lm.py — lm + sentence
+    losses summed, nsp weighted by ``nsp_loss_weight``)."""
+
+    @dataclass
+    class Config:
+        pad_id: int = 1
+        nsp_loss_weight: float = 1.0
+
+    def __init__(self, cfg: "LegacyMaskedLMCriterion.Config"):
+        self.cfg = cfg
+        self.mlm = MaskedLMCriterion(MaskedLMCriterion.Config(pad_id=cfg.pad_id))
+
+    def __call__(self, model_out, batch):
+        loss, sample_size, logs = self.mlm(model_out, batch)
+        cls_logits = model_out.get("cls_logits")
+        if cls_logits is not None and "nsp_label" in batch:
+            lp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+            labels = batch["nsp_label"]
+            nsp_nll = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0]
+            # batch-padded rows carry no tokens: mask by any-valid
+            valid_row = jnp.any(
+                model_out["mlm_targets"] != self.cfg.pad_id, axis=1
+            )
+            nsp_loss = jnp.sum(jnp.where(valid_row, nsp_nll, 0.0))
+            pred = jnp.argmax(cls_logits, axis=-1)
+            nsp_correct = jnp.sum(
+                jnp.where(valid_row, (pred == labels).astype(jnp.float32), 0.0)
+            )
+            loss = loss + self.cfg.nsp_loss_weight * nsp_loss
+            logs = {
+                **logs, "loss": loss, "nsp_loss": nsp_loss,
+                "nsp_correct": nsp_correct,
+                "nsp_total": jnp.sum(valid_row.astype(jnp.float32)),
+            }
+        return loss, sample_size, logs

@@ -34,6 +34,10 @@ class RobertaConfig:
     vocab_size: int = 50265
     pad_id: int = 1
     num_classes: int = 0  # >0 adds a sentence classification head
+    # >0 adds BERT-style segment (token-type) embeddings (reference:
+    # fairseq/modules/transformer_sentence_encoder.py num_segments — the
+    # legacy_masked_lm sentence-pair path)
+    num_segments: int = 0
     dtype_str: str = "float32"
     # LM-task plumbing parity
     max_target_positions: int = 512
@@ -64,6 +68,12 @@ class RobertaModel(nn.Module):
             cfg.max_positions + 2, cfg.encoder_embed_dim, dtype=dt,
             embedding_init=nn.initializers.normal(0.02), name="embed_positions",
         )
+        if cfg.num_segments > 0:
+            self.embed_segments = nn.Embed(
+                cfg.num_segments, cfg.encoder_embed_dim, dtype=dt,
+                embedding_init=nn.initializers.normal(0.02),
+                name="embed_segments",
+            )
         self.emb_norm = nn.LayerNorm(dtype=dt, name="emb_norm")
         self.layers = [
             S2TEncoderLayer(
@@ -87,11 +97,13 @@ class RobertaModel(nn.Module):
             self.cls_out = nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")
         self.drop = nn.Dropout(cfg.dropout)
 
-    def encode(self, tokens, deterministic: bool = True):
+    def encode(self, tokens, deterministic: bool = True, segments=None):
         cfg = self.cfg
         valid = tokens != cfg.pad_id
         positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) * valid + cfg.pad_id
         x = self.embed_tokens(tokens) + self.embed_positions(positions)
+        if cfg.num_segments > 0 and segments is not None:
+            x = x + self.embed_segments(segments)
         x = self.emb_norm(x)
         x = self.drop(x, deterministic=deterministic)
         bias = padding_bias(valid, x.dtype)
@@ -100,9 +112,9 @@ class RobertaModel(nn.Module):
         return x, valid
 
     def __call__(self, tokens, deterministic: bool = True,
-                 classification: bool = False) -> Dict[str, Any]:
+                 classification: bool = False, segments=None) -> Dict[str, Any]:
         cfg = self.cfg
-        x, valid = self.encode(tokens, deterministic)
+        x, valid = self.encode(tokens, deterministic, segments=segments)
         out: Dict[str, Any] = {"encoder_out": x}
         # masked-LM logits: dense→gelu→norm→tied projection + bias
         h = nn.gelu(self.lm_dense(x))
@@ -119,6 +131,13 @@ class RobertaModel(nn.Module):
 @register_model_architecture("roberta", "roberta_base")
 def roberta_base(**kw) -> RobertaConfig:
     return RobertaConfig().replace(**kw)
+
+
+@register_model_architecture("roberta", "bert_base")
+def bert_base(**kw) -> RobertaConfig:
+    """BERT-style sentence-pair encoder: segment embeddings + NSP head
+    (reference: tasks/legacy_masked_lm.py + models/masked_lm.py)."""
+    return RobertaConfig(num_segments=2, num_classes=2).replace(**kw)
 
 
 @register_model_architecture("roberta", "roberta_large")
