@@ -214,8 +214,13 @@ class S2TTransformerEncoder(nn.Module):
         layer_cls = S2TEncoderLayer
         if cfg.checkpoint_activations:
             # rematerialise activations in the backward pass; deterministic
-            # (arg index 4) stays static for flax Dropout control flow
-            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(4,))
+            # must stay static for flax Dropout control flow.  nn.remat
+            # counts the module itself as argument 0, so in
+            # __call__(self, x, valid_mask, attn_bias, pos_emb,
+            # deterministic) the deterministic flag is index 5 (index 4
+            # would mark the traced pos_emb static — TracerBoolConversion /
+            # unhashable-static crashes whenever dropout > 0)
+            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(5,))
         def lconv_kernel(i):
             if cfg.encoder_lconv_kernels:
                 return cfg.encoder_lconv_kernels[
@@ -277,6 +282,23 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.encoder_embed_dim, cfg.vocab_size, cfg.xctc_pae,
                 cfg.pae_ctc_temperature, dtype=dt, name="xpae",
             )
+        if cfg.seq_parallel:
+            # the ring-attention path consumes only the validity mask; an
+            # additive window bias or attention-prob dropout would be
+            # silently dropped, training a different architecture than
+            # configured — reject loudly instead
+            if cfg.encoder_attention_window > 0:
+                raise ValueError(
+                    "seq_parallel is incompatible with "
+                    "encoder_attention_window (ring attention has no "
+                    "windowed-bias path)"
+                )
+            if cfg.attention_dropout > 0:
+                raise ValueError(
+                    "seq_parallel requires attention_dropout=0 (ring "
+                    "attention applies no attention-probability dropout; "
+                    "set attention_dropout: 0 explicitly)"
+                )
         if cfg.compression_layers:
             missing = [
                 l for l in cfg.compression_layers

@@ -49,35 +49,52 @@ def pipeline_apply(
     assert M % S == 0, f"microbatches ({M}) must be a multiple of stages ({S})"
 
     def local(params, mb):
-        # params: leading axis 1 (this stage's slice); mb: (M/S, B, ...) local
+        # params: leading axis 1 (this stage's slice); mb: (M/S, B, ...) local.
+        # Memory contract: inputs and outputs stay SHARDED over the stage
+        # axis; only the single in-flight microbatch is materialised per
+        # device (buf + the per-tick routed microbatch), so activation
+        # memory is O(B_mb), not O(M*B_mb) — the point of microbatch
+        # pipelining.  Routing one microbatch per tick through a psum moves
+        # the same total bytes an upfront all_gather would, spread across
+        # the loop where XLA overlaps it with stage compute.
         params = jax.tree.map(lambda p: p[0], params)
         stage = jax.lax.axis_index(axis)
+        Mloc = mb.shape[0]  # == M // S
         n_tick = M + S - 1
 
-        mb_all = jax.lax.all_gather(mb, axis, tiled=True)  # (M, B, ...)
-        buf = jnp.zeros_like(mb_all[0])  # the value currently at this stage
-        out = jnp.zeros_like(mb_all)
+        buf = jnp.zeros_like(mb[0])  # the value currently at this stage
+        out_local = jnp.zeros_like(mb)  # this stage's output slice
         fwd = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(t, carry):
-            buf, out = carry
-            # stage 0 ingests microbatch t (if any left)
+            buf, out_local = carry
+            # the owner of microbatch t broadcasts it; stage 0 ingests
             take = jnp.clip(t, 0, M - 1)
-            buf = jnp.where(stage == 0, mb_all[take] * (t < M), buf)
+            owner = take // Mloc
+            x_t = jax.lax.psum(
+                jnp.where(stage == owner, mb[take % Mloc],
+                          jnp.zeros_like(buf)),
+                axis,
+            )
+            buf = jnp.where((stage == 0) & (t < M), x_t, buf)
             # every stage applies its layer block
             buf = layer_fn(params, buf)
-            # last stage emits microbatch t-(S-1)
-            emit_idx = jnp.clip(t - (S - 1), 0, M - 1)
-            emit = (stage == S - 1) & (t >= S - 1)
-            out = out.at[emit_idx].set(jnp.where(emit, buf, out[emit_idx]))
+            # last stage emits microbatch t-(S-1); its slice owner stores it
+            emit_t = jnp.clip(t - (S - 1), 0, M - 1)
+            emitted = jax.lax.psum(
+                jnp.where((stage == S - 1) & (t >= S - 1), buf,
+                          jnp.zeros_like(buf)),
+                axis,
+            )
+            updated = out_local.at[emit_t % Mloc].set(emitted)
+            own_out = ((emit_t // Mloc) == stage) & (t >= S - 1)
+            out_local = jnp.where(own_out, updated, out_local)
             # rotate forward
             buf = jax.lax.ppermute(buf, axis, fwd)
-            return buf, out
+            return buf, out_local
 
-        _, out = jax.lax.fori_loop(0, n_tick, tick, (buf, out))
-        # collect outputs from the last stage to everyone (replicated result)
-        out = jax.lax.psum(out * (stage == S - 1), axis)
-        return out
+        _, out_local = jax.lax.fori_loop(0, n_tick, tick, (buf, out_local))
+        return out_local
 
     in_specs = (
         jax.tree.map(lambda _: P(axis), stacked_params),
@@ -86,6 +103,6 @@ def pipeline_apply(
     fn = shard_map(
         local, mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(),
+        out_specs=P(axis),
     )
     return fn(stacked_params, microbatches)

@@ -20,12 +20,25 @@ from s2t_tpu.tasks.base import Task
 
 @register_task("audio_pretraining")
 class AudioPretrainingTask(Task):
+    # reference default: crop training utterances to 250k raw samples
+    # (~15.6 s at 16 kHz; fairseq/tasks/audio_pretraining.py max_sample_size)
+    DEFAULT_MAX_SAMPLE_SIZE = 250_000
+
     def load_dataset(self, split: str, is_train: bool = False):
         root = Path(self.cfg.dataset.data)
         model_cfg = self.cfg.model if isinstance(self.cfg.model, dict) else {}
+        # NOTE: dataset.max_source_positions is deliberately NOT used here —
+        # its framework-wide semantics are 10 ms fbank FRAMES, and its 6000
+        # default would silently crop every waveform to 0.375 s of raw
+        # audio.  Raw-sample cropping has its own task_cfg knob.
+        max_samples = int(
+            self.cfg.task_cfg.get(
+                "max_sample_size", self.DEFAULT_MAX_SAMPLE_SIZE
+            )
+        )
         ds = RawAudioDataset(
             root / f"{split}.tsv",
-            max_sample_size=self.cfg.dataset.max_source_positions or None,
+            max_sample_size=max_samples,
             normalize=bool(model_cfg.get("normalize", False)),
         )
         self.datasets[split] = ds

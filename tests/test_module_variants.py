@@ -84,6 +84,27 @@ class TestRemat:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestRematWithDropout:
+    def test_checkpoint_activations_trains_with_dropout(self):
+        """remat must work in the regime it exists for: training with
+        dropout > 0 (regression: static_argnums previously marked the
+        traced pos_emb static instead of the deterministic flag)."""
+        model, _, feats, lens, prev = build()
+        m = S2TTransformerModel(model.cfg.replace(
+            checkpoint_activations=True, dropout=0.1, attention_dropout=0.1,
+            encoder_attention_type="rel_pos",
+        ))
+        p = m.init(jax.random.PRNGKey(0), feats, lens, prev)["params"]
+
+        def loss(p):
+            o = m.apply({"params": p}, feats, lens, prev, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean(o["decoder_logits"].astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
 class TestLayerDrop:
     def test_layerdrop_trains_and_evals_clean(self):
         model, p, feats, lens, prev = build(encoder_layerdrop=0.5)
