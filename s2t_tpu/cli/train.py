@@ -248,6 +248,7 @@ def main(cfg) -> Dict[str, Any]:
     best_val = None
     history = []
     profiling = False
+    profile_done = False
     plateau = None
     if cfg.optimization.lr_scheduler in ("reduce_on_plateau", "reduce_lr_on_plateau"):
         from s2t_tpu.optim.builders import ReduceOnPlateau
@@ -267,19 +268,22 @@ def main(cfg) -> Dict[str, Any]:
                 # jax profiler window (reference: --profile wrapping,
                 # fairseq_cli/train.py:491-494 — nvtx/cuda profiler there)
                 step_now = int(state.step)
-                if step_now == cfg.common.profile_start and not profiling:
+                # >= not ==: a resumed run whose step is already past
+                # profile_start must still get its trace window
+                if (step_now >= cfg.common.profile_start and not profiling
+                        and not profile_done):
                     logdir = Path(
                         cfg.common.tensorboard_logdir or cfg.checkpoint.save_dir
                     ) / "profile"
                     logdir.mkdir(parents=True, exist_ok=True)
                     jax.profiler.start_trace(str(logdir))
                     profiling = True
+                    profile_stop_at = step_now + cfg.common.profile_steps
                     logger.info("profiler trace started -> %s", logdir)
-                elif profiling and step_now >= (
-                    cfg.common.profile_start + cfg.common.profile_steps
-                ):
+                elif profiling and step_now >= profile_stop_at:
                     jax.profiler.stop_trace()
                     profiling = False
+                    profile_done = True
                     logger.info("profiler trace stopped")
             state, metrics = trainer.train_step(state, to_device_batch(batch))
             interval_n += 1

@@ -24,9 +24,12 @@ from typing import Iterable, List
 import numpy as np
 
 _MAGIC = b"MMIDIDX\x00\x00"
+# must match the reference's _code_to_dtype byte-for-byte
+# (fairseq/data/indexed_dataset.py:106-117): 6 is float32, 7 is float64
 _DTYPES = {
     1: np.uint8, 2: np.int8, 3: np.int16, 4: np.int32,
-    5: np.int64, 6: np.float64, 7: np.float32, 8: np.uint16,
+    5: np.int64, 6: np.float32, 7: np.float64, 8: np.uint16,
+    9: np.uint32, 10: np.uint64,
 }
 _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 

@@ -256,7 +256,21 @@ def constrained_beam_search(
         alive_cand = jnp.where(is_eos, NEG_INF, cand_sel_scores)
         _, f_sel = jax.lax.top_k(alive_cand[:, : 2 * Kf], Kf)
         _, p_sel = jax.lax.top_k(alive_cand[:, 2 * Kf :], Kp)
-        alive_sel = jnp.concatenate([f_sel, p_sel + 2 * Kf], axis=1)[:, :K]
+        if K == 1:
+            # single beam: the free-then-progress concat would truncate to
+            # the free pick and constraints would never be enforced; DBA
+            # degenerates to constrained greedy — the progress candidate
+            # takes the one slot whenever it exists
+            p_val = jnp.take_along_axis(
+                alive_cand[:, 2 * Kf :], p_sel[:, :1], axis=1
+            )
+            alive_sel = jnp.where(
+                p_val > NEG_INF / 2, p_sel[:, :1] + 2 * Kf, f_sel[:, :1]
+            )
+        else:
+            alive_sel = jnp.concatenate(
+                [f_sel, p_sel + 2 * Kf], axis=1
+            )[:, :K]
         new_alive_scores = jnp.take_along_axis(
             jnp.where(is_eos, NEG_INF, cand_scores), alive_sel, axis=1
         )

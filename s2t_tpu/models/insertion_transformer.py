@@ -46,7 +46,8 @@ class InsertionConfig(TransformerMTConfig):
     eos_id: int = 2
 
 
-def make_slot_targets(tgt, keep, pad_id, vocab_size, tau=1.0):
+def make_slot_targets(tgt, keep, pad_id, vocab_size, tau=1.0,
+                      bos_id=0, eos_id=2):
     """Soft insertion targets from a kept-subsequence canvas.
 
     tgt (B, T) target ids (eos-terminated, pad-padded); keep (B, T) bool —
@@ -71,8 +72,8 @@ def make_slot_targets(tgt, keep, pad_id, vocab_size, tau=1.0):
         axis=1,
     )  # bos placeholder ids fixed below
     # write eos right after the kept tokens
-    canvas = canvas.at[jnp.arange(B), n_keep + 1].set(2)
-    canvas = canvas.at[:, 0].set(0)
+    canvas = canvas.at[jnp.arange(B), n_keep + 1].set(eos_id)
+    canvas = canvas.at[:, 0].set(bos_id)
 
     # slot of a dropped token = #kept before it (slot j: canvas[j] -> canvas[j+1])
     kept_before = jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep.astype(jnp.int32)

@@ -184,14 +184,23 @@ class LSTMModel(nn.Module):
             for _ in range(cfg.decoder_layers)
         ]
         feed = jnp.zeros((B, Hd), cfg.dtype)
-        outs = []
-        for t in range(U):  # python loop: U is static and short for MT
-            out, states, feed = self._dec_step(
-                emb[:, t], states, feed, enc["encoder_out"], enc_valid,
+
+        # nn.scan over the target axis: one compiled step regardless of U
+        # (a python loop would unroll U copies of attention+cells into the
+        # graph — minutes of compile time at MT lengths)
+        def body(module, carry, tok_emb):
+            states, feed = carry
+            out, new_states, new_feed = module._dec_step(
+                tok_emb, states, feed, enc["encoder_out"], enc_valid,
                 deterministic,
             )
-            outs.append(out)
-        outs = jnp.stack(outs, axis=1)
+            return (new_states, new_feed), out
+
+        scan = nn.scan(
+            body, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True}, in_axes=1, out_axes=1,
+        )
+        _, outs = scan(self, (states, feed), emb)
         return {"decoder_logits": self._logits(outs), **enc}
 
     # -- incremental decode protocol ----------------------------------------- #

@@ -210,21 +210,33 @@ class EmformerModel(nn.Module):
 
         # (N, B, S+R, D) segments with lookahead overlap
         def seg_slice(i):
-            return jax.lax.dynamic_slice_in_dim(xp, i * S, S + R, axis=1), \
-                jax.lax.dynamic_slice_in_dim(valid, i * S, S + R, axis=1)
+            return (
+                jax.lax.dynamic_slice_in_dim(xp, i * S, S + R, axis=1),
+                jax.lax.dynamic_slice_in_dim(valid, i * S, S + R, axis=1),
+            )
+
+        segs, seg_valids = jax.vmap(seg_slice)(jnp.arange(n_seg))
 
         states = self.init_stream_state(B)
 
-        # sequential over segments (bounded latency structure); each step is
-        # a dense batched attention — scan would need lifted modules, and
-        # n_seg is small (T/S), so a python loop keeps the graph simple
-        outs = []
-        for i in range(n_seg):
-            seg, seg_valid = seg_slice(i)
-            y, states = self._process_segment(seg, seg_valid, states,
-                                              deterministic)
-            outs.append(y[:, :S])
-        x = jnp.concatenate(outs, axis=1)[:, :T]
+        # nn.scan over segments: ONE compiled segment step regardless of
+        # audio length (a python loop unrolled n_seg x layers attention
+        # blocks into the graph — compile time scaled linearly with T)
+        def body(module, states, seg_and_valid):
+            seg, seg_valid = seg_and_valid
+            y, new_states = module._process_segment(
+                seg, seg_valid, states, deterministic
+            )
+            return new_states, y[:, :S]
+
+        scan = nn.scan(
+            body, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0,
+        )
+        _, outs = scan(self, states, (segs, seg_valids))
+        # (N, B, S, D) -> (B, N*S, D)
+        x = jnp.moveaxis(outs, 0, 1).reshape(B, n_seg * S, D)[:, :T]
         x = self.final_norm(x)
         ctc_logits = self.ctc_head(x, deterministic) if cfg.use_ctc else None
         return {

@@ -115,12 +115,6 @@ class TransformerLM(nn.Module):
         dummy_enc = jnp.zeros((B, 1, self.cfg.decoder_embed_dim), self.cfg.dtype)
         dummy_mask = jnp.zeros((B, 1), bool)
         if self.cfg.adaptive_softmax_cutoff:
-            # step path: features then full log-probs over the small head+tails
-            logits, new_cache = self.decoder.step(
-                tokens, cache, index, dummy_enc, dummy_mask
-            )
-            # decoder.step already projected via the tied embedding; recompute
-            # from features instead
             raise NotImplementedError(
                 "adaptive-softmax LMs are for training/eval_lm; use a softmax "
                 "LM for shallow fusion"

@@ -117,6 +117,10 @@ def manual(cfg: OptimizationConfig) -> Callable:
         (int(k), float(v))
         for k, v in (getattr(cfg, "lr_milestones", None) or {0: cfg.lr}).items()
     )
+    if stones[0][0] > 0:
+        # before the first boundary the BASE lr applies (reference:
+        # manual_lr_scheduler falls back to args.lr), not the first milestone
+        stones = [(0, float(cfg.lr))] + stones
     bounds = jnp.asarray([b for b, _ in stones], jnp.float32)
     rates = jnp.asarray([r for _, r in stones], jnp.float32)
 

@@ -82,7 +82,8 @@ class TranslationLevTask(TranslationTask):
             core = jnp.where(tgt == eos, pad, tgt)  # eos is canvas framing
             if params is None:
                 keep = jnp.zeros_like(core, bool)
-                canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau)
+                canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau,
+                    bos_id=bos, eos_id=eos)
                 return model.init(
                     {"params": rngs["params"], "dropout": rngs["params"]},
                     batch["src_tokens"], batch["src_lengths"],
@@ -95,7 +96,8 @@ class TranslationLevTask(TranslationTask):
             k1, k2 = jax.random.split(krng)
             rate = jax.random.uniform(k1, (core.shape[0], 1))
             keep = jax.random.uniform(k2, core.shape) < rate
-            canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau)
+            canvas, soft, valid = make_slot_targets(core, keep, pad, vocab, tau,
+                    bos_id=bos, eos_id=eos)
             return model.apply(
                 {"params": params}, batch["src_tokens"], batch["src_lengths"],
                 canvas, soft, valid, deterministic=deterministic, rngs=rngs,

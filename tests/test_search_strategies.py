@@ -272,6 +272,29 @@ class TestInteractiveConstraints:
         assert "constraints" not in batch
 
 
+class TestConstrainedBeamOne:
+    def test_beam_one_enforces_constraints(self):
+        """K=1 degenerates to constrained greedy: the single beam must
+        still contain the constraint token (review finding: the free pick
+        previously displaced the progress candidate entirely)."""
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        cons = pack_constraints([[[5]], [[7]]])
+        gen = SequenceGenerator(model, beam_size=1, max_len_b=16,
+                                max_target_positions=32,
+                                constraints_mode="unordered")
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        assert 5 in toks[0, 0], toks[0, 0]
+        assert 7 in toks[1, 0], toks[1, 0]
+        assert np.isfinite(np.asarray(scores)[:, 0]).all()
+
+
 class TestConstrainedEdgeCases:
     def test_unsatisfiable_constraints_finalize_at_horizon(self):
         """A constraint set longer than the budget still yields an
