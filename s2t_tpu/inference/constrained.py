@@ -206,7 +206,11 @@ def constrained_beam_search(
         # twice, duplicating alive beams
         free_is_eos = (free_idx % V) == eos_id
         nf_rank = jnp.cumsum((~free_is_eos).astype(jnp.int32), axis=1)
-        kept_free = ~free_is_eos & (nf_rank <= Kf)  # (B, 2Kf)
+        # blank (a) the free bank's alive survivors (first Kf non-EOS) and
+        # (b) every EOS the free bank lists — EOS candidates go straight to
+        # the finished set, so a progress-bank copy would duplicate the
+        # finished hypothesis and displace a distinct n-best entry
+        kept_free = free_is_eos | (nf_rank <= Kf)  # (B, 2Kf)
         b_sel = jnp.arange(B)[:, None]
         cur = jnp.take_along_axis(sel_flat, free_idx, axis=1)
         sel_flat = sel_flat.at[b_sel, free_idx].set(

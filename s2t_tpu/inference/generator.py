@@ -86,6 +86,13 @@ class SequenceGenerator:
         # --prefix-size target forcing (reference: sequence_generator.py:616)
         self.prefix_size = prefix_size
         # DiverseBeamSearch groups (reference: search.py:552)
+        if diverse_beam_groups > 1 and beam_size % diverse_beam_groups != 0:
+            # fail here with a clear message instead of an opaque reshape
+            # error inside the compiled scan (fairseq raises the same way)
+            raise ValueError(
+                f"beam_size ({beam_size}) must be divisible by "
+                f"diverse_beam_groups ({diverse_beam_groups})"
+            )
         self.diverse_beam_groups = diverse_beam_groups
         self.diverse_beam_strength = diverse_beam_strength
         # DiverseSiblingsSearch rank penalty (reference: search.py:746,
@@ -117,7 +124,7 @@ class SequenceGenerator:
         n_extra = len(self.extra_models)
 
         def run(params, features, feat_lengths, extra_params, prefix_tokens,
-                constraints):
+                constraints, lm_params):
             enc = self.model.apply(
                 {"params": params}, features, feat_lengths, method=self.model.encode
             )
@@ -147,7 +154,7 @@ class SequenceGenerator:
             use_lm = self.lm_model is not None and self.lm_weight != 0.0
             if use_lm:
                 lm_cache = self.lm_model.apply(
-                    {"params": self.lm_params}, B * K, max_len,
+                    {"params": lm_params}, B * K, max_len,
                     method=self.lm_model.init_cache,
                 )
                 cache = {"dec": cache, "lm": lm_cache}
@@ -214,7 +221,7 @@ class SequenceGenerator:
                     )
                 if use_lm:
                     lm_logits, new_lm = self.lm_model.apply(
-                        {"params": self.lm_params}, tokens, cache["lm"], index,
+                        {"params": lm_params}, tokens, cache["lm"], index,
                         method=self.lm_model.decode_step,
                     )
                     lm_lprobs = jax.nn.log_softmax(lm_logits.astype(jnp.float32), -1)
@@ -263,6 +270,9 @@ class SequenceGenerator:
                         jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1),
                         enc["encoder_lengths"],
                         beam_size=K,
+                        # the lattice blank is index 0 regardless of whether
+                        # the generator bans it as an output token
+                        blank_id=self.blank_id if self.blank_id >= 0 else 0,
                         eos_id=self.eos_id,
                     )
 
@@ -329,5 +339,5 @@ class SequenceGenerator:
             )
         return self._jitted[key](
             params, features, batch[self.input_keys[1]],
-            tuple(extra_params or ()), prefix, cons,
+            tuple(extra_params or ()), prefix, cons, self.lm_params,
         )

@@ -206,7 +206,7 @@ class JacobiGenerator:
             # (hypothesis length includes the EOS)
             hyp_len = jnp.sum((y != self.pad_id).astype(jnp.float32), axis=1)
             scores = scores / jnp.power(jnp.maximum(hyp_len, 1.0), self.lenpen)
-            return y[:, None, :], scores[:, None], iters
+            return y[:, None, :], scores[:, None], iters, enc
 
         return jax.jit(run)
 
@@ -227,6 +227,8 @@ class JacobiGenerator:
         key = (feats.shape, max_len)
         if key not in self._jitted:
             self._jitted[key] = self._build(max_len)
-        tokens, scores, iters = self._jitted[key](params, feats, lengths)
+        tokens, scores, iters, enc = self._jitted[key](params, feats, lengths)
         self.last_iters = int(iters)
-        return tokens, scores, {}
+        # third element follows the SequenceGenerator contract (the generate
+        # CLI reads ctc_logits from it for --ctc-infer dumps)
+        return tokens, scores, enc

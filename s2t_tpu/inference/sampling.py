@@ -63,7 +63,11 @@ def sampling_decode(
             i == 0, jnp.full((N,), bos_id, jnp.int32), tokens[:, jnp.maximum(i - 1, 0)]
         )
         logprobs, cache = decode_step(prev[:, None], cache, i)
-        logprobs = logprobs / temperature
+        if temperature != 1.0:
+            # decode_step returns NORMALISED log-probs; dividing alone would
+            # leave unnormalised masses (wrong top-p cutoffs, scores that are
+            # not log-probabilities) — renormalise after sharpening
+            logprobs = jax.nn.log_softmax(logprobs / temperature, axis=-1)
         logprobs = logprobs.at[:, pad_id].set(NEG)
         if blank_id is not None and blank_id >= 0:
             # reference fork bans index 0 in every decode

@@ -199,7 +199,11 @@ def imputer_loss(
     nll = -jnp.logaddexp(a_label, a_blank)
     if zero_infinity:
         bad = (nll > -NEG_INF / 2) | ~jnp.isfinite(nll)
+        bad = bad | (input_lengths < label_lengths)
         nll = jnp.where(bad, 0.0, nll)
+    # mesh-padded dummy rows (zero frames) contribute nothing — without
+    # this the unconditional frame-0 alpha init yields phantom loss
+    nll = jnp.where(input_lengths > 0, nll, 0.0)
     if reduction == "sum":
         return jnp.sum(nll)
     if reduction == "mean":

@@ -242,7 +242,10 @@ class Trainer:
             metrics = {
                 "loss": loss,
                 "gnorm": gnorm,
-                "lr": self.schedule(state.step + 1),
+                # the update just applied used schedule(count) with count ==
+                # the pre-increment step (optax scale_by_schedule reads before
+                # incrementing)
+                "lr": self.schedule(state.step),
                 "sample_size": sample_size,
                 **{k: v for k, v in logs.items()},
             }

@@ -295,6 +295,28 @@ class TestConstrainedBeamOne:
         assert np.isfinite(np.asarray(scores)[:, 0]).all()
 
 
+class TestConstrainedNBestDistinct:
+    def test_no_duplicate_finished_hypotheses(self):
+        """An EOS candidate must enter the finished set once, not through
+        both banks (review finding: duplicated n-best entries)."""
+        from s2t_tpu.inference.constrained import pack_constraints
+
+        model, params, feats, lens = build()
+        cons = pack_constraints([[[5]], [[7]]])
+        gen = SequenceGenerator(model, beam_size=4, max_len_b=10,
+                                max_target_positions=32,
+                                constraints_mode="unordered")
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": feats, "feat_lengths": lens,
+             "constraints": jnp.asarray(cons)},
+        )
+        toks = np.asarray(tokens)
+        for b in range(B):
+            hyps = {tuple(toks[b, k]) for k in range(4)}
+            assert len(hyps) == 4, f"duplicate hypotheses at b={b}: {toks[b]}"
+
+
 class TestConstrainedEdgeCases:
     def test_unsatisfiable_constraints_finalize_at_horizon(self):
         """A constraint set longer than the budget still yields an
