@@ -114,10 +114,13 @@ class CTCCriterion:
         transcript = batch.get("transcript")
         transcript_lengths = batch.get("transcript_lengths")
         if transcript is None:  # ASR: CTC over the target tokens
-            transcript = batch["target_no_eos"] if "target_no_eos" in batch else batch["target"]
-            transcript_lengths = batch.get(
-                "target_lengths",
-                jnp.sum((transcript != cfg.pad_id).astype(jnp.int32), axis=1),
+            # strip the terminal EOS like the xctc branch — CTC labels never
+            # include </s> (reference blank/eos convention); lengths are
+            # recomputed AFTER the rewrite
+            tgt = batch["target"]
+            transcript = jnp.where(tgt == cfg.eos_id, cfg.pad_id, tgt)
+            transcript_lengths = jnp.sum(
+                (transcript != cfg.pad_id).astype(jnp.int32), axis=1
             )
 
         if cfg.ctc_weight > 0 and model_out.get("ctc_logits") is not None:
@@ -163,7 +166,9 @@ class CTCCriterion:
             tgt_lengths = jnp.sum((tgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
             il = jnp.asarray(0.0, jnp.float32)
             for _, logits in inter_x:
-                il = il + self._one_ctc(logits, enc_lengths, tgt_ctc, tgt_lengths)
+                il = il + self._one_ctc(
+                    logits, enc_lengths, tgt_ctc, tgt_lengths, mixup
+                )
             il = il / len(inter_x)
             logs["inter_xctc_loss"] = il
             total = total + cfg.inter_xctc_weight * il
@@ -192,7 +197,9 @@ class CTCCriterion:
             if cfg.inter_axctc_weight > 0 and len(inter_ax) > 0:
                 il = jnp.asarray(0.0, jnp.float32)
                 for _, logits in inter_ax:
-                    il = il + self._one_ctc(logits, enc_lengths, atgt_ctc, alen)
+                    il = il + self._one_ctc(
+                        logits, enc_lengths, atgt_ctc, alen, mixup
+                    )
                 il = il / len(inter_ax)
                 logs["inter_axctc_loss"] = il
                 total = total + cfg.inter_axctc_weight * il
@@ -263,7 +270,8 @@ class CTCCriterion:
     def __call__(self, model_out, batch):
         loss, logs = self.compute_ctc_loss(model_out, batch)
         ntokens = jnp.asarray(batch.get("ntokens", 1), jnp.float32)
-        nsent = jnp.asarray(batch["target"].shape[0], jnp.float32)
+        ref = batch.get("target", batch.get("transcript"))
+        nsent = jnp.asarray(ref.shape[0], jnp.float32)
         sample_size = nsent if self.cfg.sentence_avg else ntokens
         logs.update({"loss": loss, "ntokens": ntokens, "nsentences": nsent})
         return loss, sample_size, logs

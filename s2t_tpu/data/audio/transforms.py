@@ -112,8 +112,13 @@ class SpecAugment:
         )
 
     def __call__(
-        self, feats: jnp.ndarray, lengths: jnp.ndarray, rng: jax.Array
+        self, feats: jnp.ndarray, lengths: jnp.ndarray, rng=None
     ) -> jnp.ndarray:
+        if rng is None:
+            # train-only augmentation (reference: transforms composed with
+            # train-only filtering); a '*' all-splits transforms key reaches
+            # here at eval with no rng — no-op instead of crashing
+            return feats
         B, T, D = feats.shape
         valid = lengths_to_mask(lengths, T)[..., None]
         n = jnp.maximum(lengths[:, None, None].astype(feats.dtype), 1.0)

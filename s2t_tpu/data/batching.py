@@ -116,3 +116,27 @@ def filter_by_size(
     if token_lengths is not None:
         keep &= token_lengths <= max_tokens
     return np.nonzero(keep)[0]
+
+
+def collate_targets(samples_targets, B, max_U, pad_id=1, eos_id=2):
+    """Pad target id sequences to (B, max_U) with EOS-shifted prev_tokens.
+
+    Over-long sequences are truncated EOS-preservingly (the terminal EOS
+    survives).  One implementation for every collater — the duplicated
+    copies had already drifted (backtranslation lost the EOS-preserving
+    truncation).  Returns (target, prev_tokens, tgt_lengths).
+    """
+    import numpy as np
+
+    target = np.full((B, max_U), pad_id, dtype=np.int32)
+    prev = np.full((B, max_U), pad_id, dtype=np.int32)
+    tgt_lengths = np.zeros((B,), dtype=np.int32)
+    for i, t_full in enumerate(samples_targets):
+        t = np.asarray(t_full)[:max_U]
+        if len(t_full) > max_U:
+            t = np.concatenate([t[: max_U - 1], [eos_id]])
+        target[i, : len(t)] = t
+        prev[i, 0] = eos_id
+        prev[i, 1 : len(t)] = t[:-1]
+        tgt_lengths[i] = len(t)
+    return target, prev, tgt_lengths

@@ -20,7 +20,9 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 import yaml
 
-from s2t_tpu.data.batching import bucketize, make_buckets, round_up
+from s2t_tpu.data.batching import (
+    bucketize, collate_targets, make_buckets, round_up,
+)
 from s2t_tpu.data.dictionary import Dictionary
 from s2t_tpu.data.tokenizer import build_tokenizer
 
@@ -178,6 +180,12 @@ class SpeechToTextDataset:
                 # multilingual: <lang:xx> tag leads the target (reference:
                 # speech_to_text_dataset.py LANG_TAG_TEMPLATE + :373-378)
                 tag = self.tgt_dict.index(f"<lang:{self.tgt_langs[index]}>")
+                if tag == self.tgt_dict.unk():
+                    raise ValueError(
+                        "dictionary is missing the language tag "
+                        f"<lang:{self.tgt_langs[index]}> required by "
+                        "prepend_tgt_lang_tag"
+                    )
                 tgt = np.concatenate([[tag], tgt]).astype(tgt.dtype)
             item["target"] = tgt
         if self.src_texts[index] is not None:
@@ -242,18 +250,9 @@ class SpeechToTextDataset:
             max_U = max(len(s["target"]) for s in samples)
             if token_buckets is not None:
                 max_U = int(bucketize(np.asarray([max_U]), token_buckets)[0])
-            target = np.full((B, max_U), pad_id, dtype=np.int32)
-            prev = np.full((B, max_U), pad_id, dtype=np.int32)
-            tgt_lengths = np.zeros((B,), dtype=np.int32)
-            for i, s in enumerate(samples):
-                t = s["target"][:max_U]
-                # keep EOS terminal even under truncation
-                if len(s["target"]) > max_U:
-                    t = np.concatenate([t[: max_U - 1], [eos_id]])
-                target[i, : len(t)] = t
-                prev[i, 0] = eos_id
-                prev[i, 1 : len(t)] = t[:-1]
-                tgt_lengths[i] = len(t)
+            target, prev, tgt_lengths = collate_targets(
+                [s["target"] for s in samples], B, max_U, pad_id, eos_id
+            )
             batch.update(
                 target=target,
                 prev_tokens=prev,

@@ -50,13 +50,18 @@ class BufferedIterator:
             finally:
                 self._queue.put(self._sentinel)
 
+        # lazy start: the thread spins up on first __next__, so an iterator
+        # built and abandoned (init-peek / rewind in cli/train.py) never
+        # collates buffer_size batches for nothing — for backtranslation
+        # datasets each collate is a full jitted beam decode
         self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if not self._thread.is_alive() and not self._thread.ident:
+            self._thread.start()
         item = self._queue.get()
         if item is self._sentinel:
             if self._exc is not None:

@@ -62,6 +62,13 @@ class RawAudioDataset:
             sizes.append(int(n))
         self.sizes = np.asarray(sizes, np.int64)
         self.max_sample_size = max_sample_size
+        # n_frames here are RAW SAMPLE counts, not 10ms frames — declare the
+        # cap so Task.get_batch_iterator filters/buckets on the right scale
+        # (the config's max_source_positions default of 6000 frames would
+        # otherwise silently drop every clip longer than 0.375 s)
+        self.frame_cap = int(max_sample_size) if max_sample_size else int(
+            self.sizes.max() if len(self.sizes) else 1
+        )
         self.normalize = normalize
 
     # protocol used by Task.get_batch_iterator
@@ -109,7 +116,10 @@ class RawAudioDataset:
             T = int(bucketize(np.asarray([T]), frame_buckets)[0])
         src = np.zeros((B + pad_b, T), np.float32)
         for i, s in enumerate(samples):
-            src[i, : lengths[i]] = s["source"][:T]
+            # truncate before assignment: a sample longer than the bucketed
+            # T would otherwise raise a broadcast error mid-epoch
+            L = min(int(lengths[i]), T)
+            src[i, :L] = s["source"][:L]
         lengths = np.concatenate([np.minimum(lengths, T),
                                   np.zeros(pad_b, np.int32)])
         return {

@@ -131,17 +131,11 @@ class TranslationDataset:
             max_U = max(len(s["target"]) for s in samples)
             if token_buckets is not None:
                 max_U = int(bucketize(np.asarray([max_U]), token_buckets)[0])
-            target = np.full((B, max_U), pad_id, dtype=np.int32)
-            prev = np.full((B, max_U), pad_id, dtype=np.int32)
-            tgt_lengths = np.zeros((B,), dtype=np.int32)
-            for i, s in enumerate(samples):
-                t = s["target"][:max_U]
-                if len(s["target"]) > max_U:
-                    t = np.concatenate([t[: max_U - 1], [eos_id]])
-                target[i, : len(t)] = t
-                prev[i, 0] = eos_id
-                prev[i, 1 : len(t)] = t[:-1]
-                tgt_lengths[i] = len(t)
+            from s2t_tpu.data.batching import collate_targets
+
+            target, prev, tgt_lengths = collate_targets(
+                [s["target"] for s in samples], B, max_U, pad_id, eos_id
+            )
             batch.update(
                 target=target, prev_tokens=prev, target_lengths=tgt_lengths,
                 ntokens=float(tgt_lengths.sum()),

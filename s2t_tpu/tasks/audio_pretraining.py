@@ -27,10 +27,10 @@ class AudioPretrainingTask(Task):
     def load_dataset(self, split: str, is_train: bool = False):
         root = Path(self.cfg.dataset.data)
         model_cfg = self.cfg.model if isinstance(self.cfg.model, dict) else {}
-        # NOTE: dataset.max_source_positions is deliberately NOT used here —
-        # its framework-wide semantics are 10 ms fbank FRAMES, and its 6000
-        # default would silently crop every waveform to 0.375 s of raw
-        # audio.  Raw-sample cropping has its own task_cfg knob.
+        # dataset.max_source_positions keeps its framework-wide 10ms-frame
+        # semantics; raw-sample cropping/filtering uses task_cfg
+        # max_sample_size, which RawAudioDataset also exposes as frame_cap
+        # so the batch iterator filters and buckets on the raw-sample scale.
         max_samples = int(
             self.cfg.task_cfg.get(
                 "max_sample_size", self.DEFAULT_MAX_SAMPLE_SIZE

@@ -76,17 +76,21 @@ class Task:
 
             batch_size_multiple = jax.device_count()
         multiple = _math.lcm(ds_cfg.required_batch_size_multiple, batch_size_multiple)
-        frame_buckets = make_buckets(
-            ds_cfg.max_source_positions, ds_cfg.num_buckets
-        )
+        # datasets whose n_frames are NOT 10ms-frame counts (raw-audio
+        # sample counts) declare their own cap; everything else uses the
+        # config's frame semantics
+        frame_cap = getattr(dataset, "frame_cap", None) or ds_cfg.max_source_positions
+        frame_buckets = make_buckets(frame_cap, ds_cfg.num_buckets)
         token_buckets = make_buckets(
             ds_cfg.max_target_positions, max(ds_cfg.num_buckets // 2, 4), min_val=8
         )
 
         keep = filter_by_size(
             dataset.n_frames,
-            None,
-            max_frames=ds_cfg.max_source_positions,
+            # target-length filtering when the dataset can provide lengths
+            # cheaply (pre-encoded targets); None skips the token filter
+            getattr(dataset, "n_tokens", None),
+            max_frames=frame_cap,
             max_tokens=ds_cfg.max_target_positions,
         )
 

@@ -39,6 +39,13 @@ class MultilingualTranslationTask(TranslationTask):
             if not src.exists():
                 continue
             tag = self.tgt_dict.index(f"<lang:{tl}>")
+            if tag == self.tgt_dict.unk():
+                # Dictionary.index silently maps OOV to <unk>; conditioning
+                # every target on <unk> would train garbage with no error
+                raise ValueError(
+                    f"dictionary is missing the language tag <lang:{tl}> "
+                    "(add it to dict.txt for multilingual training)"
+                )
             parts.append(TranslationDataset(
                 src, tgt if tgt.exists() else None, self.src_dict,
                 self.tgt_dict, self.src_bpe, self.bpe, tgt_lang_tag=tag,
