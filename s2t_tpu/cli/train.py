@@ -78,10 +78,10 @@ def _make_ctc_decode_fn(task, trainer):
     return fn
 
 
-def _accumulate_ctc_wer(task, ctc_fn, state, dev, batch, counts) -> None:
+def _accumulate_ctc_wer(task, ctc_fn, params, dev, batch, counts) -> None:
     from s2t_tpu.utils.scoring import edit_distance
 
-    out = ctc_fn(state.params, dev)
+    out = ctc_fn(params, dev)
     if out is None:
         return
     toks = np.asarray(out[0])
@@ -117,6 +117,12 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
     wer_counts = {"w_err": 0, "w_len": 0, "c_err": 0, "c_len": 0}
     if cfg.eval.eval_ctc_wer:
         ctc_wer_fn = _make_ctc_decode_fn(task, trainer)
+    # BMUF mode evaluates the replica-averaged model; otherwise a no-op view
+    eval_params = (
+        trainer.eval_params(state)
+        if (ctc_wer_fn is not None or scorer is not None)
+        else None
+    )
     for batch in itr:
         dev = to_device_batch(batch)
         logs = trainer.valid_step(state, dev)
@@ -125,9 +131,9 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
         tot["nll_loss"] = tot.get("nll_loss", 0.0) + float(logs.get("nll_loss", logs["loss"]))
         n += ss
         if ctc_wer_fn is not None:
-            _accumulate_ctc_wer(task, ctc_wer_fn, state, dev, batch, wer_counts)
+            _accumulate_ctc_wer(task, ctc_wer_fn, eval_params, dev, batch, wer_counts)
         if scorer is not None:
-            tokens, scores, _ = generator.generate(state.params, dev)
+            tokens, scores, _ = generator.generate(eval_params, dev)
             hyp_toks = np.asarray(tokens)[:, 0]
             B_real = batch["nsentences"]
             for b in range(B_real):
@@ -160,8 +166,13 @@ def main(cfg) -> Dict[str, Any]:
     trainer = Trainer(
         model, criterion, cfg.optimization, mesh,
         forward_fn=task.forward_fn(), seed=cfg.common.seed,
-        dist_cfg=cfg.distributed,
+        dist_cfg=cfg.distributed, bmuf_cfg=cfg.bmuf,
     )
+    if cfg.bmuf.active:
+        logger.info(
+            "BMUF/%s mode: %d local replicas, sync every %d updates",
+            cfg.bmuf.variant, int(mesh.shape["data"]), cfg.bmuf.sync_interval,
+        )
     logger.info(
         "mesh: %s | model params: (lazy init) | arch: %s", dict(mesh.shape), cfg.arch
     )

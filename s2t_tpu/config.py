@@ -186,6 +186,36 @@ class DistributedConfig:
 
 
 @dataclass
+class BMUFConfig:
+    """Block-momentum model averaging (BMUF) / SlowMo periodic sync.
+
+    (reference: fairseq/optim/bmuf.py:24-200 — --block-lr, --block-momentum,
+    --global-sync-iter, --warmup-iterations, --use-nbm, --average-sync; and
+    the fairscale SlowMo backend, models/distributed_fairseq_model.py:77-107.)
+
+    ``active: true`` switches the Trainer to per-replica local optimization:
+    each shard of the "data" mesh axis trains its own copy of the model
+    (vmapped per-replica steps, no per-step gradient averaging) and every
+    ``sync_interval`` updates the global model absorbs the averaged block
+    delta with block momentum.  On multi-slice topologies the sync collective
+    is the only cross-replica traffic, which is the point of BMUF — it rides
+    DCN instead of per-step ICI all-reduces.
+    """
+
+    active: bool = False
+    block_momentum: float = 0.875
+    block_lr: float = 1.0
+    sync_interval: int = 50
+    # during warmup the replicas are plain-averaged every step (reference:
+    # bmuf.py _warmup_sync), giving DP-equivalent early training
+    warmup_iterations: int = 0
+    use_nbm: bool = True  # Nesterov block momentum lookahead restart
+    average_sync: bool = False  # also average optimizer state at syncs
+    variant: str = "bmuf"  # "bmuf" | "slowmo" (slow-momentum outer update)
+    slowmo_lr: float = 1.0
+
+
+@dataclass
 class DatasetConfig:
     data: str = ""
     train_subset: str = "train"
@@ -330,6 +360,7 @@ class TrainConfig:
     criterion: str = "label_smoothed_cross_entropy_with_ctc"
     common: CommonConfig = field(default_factory=CommonConfig)
     distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    bmuf: BMUFConfig = field(default_factory=BMUFConfig)
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)

@@ -1,32 +1,31 @@
 """BMUF — Block-Momentum Update Filtering (periodic model averaging).
 
 (reference: fairseq/optim/bmuf.py:200 — replicas train independently for
-``sync_period`` steps, then the global model absorbs the averaged block
-delta with block momentum and optional Nesterov correction.)
+``sync_interval`` steps, then the global model absorbs the averaged block
+delta with block momentum and optional Nesterov correction.  The fairscale
+SlowMo backend, models/distributed_fairseq_model.py:77-107, is the same
+periodic-sync shape with a slow-momentum outer update — ``variant:
+"slowmo"`` here.)
 
-TPU mapping: inside one GSPMD program data-parallel gradients are already
-averaged every step, so BMUF's home here is the *DCN boundary* — slices (or
-jax processes) train locally and sync periodically.  The update rule is a
-pure function over (global_params, averaged_local_params, momentum_buffer),
-so it composes with any transport: `jax.experimental.multihost_utils` for
-multi-slice, or plain pmean for in-program experiments.
+TPU mapping: the Trainer's BMUF mode (trainer.py) vmaps the per-replica
+train step over the leading replica axis (sharded on "data"), so replicas
+genuinely diverge between syncs; these pure functions implement the sync
+itself.  The update rule is a pure function over (global_params,
+averaged_local_params, momentum_buffer), so it composes with any transport:
+an in-program axis-0 mean for single-slice, or
+``jax.experimental.multihost_utils`` across DCN for multi-slice.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from s2t_tpu.config import BMUFConfig
 
-@dataclass
-class BMUFConfig:
-    block_momentum: float = 0.875
-    block_lr: float = 1.0
-    sync_period: int = 50
-    use_nbm: bool = True  # Nesterov block momentum (reference default)
+__all__ = ["BMUFConfig", "bmuf_init", "bmuf_sync", "bmuf_restart_point"]
 
 
 def bmuf_init(params: Any) -> Tuple[Any, Any]:
@@ -42,20 +41,26 @@ def bmuf_sync(
 ) -> Tuple[Any, Any]:
     """One block update (reference: bmuf.py _BM_before_sync/_allreduce/after).
 
-    grad_block = global - avg_local  (the averaged block descent direction)
-    m_{t+1}    = bm · m_t + lr_block · (1 - bm) ... fairseq uses
-                 m = bm·m + block_lr·grad_block;  global -= m
-    with NBM the replicas restart from global - bm·m (lookahead).
+    bmuf:   m' = bm·m + block_lr·(1-bm)·(avg - global);  global' = global + m'
+    slowmo: m' = bm·m + (avg - global);                  global' = global + slowmo_lr·m'
+            (fairscale SlowMo outer update with the base-LR factor folded
+            into slowmo_lr)
 
     Returns (new_global_params, new_momentum).  Local replicas restart from
     new_global (or the NBM lookahead point).
     """
     bm, blr = cfg.block_momentum, cfg.block_lr
+    slowmo = getattr(cfg, "variant", "bmuf") == "slowmo"
+    slr = getattr(cfg, "slowmo_lr", 1.0)
 
     def upd(g, a, m):
-        grad_block = g - a
-        m2 = bm * m + blr * (1.0 - bm) * (-grad_block)
-        g2 = g + m2
+        drift = a - g  # the averaged block descent direction
+        if slowmo:
+            m2 = bm * m + drift
+            g2 = g + slr * m2
+        else:
+            m2 = bm * m + blr * (1.0 - bm) * drift
+            g2 = g + m2
         return g2, m2
 
     flat_g, treedef = jax.tree.flatten(global_params)

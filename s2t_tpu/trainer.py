@@ -38,6 +38,21 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+class BMUFTrainState(struct.PyTreeNode):
+    """Per-replica state for BMUF/SlowMo local optimization (reference:
+    fairseq/optim/bmuf.py — every worker keeps its own model + optimizer).
+
+    ``params``/``opt_state`` carry a leading replica axis R sharded over the
+    "data" mesh axis; ``global_params``/``momentum`` are the replicated block
+    model and its momentum buffer."""
+
+    step: jnp.ndarray  # scalar global update count (replicas move in lockstep)
+    params: Any  # (R, ...)
+    opt_state: Any  # (R, ...)
+    global_params: Any
+    momentum: Any
+
+
 def s2t_forward(model, params, batch, deterministic, rngs=None):
     """Default forward adapter for speech-to-text batches.
 
@@ -63,6 +78,7 @@ class Trainer:
         forward_fn: Callable = s2t_forward,
         seed: int = 1,
         dist_cfg: DistributedConfig = None,
+        bmuf_cfg=None,
     ):
         self.model = model
         self.criterion = criterion
@@ -73,6 +89,14 @@ class Trainer:
         set_mesh(self.mesh)  # sequence-parallel attention reads this
         self.tp = int(self.mesh.shape.get("model", 1)) > 1
         self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
+        self.bmuf = bmuf_cfg if (bmuf_cfg is not None and bmuf_cfg.active) else None
+        if self.bmuf is not None:
+            if self.tp or self.fsdp:
+                raise ValueError(
+                    "bmuf.active requires pure data parallelism (replicas "
+                    "own full model copies); disable model_parallel/fsdp"
+                )
+            self.n_replicas = int(self.mesh.shape["data"])
         self.forward_fn = forward_fn
         self.schedule = build_lr_schedule(opt_cfg)
         from s2t_tpu.optim.builders import skip_nonfinite
@@ -115,9 +139,43 @@ class Trainer:
             shapes, self.mesh, tp=self.tp, fsdp=self.fsdp
         )
         params = jax.jit(init_fn, out_shardings=self.param_specs)()
+        if self.bmuf is not None:
+            return self._init_bmuf_state(params)
         # optimizer state inherits the param shardings through propagation
         opt_state = jax.jit(self.tx.init)(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    def _init_bmuf_state(self, params) -> "BMUFTrainState":
+        R = self.n_replicas
+        rep_axis0 = NamedSharding(self.mesh, P("data"))
+
+        def replicate(p):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (R,) + x.shape), p
+            )
+
+        params_r = jax.jit(
+            replicate, out_shardings=jax.tree.map(lambda _: rep_axis0, params)
+        )(params)
+        opt_state = jax.jit(jax.vmap(self.tx.init, spmd_axis_name="data"))(params_r)
+        from s2t_tpu.optim.bmuf import bmuf_init
+
+        global_params, momentum = jax.jit(bmuf_init)(params)
+        return BMUFTrainState(
+            step=jnp.zeros((), jnp.int32), params=params_r, opt_state=opt_state,
+            global_params=global_params, momentum=momentum,
+        )
+
+    def eval_params(self, state):
+        """Parameters to evaluate/decode with: the replica average in BMUF
+        mode (the reference validates the synced global model), the params
+        themselves otherwise."""
+        if not isinstance(state, BMUFTrainState):
+            return state.params
+        return jax.jit(
+            lambda p: jax.tree.map(lambda x: jnp.mean(x, axis=0), p),
+            out_shardings=replicated(self.mesh),
+        )(state.params)
 
     def set_lr_scale(self, state: TrainState, value: float) -> TrainState:
         """Inject a runtime LR multiplier (reduce_on_plateau driver)."""
@@ -128,11 +186,15 @@ class Trainer:
     def state_dict(self, state: TrainState) -> Dict[str, Any]:
         from flax import serialization
 
-        return {
+        out = {
             "step": state.step,
             "params": serialization.to_state_dict(state.params),
             "opt_state": serialization.to_state_dict(state.opt_state),
         }
+        if isinstance(state, BMUFTrainState):
+            out["bmuf_global"] = serialization.to_state_dict(state.global_params)
+            out["bmuf_momentum"] = serialization.to_state_dict(state.momentum)
+        return out
 
     def load_state_dict(self, tree: Dict[str, Any], state: TrainState) -> TrainState:
         """Restore from a checkpoint pytree, keeping opt_state structure."""
@@ -143,6 +205,24 @@ class Trainer:
         opt_state = serialization.from_state_dict(
             jax.tree.map(np.asarray, state.opt_state), tree["opt_state"]
         )
+        if isinstance(state, BMUFTrainState):
+            return BMUFTrainState(
+                step=jnp.asarray(tree["step"], jnp.int32),
+                params=jax.tree.map(jnp.asarray, params),
+                opt_state=jax.tree.map(jnp.asarray, opt_state),
+                global_params=jax.tree.map(
+                    jnp.asarray,
+                    serialization.from_state_dict(
+                        state.global_params, tree["bmuf_global"]
+                    ),
+                ),
+                momentum=jax.tree.map(
+                    jnp.asarray,
+                    serialization.from_state_dict(
+                        state.momentum, tree["bmuf_momentum"]
+                    ),
+                ),
+            )
         return TrainState(
             step=jnp.asarray(tree["step"], jnp.int32),
             params=jax.tree.map(jnp.asarray, params),
@@ -253,6 +333,140 @@ class Trainer:
 
         return step_fn
 
+    # --------------------------------------------------------------------- #
+    # BMUF / SlowMo: per-replica local optimization + periodic block sync
+    # (reference: fairseq/optim/bmuf.py:24-200; selected there by
+    # --ddp-backend slow_mo / BMUF optimizer wrap, here by bmuf.active)
+    # --------------------------------------------------------------------- #
+    def _split_replicas(self, batch: Dict[str, Any], accum: int) -> Dict[str, Any]:
+        """Reshape a global batch to a leading (R, ...) replica axis.
+
+        Scalar count leaves (e.g. ntokens) are divided by R so per-replica
+        logs sum back to the global totals."""
+        R = self.n_replicas
+
+        def leaf(x):
+            x = jnp.asarray(x)
+            if x.ndim == 0:
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    x = x / R
+                return jnp.broadcast_to(x, (R,))
+            if accum > 1:
+                # (accum, B, ...) -> (R, accum, B/R, ...): each replica runs
+                # its own accumulation scan over its batch shard
+                if x.shape[1] % R:
+                    raise ValueError(
+                        f"batch dim {x.shape[1]} not divisible by {R} replicas"
+                    )
+                return x.reshape(
+                    x.shape[0], R, x.shape[1] // R, *x.shape[2:]
+                ).swapaxes(0, 1)
+            if x.shape[0] % R:
+                raise ValueError(
+                    f"batch dim {x.shape[0]} not divisible by {R} replicas"
+                )
+            return x.reshape(R, x.shape[0] // R, *x.shape[1:])
+
+        return jax.tree.map(leaf, batch)
+
+    def _make_bmuf_step(self, accum: int):
+        from s2t_tpu.optim.bmuf import bmuf_restart_point, bmuf_sync
+
+        cfg = self.bmuf
+        R = self.n_replicas
+        inner = self._make_train_step(accum)
+
+        def mean_r(tree):
+            return jax.tree.map(lambda x: jnp.mean(x, axis=0), tree)
+
+        def bcast_r(tree):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (R,) + x.shape), tree
+            )
+
+        def step_fn(state: BMUFTrainState, batch, base_rng):
+            sub = TrainState(
+                step=jnp.broadcast_to(state.step, (R,)),
+                params=state.params,
+                opt_state=state.opt_state,
+            )
+            # distinct local rng streams per replica (each replica sees
+            # different data, so dropout must decorrelate too)
+            rngs = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                base_rng, jnp.arange(R)
+            )
+            new_sub, m = jax.vmap(inner, spmd_axis_name="data")(sub, batch, rngs)
+
+            step_after = state.step + 1
+            in_warmup = step_after <= cfg.warmup_iterations
+            at_boundary = (cfg.sync_interval > 0) & (
+                step_after % cfg.sync_interval == 0
+            )
+
+            def warm(args):
+                params_r, opt_r, g, mom = args
+                avg = mean_r(params_r)
+                # plain model averaging every warmup step (bmuf.py
+                # _warmup_sync); the global model tracks the average and
+                # momentum stays zeroed
+                opt_out = opt_r
+                if cfg.average_sync:
+                    opt_out = jax.tree.map(
+                        lambda x: jnp.broadcast_to(
+                            jnp.mean(x, axis=0, keepdims=True), x.shape
+                        )
+                        if jnp.issubdtype(x.dtype, jnp.floating)
+                        else x,
+                        opt_r,
+                    )
+                return bcast_r(avg), opt_out, avg, jax.tree.map(jnp.zeros_like, mom)
+
+            def block(args):
+                params_r, opt_r, g, mom = args
+                avg = mean_r(params_r)
+                g2, mom2 = bmuf_sync(cfg, g, avg, mom)
+                restart = bmuf_restart_point(cfg, g2, mom2)
+                opt_out = opt_r
+                if cfg.average_sync:
+                    opt_out = jax.tree.map(
+                        lambda x: jnp.broadcast_to(
+                            jnp.mean(x, axis=0, keepdims=True), x.shape
+                        )
+                        if jnp.issubdtype(x.dtype, jnp.floating)
+                        else x,
+                        opt_r,
+                    )
+                return bcast_r(restart), opt_out, g2, mom2
+
+            def nothing(args):
+                return args
+
+            args = (new_sub.params, new_sub.opt_state, state.global_params, state.momentum)
+            params_r, opt_r, g, mom = jax.lax.cond(
+                in_warmup, warm,
+                lambda a: jax.lax.cond(at_boundary, block, nothing, a),
+                args,
+            )
+            new_state = BMUFTrainState(
+                step=step_after, params=params_r, opt_state=opt_r,
+                global_params=g, momentum=mom,
+            )
+            ss = m["sample_size"]
+            tot_ss = jnp.maximum(jnp.sum(ss), 1.0)
+            metrics = {}
+            for k, v in m.items():
+                if k == "loss":
+                    metrics[k] = jnp.sum(v * ss) / tot_ss
+                elif k == "gnorm":
+                    metrics[k] = jnp.mean(v)
+                elif k == "lr":
+                    metrics[k] = v[0]
+                else:
+                    metrics[k] = jnp.sum(v, axis=0)
+            return new_state, metrics
+
+        return step_fn
+
     @staticmethod
     def _batch_key(batch: Dict[str, Any]) -> Any:
         return tuple(sorted((k, jnp.ndim(v)) for k, v in batch.items()))
@@ -261,6 +475,8 @@ class Trainer:
         self, state: TrainState, batch: Dict[str, Any]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         accum = self.opt_cfg.update_freq
+        if self.bmuf is not None:
+            return self._bmuf_train_step(state, batch, accum)
         key = (accum, self._batch_key(batch))
         step = self._train_steps.get(key)
         if step is None:
@@ -290,6 +506,23 @@ class Trainer:
             )
         return step(state, batch, self.base_rng)
 
+    def _bmuf_train_step(
+        self, state: "BMUFTrainState", batch: Dict[str, Any], accum: int
+    ) -> Tuple["BMUFTrainState", Dict[str, jnp.ndarray]]:
+        batch = self._split_replicas(batch, accum)
+        key = ("bmuf", accum, self._batch_key(batch))
+        step = self._train_steps.get(key)
+        if step is None:
+            rep = replicated(self.mesh)
+            axis0 = NamedSharding(self.mesh, P("data"))
+            step = self._train_steps[key] = jax.jit(
+                self._make_bmuf_step(accum),
+                in_shardings=(None, jax.tree.map(lambda _: axis0, batch), rep),
+                out_shardings=(None, rep),
+                donate_argnums=(0,),
+            )
+        return step(state, batch, self.base_rng)
+
     def train_many(
         self, state: TrainState, batches: list
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -300,6 +533,13 @@ class Trainer:
         5.9 ms/step fused vs ~30 s/step per-call over a network tunnel.
         All batches must share shapes (the bucketed collater guarantees a
         bounded shape set).  Returns (state, stacked metrics (K, ...))."""
+        if self.bmuf is not None:
+            # the fused-K path donates/rebuilds TrainState; run the BMUF
+            # steps individually (sync cadence is per-update anyway)
+            metrics = None
+            for b in batches:
+                state, metrics = self.train_step(state, b)
+            return state, metrics
         accum = self.opt_cfg.update_freq
         K = len(batches)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
@@ -343,6 +583,12 @@ class Trainer:
         return step_fn
 
     def valid_step(self, state: TrainState, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        if isinstance(state, BMUFTrainState):
+            # validate the replica-averaged model (the reference validates
+            # the synced global model between blocks)
+            state = TrainState(
+                step=state.step, params=self.eval_params(state), opt_state=None
+            )
         key = self._batch_key(batch)
         step = self._valid_steps.get(key)
         if step is None:
