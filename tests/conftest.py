@@ -23,6 +23,20 @@ if not os.environ.get("S2T_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite re-jits the same programs every
+# run (and across tests in one run only jax's in-memory cache helps).  With
+# the disk cache, the second `pytest` run skips nearly all compiles.
+import jax as _jax  # noqa: E402
+
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/s2t_xla_cache")
+_jax.config.update("jax_compilation_cache_dir", _cache_dir)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+try:
+    _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # option renamed/absent in some jax versions
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

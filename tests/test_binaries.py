@@ -93,6 +93,32 @@ def tiny_train_cfg(data_dir, save_dir, max_epoch=60):
     )
 
 
+class TestEndToEndFast:
+    """Slim CLI train→resume→generate roundtrip that runs in the default
+    suite, so `cli/train.py` + `cli/generate.py` are exercised on every
+    `pytest` run (the full overfit-quality version below is slow-marked)."""
+
+    def test_cli_roundtrip_mechanics(self, tmp_path):
+        from s2t_tpu.cli.generate import main as generate_main
+        from s2t_tpu.cli.train import main as train_main
+
+        data = make_tiny_corpus(tmp_path / "data", n=6, T=16)
+        save = tmp_path / "ckpt"
+        cfg = tiny_train_cfg(data, save, max_epoch=2)
+        out = train_main(cfg)
+        assert np.isfinite(out["history"][-1]["loss"])
+
+        cfg2 = tiny_train_cfg(data, save, max_epoch=3)
+        out2 = train_main(cfg2)
+        assert int(out2["state"].step) > int(out["state"].step)
+
+        cfg2.generation.results_path = str(tmp_path / "gen")
+        gen = generate_main(cfg2, out2["state"].params, task=out2["task"])
+        assert gen["n_utts"] == 6
+        content = (tmp_path / "gen" / "generate-test.txt").read_text()
+        assert "H-0" in content and "T-0" in content and "D-0" in content
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_train_generate_roundtrip(self, tmp_path):
