@@ -15,3 +15,18 @@ A from-scratch rebuild of the capabilities of the fairseq-based S2T toolkit
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if not _os.environ.get("S2T_USE_SHARDY"):
+    # Work around a Shardy partitioner miscompilation (jax 0.9.0): the
+    # kernel gradient of a strided conv whose output carries a sharding
+    # constraint (e.g. the subsampler output constrained to
+    # P("data","seq") under sequence parallelism) is silently multiplied
+    # by the size of an idle mesh axis on meshes with >= 3 axes.
+    # Repro + regression test: tests/test_partitioner_numerics.py.
+    # The legacy GSPMD propagation computes it correctly; pin it until a
+    # fixed jax/XLA lands (escape hatch: S2T_USE_SHARDY=1).
+    import jax as _jax
+
+    _jax.config.update("jax_use_shardy_partitioner", False)

@@ -157,6 +157,17 @@ def main(cfg) -> Dict[str, Any]:
     from s2t_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(name)s | %(message)s")
+    if cfg.distributed.pipeline_parallel > 1:
+        # pipeline parallelism is a model-structure choice (stacked stage
+        # params): forward the mesh config into the model section so archs
+        # that support it build the pipelined stack, and archs that don't
+        # fail loudly on the unknown field instead of silently running DP
+        # (reference: --pipeline-balance/-devices select the PP model class,
+        # model_parallel/models/pipeline_parallel_transformer/model.py:80)
+        cfg.model = dict(cfg.model or {})
+        cfg.model.setdefault(
+            "pipeline_parallel", cfg.distributed.pipeline_parallel
+        )
     task = setup_task(cfg)
     train_ds = task.load_dataset(cfg.dataset.train_subset, is_train=True)
     valid_ds = task.load_dataset(cfg.dataset.valid_subset)

@@ -91,6 +91,19 @@ class S2TTransformerConfig:
     # attention) over the mesh "seq" axis — long-audio capability beyond the
     # reference (SURVEY §5.7/§7)
     seq_parallel: bool = False
+    # pipeline parallelism over the mesh "pipe" axis (reference:
+    # model_parallel/models/pipeline_parallel_transformer/model.py:80-455 —
+    # fairscale Pipe over --pipeline-devices with --pipeline-chunks
+    # microbatches).  TPU design: the encoder stack is split into S
+    # homogeneous stage blocks whose params are nn.vmap-stacked on a leading
+    # (S, ...) axis sharded over "pipe"; microbatches are injected at slot 0
+    # and rotated through the stages with jnp.roll, which GSPMD lowers to a
+    # collective-permute ring over ICI.  Selected by
+    # distributed.pipeline_parallel (cli/train.py copies it here).
+    pipeline_parallel: int = 1
+    # microbatches per batch (the --pipeline-chunks equivalent); 0 = 2*S.
+    # bubble fraction = (S-1)/(M+S-1)
+    pipeline_microbatches: int = 0
     # decoder
     decoder_embed_dim: int = 256
     decoder_ffn_embed_dim: int = 2048
@@ -174,6 +187,42 @@ class S2TTransformerConfig:
         return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
 
 
+class PipeStageBlock(nn.Module):
+    """One pipeline stage: a contiguous block of encoder layers.
+
+    nn.vmap over S instances of this module (variable_axes params:0) gives
+    the stacked (S, ...) parameter layout that the pipelined forward shards
+    over the mesh "pipe" axis — the TPU equivalent of the reference's
+    per-device layer partitions (model.py:80-455)."""
+
+    cfg: "S2TTransformerConfig"
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, x, valid, bias, pos_emb, deterministic=True):
+        cfg = self.cfg
+        layer_cls = S2TEncoderLayer
+        if cfg.checkpoint_activations:
+            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(5,))
+        for j in range(self.n_layers):
+            x = layer_cls(
+                cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
+                cfg.encoder_attention_heads, cfg.dropout,
+                cfg.attention_dropout, cfg.activation_dropout,
+                cfg.activation_fn, cfg.encoder_normalize_before,
+                cfg.encoder_attention_type, cfg.macaron_style,
+                cfg.use_cnn_module, cfg.cnn_module_kernel, cfg.dtype,
+                False, cfg.encoder_attention_stride,
+                lconv_kernel=(
+                    cfg.encoder_lconv_kernels[0]
+                    if cfg.encoder_lconv_kernels else 15
+                ),
+                max_relative_length=cfg.max_encoder_relative_length,
+                name=f"layer{j}",
+            )(x, valid, bias, pos_emb, deterministic)
+        return x
+
+
 class S2TTransformerEncoder(nn.Module):
     """Speech encoder: conv subsampler → transformer/conformer stack → CTC.
 
@@ -228,20 +277,64 @@ class S2TTransformerEncoder(nn.Module):
                 ]
             return 15
 
-        self.layers = [
-            layer_cls(
-                cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
-                cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
-                cfg.activation_dropout, cfg.activation_fn,
-                cfg.encoder_normalize_before, cfg.encoder_attention_type,
-                cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
-                dt, cfg.seq_parallel, cfg.encoder_attention_stride,
-                lconv_kernel=lconv_kernel(i),
-                max_relative_length=cfg.max_encoder_relative_length,
-                name=f"layer{i}",
-            )
-            for i in range(cfg.encoder_layers)
-        ]
+        if cfg.pipeline_parallel > 1:
+            S = cfg.pipeline_parallel
+            incompatible = [
+                ("use_enc_dlcl", cfg.use_enc_dlcl),
+                ("encoder_layerdrop", cfg.encoder_layerdrop > 0),
+                ("seq_parallel", cfg.seq_parallel),
+                ("compression_layers", bool(cfg.compression_layers)),
+                ("inter_mixup_layer>0",
+                 cfg.inter_mixup and cfg.inter_mixup_layer > 0),
+                # interior CTC heads would need taps inside the pipeline ring
+                ("inter_ctc_layers",
+                 any(l < cfg.encoder_layers for l in cfg.inter_ctc_layers)),
+                ("inter_xctc_layers",
+                 any(l < cfg.encoder_layers for l in cfg.inter_xctc_layers)),
+                ("inter_axctc_layers",
+                 any(l < cfg.encoder_layers for l in cfg.inter_axctc_layers)),
+                # stages must be homogeneous: param shapes identical per layer
+                ("per-layer lconv kernels",
+                 len(set(cfg.encoder_lconv_kernels)) > 1),
+            ]
+            bad = [n for n, v in incompatible if v]
+            if bad:
+                raise ValueError(
+                    f"pipeline_parallel={S} is incompatible with {bad}: "
+                    "pipeline stages are homogeneous layer blocks with no "
+                    "interior taps (reference PP has the same restriction — "
+                    "it only exists for the vanilla transformer)"
+                )
+            if cfg.encoder_layers % S:
+                raise ValueError(
+                    f"encoder_layers ({cfg.encoder_layers}) must divide "
+                    f"evenly into pipeline_parallel={S} stages"
+                )
+            self.layers = []
+            self.pipe_stages = nn.vmap(
+                PipeStageBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                # deterministic rides positionally: nn.vmap silently drops
+                # kwargs (flax RuntimeWarning), which would disable dropout
+                in_axes=(0, 0, 0, None, None),
+                out_axes=0,
+            )(cfg=cfg, n_layers=cfg.encoder_layers // S, name="pipe_stages")
+        else:
+            self.layers = [
+                layer_cls(
+                    cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
+                    cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
+                    cfg.activation_dropout, cfg.activation_fn,
+                    cfg.encoder_normalize_before, cfg.encoder_attention_type,
+                    cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
+                    dt, cfg.seq_parallel, cfg.encoder_attention_stride,
+                    lconv_kernel=lconv_kernel(i),
+                    max_relative_length=cfg.max_encoder_relative_length,
+                    name=f"layer{i}",
+                )
+                for i in range(cfg.encoder_layers)
+            ]
         if cfg.use_enc_dlcl:
             from s2t_tpu.modules.dlcl import DLCL
 
@@ -387,6 +480,56 @@ class S2TTransformerEncoder(nn.Module):
             x = x + pe[None]
         return x, new_lengths
 
+    def _pipe_forward(self, x, valid, bias, pos_emb, deterministic):
+        """GPipe-style pipelined encoder stack (GSPMD formulation).
+
+        The batch splits into M microbatches; a (S, B/M, T, D) state tensor
+        holds the microbatch currently at each stage, sharded over the mesh
+        "pipe" axis.  Each tick applies all S stage blocks in parallel
+        (nn.vmap — partitioned over "pipe" since params and state share the
+        leading stage axis) and rotates the states forward with jnp.roll,
+        which the SPMD partitioner lowers to a collective-permute ring.
+        After M + S - 1 ticks every microbatch has traversed every stage.
+        Plain jnp ops end-to-end: reverse-mode AD and the trainer's donated
+        jit step work unchanged.  (reference: fairscale Pipe microbatching,
+        model.py:80-455; TPU pattern: GSPMD pipelining a la praxis.)"""
+        cfg = self.cfg
+        S = cfg.pipeline_parallel
+        M = cfg.pipeline_microbatches or 2 * S
+        B = x.shape[0]
+        if B % M:
+            raise ValueError(
+                f"batch size {B} must be divisible by pipeline_microbatches "
+                f"({M}); pad the batch or adjust pipeline_microbatches"
+            )
+        from s2t_tpu.parallel.context import constrain
+
+        def split(a):
+            return a.reshape(M, B // M, *a.shape[1:])
+
+        xs, vs, bs = split(x), split(valid), split(bias)
+        # empty slots: zero activations with an all-zero *bias* (not -inf —
+        # a fully-masked softmax row would be NaN); their outputs are never
+        # collected, so the garbage compute is just the pipeline bubble
+        st_x = jnp.zeros((S,) + xs.shape[1:], x.dtype)
+        st_v = jnp.zeros((S,) + vs.shape[1:], vs.dtype)
+        st_b = jnp.zeros((S,) + bs.shape[1:], bias.dtype)
+        outs = []
+        for t in range(M + S - 1):
+            if t < M:
+                st_x = st_x.at[0].set(xs[t])
+                st_v = st_v.at[0].set(vs[t])
+                st_b = st_b.at[0].set(bs[t])
+            st_x = constrain(st_x, "pipe", "data")
+            y = self.pipe_stages(st_x, st_v, st_b, pos_emb, deterministic)
+            y = constrain(y, "pipe", "data")
+            if t >= S - 1:
+                outs.append(y[S - 1])
+            st_x = jnp.roll(y, 1, axis=0)
+            st_v = jnp.roll(st_v, 1, axis=0)
+            st_b = jnp.roll(st_b, 1, axis=0)
+        return jnp.stack(outs, 0).reshape(B, *x.shape[1:])
+
     def _oracle_probs(
         self, logits, lengths, tokens, token_lengths, ratio
     ) -> jnp.ndarray:
@@ -452,13 +595,20 @@ class S2TTransformerEncoder(nn.Module):
         if cfg.seq_parallel:
             # activations sharded over ("data" batch, "seq" time): elementwise
             # and FFN work is fully local, attention goes through the ring
-            from s2t_tpu.parallel.context import constrain
+            from s2t_tpu.parallel.context import constrain, conv_grad_guard
 
+            # batch-only boundary between the conv subsampler and the
+            # seq-sharded stack: without it the subsampler kernel grads are
+            # multiplied by the size of any idle mesh axis (partitioner
+            # bug — see conv_grad_guard / tests/test_partitioner_numerics.py)
+            x = conv_grad_guard(x)
             x = constrain(x, "data", "seq", None)
 
         inter_ctc_logits = []
         inter_xctc_logits = []
         inter_axctc_logits = []
+        if cfg.pipeline_parallel > 1:
+            x = self._pipe_forward(x, valid, bias, pos_emb, deterministic)
         history = [x] if cfg.use_enc_dlcl else None
         for i, layer in enumerate(self.layers):
             if cfg.use_enc_dlcl:

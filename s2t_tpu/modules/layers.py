@@ -167,9 +167,21 @@ class S2TEncoderLayer(nn.Module):
             res = x
             norm_conv = nn.LayerNorm(dtype=self.dtype, name="conv_norm")
             h = norm_conv(x) if self.normalize_before else x
+            if self.seq_parallel:
+                # batch-only layout around the depthwise conv: conv kernel
+                # grads are miscompiled (x idle-mesh-axis-size) when the
+                # activations are seq-sharded on a mesh with another >1
+                # axis (see parallel/context.conv_grad_guard)
+                from s2t_tpu.parallel.context import (
+                    constrain, conv_grad_guard, seq_parallel_enabled,
+                )
+
+                h = conv_grad_guard(h)
             h = ConformerConvModule(
                 self.dim, self.cnn_kernel, self.dropout, self.dtype, name="conv_module"
             )(h, valid_mask, deterministic)
+            if self.seq_parallel and seq_parallel_enabled():
+                h = constrain(h, "data", "seq", None)
             x = res + drop(h, deterministic=deterministic)
             if not self.normalize_before:
                 x = norm_conv(x)

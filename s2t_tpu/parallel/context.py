@@ -29,6 +29,25 @@ def seq_parallel_enabled() -> bool:
     return m is not None and int(m.shape.get("seq", 1)) > 1
 
 
+def conv_grad_guard(x, batch_axis: str = "data"):
+    """Pin ``x`` to batch-only sharding at a conv boundary.
+
+    XLA (jax 0.9.0, both the Shardy and legacy GSPMD partitioners)
+    miscompiles the KERNEL GRADIENT of convolutions whose activations or
+    cotangents are sharded over the time axis when the mesh has another
+    axis of size > 1 that the op does not use: the grad comes out
+    multiplied by that idle axis size (repro:
+    tests/test_partitioner_numerics.py).  Forcing a batch-only layout at
+    the boundary between convs and seq-sharded tensors makes the conv
+    gradient partition over batch only, which is computed correctly.  Call
+    this (a) on the subsampler output before the first seq-sharding
+    constraint, and (b) around depthwise convs inside seq-parallel layers.
+    """
+    if not seq_parallel_enabled():
+        return x
+    return constrain(x, batch_axis)
+
+
 def constrain(x, *spec_dims):
     """with_sharding_constraint(x, P(*spec_dims)) when a mesh is registered;
     no-op otherwise (single-device tests, CPU paths)."""

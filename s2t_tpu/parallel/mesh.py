@@ -11,6 +11,11 @@ fairseq/distributed/utils.py:241-485, fairseq/model_parallel/) with one
             columns sharded via param rules
   * seq   — sequence/context parallelism for long audio (new capability;
             the reference has none, SURVEY §5.7)
+  * pipe  — pipeline stages (GPipe equivalent, reference:
+            model_parallel/models/pipeline_parallel_transformer/): encoder
+            layer blocks stacked on a leading stage axis, microbatches
+            rotated through the stages (models/s2t_transformer.py
+            _pipe_forward)
 
 Collectives are inserted by XLA from sharding annotations (psum/all-gather
 over ICI), never called explicitly in model code.
@@ -26,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from s2t_tpu.config import DistributedConfig
 
-AXES = ("data", "model", "seq")
+AXES = ("data", "model", "seq", "pipe")
 
 
 def make_mesh(cfg: Optional[DistributedConfig] = None, devices=None) -> Mesh:
@@ -35,13 +40,14 @@ def make_mesh(cfg: Optional[DistributedConfig] = None, devices=None) -> Mesh:
     n = len(devices)
     model = max(cfg.model_parallel, 1)
     seq = max(cfg.seq_parallel, 1)
-    data = cfg.data_parallel if cfg.data_parallel > 0 else n // (model * seq)
-    if data * model * seq != n:
+    pipe = max(cfg.pipeline_parallel, 1)
+    data = cfg.data_parallel if cfg.data_parallel > 0 else n // (model * seq * pipe)
+    if data * model * seq * pipe != n:
         raise ValueError(
-            f"mesh {data}x{model}x{seq} != {n} devices; set data_parallel=-1 "
-            "to auto-fill the data axis"
+            f"mesh {data}x{model}x{seq}x{pipe} != {n} devices; set "
+            "data_parallel=-1 to auto-fill the data axis"
         )
-    dev_array = np.asarray(devices).reshape(data, model, seq)
+    dev_array = np.asarray(devices).reshape(data, model, seq, pipe)
     return Mesh(dev_array, AXES)
 
 

@@ -86,7 +86,14 @@ def ring_attention(
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    spec_x = P(batch_axis, seq_axis, None, None)
+    # The head axis rides the tensor-parallel "model" axis.  Leaving it out
+    # of the specs would make shard_map treat head-sharded q/k/v as
+    # replicated over "model": the primal gets all-gathered and computed
+    # tp-times redundantly, and the transpose rule psums the cotangent over
+    # "model" — a silent tp× gradient overcount under TP×SP meshes (caught
+    # by dryrun_multichip's single-device replay check).
+    model_axis = "model" if "model" in mesh.axis_names else None
+    spec_x = P(batch_axis, seq_axis, model_axis, None)
     spec_m = P(batch_axis, seq_axis)
     fn = shard_map(
         partial(_ring_attention_local, axis_name=seq_axis),

@@ -33,16 +33,25 @@ def _spec_for(path: Tuple[str, ...], shape, mesh: Mesh, tp: bool, fsdp: bool):
     parent = path[-2] if len(path) >= 2 else ""
     leafname = path[-1]
 
-    if tp and tp_size > 1 and len(shape) >= 1:
-        if leafname == "kernel" and len(shape) == 2:
-            if parent in COLUMN_PARALLEL and shape[1] % tp_size == 0:
-                dims[1] = "model"
-            elif parent in ROW_PARALLEL and shape[0] % tp_size == 0:
-                dims[0] = "model"
-        elif leafname == "bias" and parent in COLUMN_PARALLEL and shape and shape[0] % tp_size == 0:
-            dims[0] = "model"
-        elif leafname == "embedding" and len(shape) == 2 and shape[1] % tp_size == 0:
-            dims[1] = "model"
+    # pipeline stages: nn.vmap stacks stage params on a leading (S, ...)
+    # axis — shard it over "pipe" so each stage's weights live on its own
+    # devices (models/s2t_transformer.py PipeStageBlock)
+    pp = "pipe_stages" in path and mesh.shape.get("pipe", 1) > 1 and len(shape) >= 1
+    off = 0
+    if pp:
+        dims[0] = "pipe"
+        off = 1  # TP rules apply to the per-stage trailing dims
+
+    if tp and tp_size > 1 and len(shape) >= 1 + off:
+        if leafname == "kernel" and len(shape) == 2 + off:
+            if parent in COLUMN_PARALLEL and shape[1 + off] % tp_size == 0:
+                dims[1 + off] = "model"
+            elif parent in ROW_PARALLEL and shape[off] % tp_size == 0:
+                dims[off] = "model"
+        elif leafname == "bias" and parent in COLUMN_PARALLEL and len(shape) == 1 + off and shape[off] % tp_size == 0:
+            dims[off] = "model"
+        elif leafname == "embedding" and len(shape) == 2 + off and shape[1 + off] % tp_size == 0:
+            dims[1 + off] = "model"
 
     if fsdp and dp_size > 1:
         # shard the largest still-unsharded dim over "data"

@@ -91,10 +91,11 @@ class Trainer:
         self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
         self.bmuf = bmuf_cfg if (bmuf_cfg is not None and bmuf_cfg.active) else None
         if self.bmuf is not None:
-            if self.tp or self.fsdp:
+            if self.tp or self.fsdp or int(self.mesh.shape.get("pipe", 1)) > 1:
                 raise ValueError(
                     "bmuf.active requires pure data parallelism (replicas "
-                    "own full model copies); disable model_parallel/fsdp"
+                    "own full model copies); disable model_parallel/fsdp/"
+                    "pipeline_parallel"
                 )
             self.n_replicas = int(self.mesh.shape["data"])
         self.forward_fn = forward_fn
