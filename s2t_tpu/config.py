@@ -55,7 +55,20 @@ def load_yaml_stack(paths: List[str | Path]) -> Dict[str, Any]:
 
 
 def _coerce_scalar(text: str) -> Any:
-    """Parse a CLI override value with YAML semantics ('true' -> True, etc.)."""
+    """Parse a CLI override value with YAML semantics ('true' -> True, etc.).
+
+    Numeric parsing runs first: YAML 1.1 floats require a dot before the
+    exponent, so ``lr=5e-3`` would otherwise silently become the STRING
+    '5e-3' and blow up (or mistrain) far from the CLI."""
+    t = text.strip()
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
     return yaml.safe_load(text)
 
 

@@ -77,6 +77,9 @@ class CTCCriterion:
         l1 = rows(tokens[i1], token_lengths[i1])
         l2 = rows(tokens[i2], token_lengths[i2])
         loss = jnp.where(flag, coef * l1 + (1.0 - coef) * l2, l1)
+        w = mixup.get("weight")
+        if w is not None:  # ratio-decayed / appended-but-inactive rows
+            loss = loss * w
         return jnp.sum(loss)
 
     def _mixup_consistent(self, logits, enc_lengths, mixup) -> jnp.ndarray:
@@ -324,6 +327,11 @@ class LabelSmoothedCEWithCTC:
         sentence_avg: bool = False
         report_accuracy: bool = True
         pad_id: int = 1
+        # AIPA decoder-level mixup: CE over mixed rows (cal_mixup_loss) and
+        # KL-to-original consistency (reference:
+        # label_smoothed_cross_entropy.py:176-204, reproduction_aipa_kd.yaml)
+        cal_mixup_loss: bool = True
+        mixup_consistent_weight: float = 0.0
         ctc: "CTCCriterion.Config" = field(default_factory=lambda: CTCCriterion.Config())
 
     def __init__(self, cfg: "LabelSmoothedCEWithCTC.Config"):
@@ -336,10 +344,20 @@ class LabelSmoothedCEWithCTC:
         mixup = model_out.get("mixup")
         ce, nll = label_smoothed_nll_loss(
             logits, targets, self.cfg.label_smoothing, self.cfg.pad_id,
-            mixup=mixup,
+            mixup=mixup, cal_mixup_loss=self.cfg.cal_mixup_loss,
         )
         ctc_total, ctc_logs = self.ctc.compute_ctc_loss(model_out, batch)
         loss = ce + ctc_total
+        if self.cfg.mixup_consistent_weight > 0 and mixup is not None:
+            from s2t_tpu.criterions.label_smoothed_ce import (
+                decoder_mixup_consistent_loss,
+            )
+
+            mc = decoder_mixup_consistent_loss(
+                logits, targets, mixup, self.cfg.pad_id
+            )
+            ctc_logs = {**ctc_logs, "mixup_consistent_loss": mc}
+            loss = loss + self.cfg.mixup_consistent_weight * mc
         # under mixup the decoder rows follow the encoder layout: row r is
         # scored against target[index1[r]] (dominant mixture part)
         acc_targets = targets if mixup is None else targets[mixup["index1"]]

@@ -39,6 +39,7 @@ def label_smoothed_nll_loss(
     epsilon: float,
     pad_id: int = 1,
     mixup: dict | None = None,
+    cal_mixup_loss: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (smoothed_loss_sum, nll_loss_sum) over non-pad positions.
 
@@ -47,6 +48,8 @@ def label_smoothed_nll_loss(
     With ``mixup`` (from the encoder), mixed rows take
     λ·loss(target) + (1-λ)·loss(target[perm]) (reference:
     label_smoothed_cross_entropy_with_ctc.py mixup handling :119-132).
+    ``cal_mixup_loss=False`` skips the CE term on mixed rows entirely
+    (reference: label_smoothed_cross_entropy.py:176 cal_mixup_loss).
     """
     if mixup is None:
         loss, nll = label_smoothed_nll_loss_per_row(logits, targets, epsilon, pad_id)
@@ -59,9 +62,46 @@ def label_smoothed_nll_loss(
     )
     l1, n1 = label_smoothed_nll_loss_per_row(logits, targets[i1], epsilon, pad_id)
     l2, n2 = label_smoothed_nll_loss_per_row(logits, targets[i2], epsilon, pad_id)
-    loss = jnp.where(flag, coef * l1 + (1.0 - coef) * l2, l1)
-    nll = jnp.where(flag, coef * n1 + (1.0 - coef) * n2, n1)
+    mixed_l = coef * l1 + (1.0 - coef) * l2 if cal_mixup_loss else 0.0
+    mixed_n = coef * n1 + (1.0 - coef) * n2 if cal_mixup_loss else 0.0
+    loss = jnp.where(flag, mixed_l, l1)
+    nll = jnp.where(flag, mixed_n, n1)
+    w = mixup.get("weight")
+    if w is not None:  # ratio-decayed / appended-but-inactive rows
+        loss, nll = loss * w, nll * w
     return jnp.sum(loss), jnp.sum(nll)
+
+
+def decoder_mixup_consistent_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mixup: dict,
+    pad_id: int = 1,
+) -> jnp.ndarray:
+    """KL(student=mixed decoder rows || teacher=stop-grad original rows),
+    coef-weighted per source and masked by the teacher target's pads
+    (AIPA; reference: label_smoothed_cross_entropy.py:189-204).
+
+    Teacher rows live at ``original_index - keep_boundary`` in the current
+    batch (keep_boundary 0 under keep_org: originals sit at their own
+    index); sources whose original row was dropped are skipped."""
+    coef, i1, i2, flag = (
+        mixup["coef"], mixup["index1"], mixup["index2"], mixup["flag"],
+    )
+    kb = mixup["keep_boundary"]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def term(idx, w):
+        avail = flag & (idx >= kb)
+        trow = jnp.clip(idx - kb, 0, lp.shape[0] - 1)
+        teacher = jax.lax.stop_gradient(lp[trow])
+        kl = jnp.sum(jnp.exp(teacher) * (teacher - lp), axis=-1)  # (B, U)
+        kl = jnp.maximum(kl, 0.0)
+        pad_mask = targets[jnp.clip(idx, 0, targets.shape[0] - 1)] != pad_id
+        kl = jnp.where(pad_mask & avail[:, None], kl, 0.0)
+        return jnp.sum(jnp.sum(kl, axis=1) * w)
+
+    return term(i1, coef) + term(i2, 1.0 - coef)
 
 
 def ce_accuracy(logits, targets, pad_id=1):

@@ -117,6 +117,13 @@ class S2TTransformerConfig:
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
     activation_fn: str = "relu"
+    # encoder-only override (reference --encoder-activation-fn; conformer
+    # recipes use swish encoders with relu decoders); "" = activation_fn
+    encoder_activation_fn: str = ""
+
+    @property
+    def enc_act(self):
+        return self.encoder_activation_fn or self.activation_fn
     # CTC
     use_ctc: bool = True
     ctc_layer: int = 0  # 0 = top of encoder
@@ -135,11 +142,23 @@ class S2TTransformerConfig:
     # reference: s2t_transformer.py:1050-1066, criterions/ctc.py:283-330)
     ctc_pae_ground_truth_ratio: float = 0.0
     xctc_pae_ground_truth_ratio: float = 0.0
+    # substitute the oracle only at frames the CTC argmax got wrong
+    # (reference: s2t_transformer.py:1132,1931 — one flag for both branches)
+    xctc_pae_ground_truth_only_mistake: bool = False
+    # label-smoothed oracle distribution instead of a hard one-hot
+    # (reference: modules/speech_to_text/adapter.py:254-255)
+    pae_oracle_smooth: bool = False
+    # PAE consumes the pre-LayerNorm hidden instead of the normed one
+    # (reference: s2t_transformer.py:1939 pae_unnorm_input)
+    pae_unnorm_input: bool = False
     # XCTC (target-language CTC, BiL-CTC; reference: s2t_transformer.py:1100-1244)
     use_xctc: bool = False
     xctc_layer: int = 0
     inter_xctc_layers: Tuple[int, ...] = ()
     xctc_pae: str = "none"
+    # tie the XCTC projection to the decoder token embedding (reference:
+    # s2t_transformer.py share_xctc_and_embed; requires matching dims)
+    share_xctc_and_embed: bool = False
     # AXCTC: CTC over the ALIGNED target text (reference: criterions/ctc.py
     # axctc branches + aligned_speech_to_text_dataset.py)
     use_axctc: bool = False
@@ -162,10 +181,26 @@ class S2TTransformerConfig:
     compression_pos: bool = False
     # inter-mixup (reference: s2t_transformer.py:2390-2400 mixup args)
     inter_mixup: bool = False
-    inter_mixup_layer: int = 0  # 0 = right after subsampling
+    inter_mixup_layer: int = 0  # <=0 = right after subsampling (ref "-1")
     inter_mixup_beta: float = 0.5
     inter_mixup_prob: float = 1.0
     inter_mixup_ratio: float = 0.3
+    # AIPA append-based interpolation augmentation (reference:
+    # s2t_transformer.py:1610-1680 apply_mixup keep_org branch +
+    # egs/mustc/st/conf/reproduction_aipa_kd.yaml): the batch grows to
+    # B + int(B*ratio) rows = [all B originals | mixed rows]
+    inter_mixup_keep_org: bool = False
+    # linear ratio decay (start_step, end_step, final_ratio); the batch
+    # shape stays static — decayed-away mixed rows carry loss weight 0
+    # (reference: s2t_transformer.py:1276-1299,1385-1393)
+    inter_mixup_ratio_decay: bool = False
+    inter_mixup_ratio_decay_params: Tuple[float, float, float] = (
+        20000.0, 40000.0, 0.0,
+    )
+    # LayerNorm after every `interval`-th encoder layer output
+    # (reference: s2t_transformer.py:929-933,1848)
+    layer_out_norm: bool = False
+    layer_out_norm_interval: int = 1
     # sizes (filled by the task)
     vocab_size: int = 1000
     src_vocab_size: int = -1  # CTC vocab; -1 -> same as vocab_size
@@ -209,7 +244,7 @@ class PipeStageBlock(nn.Module):
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
                 cfg.encoder_attention_heads, cfg.dropout,
                 cfg.attention_dropout, cfg.activation_dropout,
-                cfg.activation_fn, cfg.encoder_normalize_before,
+                cfg.enc_act, cfg.encoder_normalize_before,
                 cfg.encoder_attention_type, cfg.macaron_style,
                 cfg.use_cnn_module, cfg.cnn_module_kernel, cfg.dtype,
                 False, cfg.encoder_attention_stride,
@@ -236,6 +271,14 @@ class S2TTransformerEncoder(nn.Module):
     """
 
     cfg: S2TTransformerConfig
+    # decoder token-embedding module, handed down by the parent model when
+    # share_ctc_and_embed / share_xctc_and_embed ties a CTC projection to it
+    shared_embed: Optional[nn.Module] = None
+
+    def _head_embed(self, share: bool) -> Optional[jnp.ndarray]:
+        if share and self.shared_embed is not None:
+            return self.shared_embed.embedding
+        return None
 
     def setup(self):
         cfg = self.cfg
@@ -325,7 +368,7 @@ class S2TTransformerEncoder(nn.Module):
                 layer_cls(
                     cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
                     cfg.encoder_attention_heads, cfg.dropout, cfg.attention_dropout,
-                    cfg.activation_dropout, cfg.activation_fn,
+                    cfg.activation_dropout, cfg.enc_act,
                     cfg.encoder_normalize_before, cfg.encoder_attention_type,
                     cfg.macaron_style, cfg.use_cnn_module, cfg.cnn_module_kernel,
                     dt, cfg.seq_parallel, cfg.encoder_attention_stride,
@@ -408,6 +451,17 @@ class S2TTransformerEncoder(nn.Module):
                 str(l): nn.LayerNorm(dtype=dt, name=f"compression_norm{l}")
                 for l in cfg.compression_layers
             }
+        if cfg.layer_out_norm:
+            iv = max(cfg.layer_out_norm_interval, 1)
+            self.layer_out_norms = {
+                str(i): nn.LayerNorm(dtype=dt, name=f"layer_out_norm{i}")
+                for i in range(cfg.encoder_layers) if i % iv == 0
+            }
+        if cfg.inter_mixup_keep_org and cfg.use_enc_dlcl and cfg.inter_mixup_layer > 0:
+            raise ValueError(
+                "inter_mixup_keep_org grows the batch mid-stack, which is "
+                "incompatible with DLCL history; use inter_mixup_layer<=0"
+            )
         if cfg.use_axctc:
             self.axctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt,
                                       name="axctc_head")
@@ -418,36 +472,70 @@ class S2TTransformerEncoder(nn.Module):
                 }
         self.drop = nn.Dropout(cfg.dropout)
 
-    def _mixup(self, x, lengths):
-        """Inter-mixup, reference formulation (s2t_transformer.py apply_mixup,
-        keep_org=False): the new batch = [kept originals m..B-1 | m mixed
-        rows], each mixed row r = coef_r·x[idx1_r] + (1-coef_r)·x[idx2_r]
-        with per-row Beta coefficients.  Original utterance j (j ≥ m) sits at
-        row j-m — the layout the mixup-consistency losses rely on.
-        Returns (x, lengths, info{coef,index1,index2,flag,keep_boundary})."""
+    def _mixup(self, x, lengths, num_updates=None):
+        """Inter-mixup (reference: s2t_transformer.py apply_mixup :1610-1680).
+
+        keep_org=False (default): batch stays B = [B-m kept originals |
+        m mixed rows]; original utterance j (j >= m) sits at row j-m.
+        keep_org=True (AIPA, reproduction_aipa_kd.yaml): the batch grows
+        to B+m = [all B originals | m mixed rows]; keep_boundary=0 so
+        the consistency losses find original j at row j.
+        Each mixed row r = coef_r·x[idx1_r] + (1-coef_r)·x[idx2_r] with
+        per-row Beta coefficients.  With inter_mixup_ratio_decay the
+        *active* mixed count shrinks on a linear step schedule while the
+        shape stays static: decayed-away rows carry loss weight 0
+        (keep_org) or revert to their original utterance (in-place).
+        Returns (x, lengths,
+        info{coef,index1,index2,flag,weight,keep_boundary})."""
         cfg = self.cfg
         B = x.shape[0]
         m = max(int(B * cfg.inter_mixup_ratio), 1)
         k1, k2, k3, k4 = jax.random.split(self.make_rng("dropout"), 4)
         apply = jax.random.uniform(k4) < cfg.inter_mixup_prob
-        keep = jnp.arange(m, B, dtype=jnp.int32)
+        # zero padded frames so they cannot leak into the partner row's
+        # valid region after blending (reference masked_fill_ :1380-1384)
+        x = x * lengths_to_mask(lengths, x.shape[1])[..., None].astype(x.dtype)
         r1 = jax.random.randint(k1, (m,), 0, B, jnp.int32)
         r2 = jax.random.randint(k2, (m,), 0, B, jnp.int32)
-        idx1 = jnp.concatenate([keep, r1])
-        idx2 = jnp.concatenate([keep, r2])
-        flag = jnp.concatenate([jnp.zeros(B - m, bool), jnp.ones(m, bool)])
-        arange = jnp.arange(B, dtype=jnp.int32)
-        idx1 = jnp.where(apply, idx1, arange)
-        idx2 = jnp.where(apply, idx2, arange)
-        flag = flag & apply
-        coef = jax.random.beta(k3, cfg.inter_mixup_beta, cfg.inter_mixup_beta, (B,))
+        live = jnp.full((m,), True)
+        if cfg.inter_mixup_ratio_decay and num_updates is not None:
+            s0, s1, r_end = cfg.inter_mixup_ratio_decay_params
+            t = jnp.clip(
+                (jnp.asarray(num_updates, jnp.float32) - s0)
+                / max(s1 - s0, 1.0), 0.0, 1.0,
+            )
+            ratio_t = cfg.inter_mixup_ratio + t * (r_end - cfg.inter_mixup_ratio)
+            live = jnp.arange(m) < jnp.floor(B * ratio_t).astype(jnp.int32)
+        live = live & apply
+        if cfg.inter_mixup_keep_org:
+            arange = jnp.arange(B, dtype=jnp.int32)
+            idx1 = jnp.concatenate([arange, r1])
+            idx2 = jnp.concatenate([arange, r2])
+            flag = jnp.concatenate([jnp.zeros(B, bool), live])
+            weight = jnp.concatenate(
+                [jnp.ones(B, jnp.float32), live.astype(jnp.float32)]
+            )
+            kb = 0
+        else:
+            keep = jnp.arange(m, B, dtype=jnp.int32)
+            slot = jnp.arange(m, dtype=jnp.int32)  # dead slot j -> original j
+            idx1 = jnp.concatenate([keep, jnp.where(live, r1, slot)])
+            idx2 = jnp.concatenate([keep, jnp.where(live, r2, slot)])
+            flag = jnp.concatenate([jnp.zeros(B - m, bool), live])
+            weight = jnp.ones(B, jnp.float32)
+            kb = m
+        coef = jax.random.beta(
+            k3, cfg.inter_mixup_beta, cfg.inter_mixup_beta, flag.shape
+        )
         coef = jnp.where(flag, coef, 1.0)
         c = coef[:, None, None].astype(x.dtype)
         x = c * x[idx1] + (1.0 - c) * x[idx2]
-        new_lengths = jnp.maximum(lengths[idx1], lengths[idx2])
+        new_lengths = jnp.where(
+            flag, jnp.maximum(lengths[idx1], lengths[idx2]), lengths[idx1]
+        )
         info = {
             "coef": coef, "index1": idx1, "index2": idx2, "flag": flag,
-            "keep_boundary": m,
+            "weight": weight, "keep_boundary": kb,
         }
         return x, new_lengths, info
 
@@ -542,14 +630,21 @@ class S2TTransformerEncoder(nn.Module):
             jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         )
         aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
-        oracle = jax.nn.one_hot(aligned, logits.shape[-1], dtype=jnp.float32)
+        V = logits.shape[-1]
+        oracle = jax.nn.one_hot(aligned, V, dtype=jnp.float32)
+        if self.cfg.pae_oracle_smooth:
+            # smoothed oracle (reference: adapter.py:254-255)
+            oracle = jnp.where(oracle == 1.0, 0.9 + 0.1 / V, 0.1 / V)
         probs = jax.nn.softmax(
             logits.astype(jnp.float32) / self.cfg.pae_ctc_temperature, axis=-1
         )
-        mask = (
-            jax.random.uniform(self.make_rng("dropout"), aligned.shape) < ratio
-        )[..., None]
-        return jnp.where(mask, oracle, probs)
+        mask = jax.random.uniform(self.make_rng("dropout"), aligned.shape) < ratio
+        if self.cfg.xctc_pae_ground_truth_only_mistake:
+            # substitute only where the CTC argmax missed the aligned label
+            # (reference: s2t_transformer.py:1931-1932)
+            mistake = jnp.argmax(lp, axis=-1) != aligned
+            mask = mask & mistake
+        return jnp.where(mask[..., None], oracle, probs)
 
     def __call__(
         self,
@@ -560,6 +655,7 @@ class S2TTransformerEncoder(nn.Module):
         transcript_lengths: Optional[jnp.ndarray] = None,
         target: Optional[jnp.ndarray] = None,
         target_lengths: Optional[jnp.ndarray] = None,
+        num_updates: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
@@ -582,8 +678,8 @@ class S2TTransformerEncoder(nn.Module):
         x = self.drop(x, deterministic=deterministic)
 
         mixup = None
-        if cfg.inter_mixup and not deterministic and cfg.inter_mixup_layer == 0:
-            x, lengths, mixup = self._mixup(x, lengths)
+        if cfg.inter_mixup and not deterministic and cfg.inter_mixup_layer <= 0:
+            x, lengths, mixup = self._mixup(x, lengths, num_updates)
             T = x.shape[1]
 
         valid = lengths_to_mask(lengths, T)
@@ -619,7 +715,8 @@ class S2TTransformerEncoder(nn.Module):
                 and mixup is None
                 and cfg.inter_mixup_layer == i + 1
             ):
-                x, lengths, mixup = self._mixup(x, lengths)
+                x, lengths, mixup = self._mixup(x, lengths, num_updates)
+                T = x.shape[1]
                 valid = lengths_to_mask(lengths, T)
                 bias = padding_bias(valid, x.dtype)
             if cfg.encoder_layerdrop > 0 and not deterministic:
@@ -630,6 +727,8 @@ class S2TTransformerEncoder(nn.Module):
                 x = jnp.where(keep, layer(x, valid, bias, pos_emb, deterministic), x)
             else:
                 x = layer(x, valid, bias, pos_emb, deterministic)
+            if cfg.layer_out_norm and i % max(cfg.layer_out_norm_interval, 1) == 0:
+                x = self.layer_out_norms[str(i)](x)
             if cfg.seq_parallel:
                 from s2t_tpu.parallel.context import constrain
 
@@ -645,7 +744,10 @@ class S2TTransformerEncoder(nn.Module):
                 else:
                     h = self.inter_ctc_norms[str(layer_idx)](x)
                 if cfg.share_inter_ctc:
-                    logits = self.ctc_head(h, deterministic)
+                    logits = self.ctc_head(
+                        h, deterministic,
+                        embedding=self._head_embed(cfg.share_ctc_and_embed),
+                    )
                 else:
                     logits = self.inter_ctc_heads[str(layer_idx)](h, deterministic)
                 inter_ctc_logits.append((layer_idx, logits))
@@ -660,7 +762,9 @@ class S2TTransformerEncoder(nn.Module):
                             logits, lengths, transcript, transcript_lengths,
                             cfg.ctc_pae_ground_truth_ratio,
                         )
-                    x = self.pae(x, logits, deterministic=deterministic, probs=probs)
+                    pae_in = x if cfg.pae_unnorm_input else h
+                    x = self.pae(pae_in, logits, deterministic=deterministic,
+                                 probs=probs)
                 if layer_idx in cfg.compression_layers:
                     x, lengths = self._compress(x, logits, lengths, layer_idx)
                     valid = lengths_to_mask(lengths, T)
@@ -682,7 +786,10 @@ class S2TTransformerEncoder(nn.Module):
                     h = self.final_norm(x)
                 else:
                     h = self.inter_xctc_norms[str(layer_idx)](x)
-                xlogits = self.xctc_head(h, deterministic)
+                xlogits = self.xctc_head(
+                    h, deterministic,
+                    embedding=self._head_embed(cfg.share_xctc_and_embed),
+                )
                 inter_xctc_logits.append((layer_idx, xlogits))
                 if cfg.xctc_pae != "none":
                     probs = None
@@ -695,7 +802,9 @@ class S2TTransformerEncoder(nn.Module):
                             xlogits, lengths, target, target_lengths,
                             cfg.xctc_pae_ground_truth_ratio,
                         )
-                    x = self.xpae(x, xlogits, deterministic=deterministic, probs=probs)
+                    pae_in = x if cfg.pae_unnorm_input else h
+                    x = self.xpae(pae_in, xlogits, deterministic=deterministic,
+                                  probs=probs)
             if cfg.use_axctc and layer_idx in cfg.inter_axctc_layers:
                 h = self.inter_axctc_norms[str(layer_idx)](x)
                 inter_axctc_logits.append((layer_idx, self.axctc_head(h, deterministic)))
@@ -709,10 +818,16 @@ class S2TTransformerEncoder(nn.Module):
 
         ctc_logits = None
         if cfg.use_ctc:
-            ctc_logits = self.ctc_head(x, deterministic)
+            ctc_logits = self.ctc_head(
+                x, deterministic,
+                embedding=self._head_embed(cfg.share_ctc_and_embed),
+            )
         xctc_logits = None
         if cfg.use_xctc:
-            xctc_logits = self.xctc_head(x, deterministic)
+            xctc_logits = self.xctc_head(
+                x, deterministic,
+                embedding=self._head_embed(cfg.share_xctc_and_embed),
+            )
         axctc_logits = None
         if cfg.use_axctc:
             axctc_logits = self.axctc_head(x, deterministic)
@@ -738,7 +853,33 @@ class S2TTransformerModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.encoder = S2TTransformerEncoder(cfg, name="encoder")
+        shared_embed = None
+        if cfg.share_ctc_and_embed or cfg.share_xctc_and_embed:
+            # one token-embedding table serves the decoder input/output AND
+            # the tied CTC projection(s) (reference: s2t_transformer.py
+            # share_ctc_and_embed / share_xctc_and_embed)
+            if cfg.encoder_embed_dim != cfg.decoder_embed_dim:
+                raise ValueError(
+                    "share_(x)ctc_and_embed requires encoder_embed_dim == "
+                    f"decoder_embed_dim (got {cfg.encoder_embed_dim} vs "
+                    f"{cfg.decoder_embed_dim})"
+                )
+            if cfg.share_ctc_and_embed and cfg.ctc_vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    "share_ctc_and_embed needs a joint vocabulary "
+                    f"(src_vocab_size {cfg.ctc_vocab_size} != vocab_size "
+                    f"{cfg.vocab_size})"
+                )
+            shared_embed = nn.Embed(
+                cfg.vocab_size, cfg.decoder_embed_dim,
+                embedding_init=nn.initializers.normal(
+                    cfg.decoder_embed_dim ** -0.5
+                ),
+                dtype=cfg.dtype, name="shared_embed",
+            )
+        self.encoder = S2TTransformerEncoder(
+            cfg, shared_embed=shared_embed, name="encoder"
+        )
         self.decoder = TransformerDecoder(
             vocab_size=cfg.vocab_size,
             embed_dim=cfg.decoder_embed_dim,
@@ -759,6 +900,7 @@ class S2TTransformerModel(nn.Module):
                 "relative" if cfg.max_decoder_relative_length > 0 else "abs"
             ),
             max_relative_length=cfg.max_decoder_relative_length,
+            shared_embed=shared_embed,
             name="decoder",
         )
 
@@ -772,10 +914,12 @@ class S2TTransformerModel(nn.Module):
         transcript_lengths: Optional[jnp.ndarray] = None,
         target: Optional[jnp.ndarray] = None,
         target_lengths: Optional[jnp.ndarray] = None,
+        num_updates: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         enc = self.encoder(
             features, feat_lengths, deterministic,
             transcript, transcript_lengths, target, target_lengths,
+            num_updates,
         )
         enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
         mix = None

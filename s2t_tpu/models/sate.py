@@ -53,6 +53,29 @@ class SATEConfig:
     text_ffn_embed_dim: int = 2048
     text_attention_type: str = "abs"
     text_use_xctc: bool = False
+    # textual embedding treatment (reference: s2t_sate.py:360-377)
+    text_no_pos_emb: bool = False
+    textual_encoder_embed_norm: bool = False
+    textual_encoder_no_scale_embedding: bool = True
+    # intermediate XCTC taps inside the textual encoder (1-indexed textual
+    # layers) with optional PAE re-injection + ground-truth curriculum
+    # (reference: s2t_sate.py:439-553, BiL-CTC progressive)
+    inter_xctc_layers: Tuple[int, ...] = ()
+    xctc_pae: str = "none"
+    share_inter_xctc_norm: bool = False
+    xctc_pae_ground_truth_ratio: float = 0.0
+    xctc_pae_ground_truth_only_mistake: bool = False
+    pae_oracle_smooth: bool = False
+    pae_unnorm_input: bool = False
+    # XCTC cross-attention (CTC-Aug, reference: s2t_sate.py:554-700):
+    # textual layers >= cross_attn_start_layer (1-indexed) additionally
+    # cross-attend to the normed snapshot taken after cross_attn_layer
+    xctc_cross_attn: bool = False
+    cross_attn_start_layer: int = 0
+    cross_attn_layer: int = 0
+    cross_attn_collaboration_mode: str = "serial"  # serial | league
+    cross_attn_league_drop_net: bool = False
+    cross_attn_league_drop_net_prob: float = 0.0
     # freezing (gradient stop; param-freeze masks live in the optimizer)
     freeze_acoustic_encoder: bool = False
     freeze_textual_encoder: bool = False
@@ -85,48 +108,229 @@ class SATEConfig:
     def dtype(self):
         return self.acoustic.dtype
 
+    # oracle-curriculum pass-through for the task forward adapter
+    # (tasks/speech_to_text._model_wants_oracle reads these off model.cfg)
+    @property
+    def ctc_pae_ground_truth_ratio(self):
+        return self.acoustic.ctc_pae_ground_truth_ratio
+
+
+class CrossStreamTextLayer(nn.Module):
+    """Textual-encoder layer with an extra cross-attention onto a second
+    stream s2 — the CTC-Aug "S2" layer (reference: s2t_sate.py:554-700 +
+    modules/transformer_s2_layer.py).
+
+    serial: self-attn → cross-attn(s2) → FFN (each a pre-norm residual).
+    league: self-attn and cross-attn computed from the same normed input and
+    summed 0.5/0.5, with optional drop-net (during training, drop one stream
+    with probability p, picking either with equal chance)."""
+
+    dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    collaboration_mode: str = "serial"
+    drop_net: bool = False
+    drop_net_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, s2, s2_bias, deterministic: bool = True):
+        from s2t_tpu.modules.attention import MultiHeadAttention
+        from s2t_tpu.modules.layers import FeedForward
+
+        drop = nn.Dropout(self.dropout)
+        res = x
+        norm_attn = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
+        h = norm_attn(x) if self.normalize_before else x
+        self_out, _ = MultiHeadAttention(
+            self.dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, name="self_attn",
+        )(h, h, h, bias, deterministic)
+        if self.collaboration_mode == "league" and s2 is not None:
+            cross_out, _ = MultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout,
+                dtype=self.dtype, name="s2_attn",
+            )(h, s2, s2, s2_bias, deterministic)
+            w1 = w2 = jnp.asarray(0.5, x.dtype)
+            if self.drop_net and not deterministic and self.drop_net_prob > 0:
+                k = self.make_rng("dropout")
+                k1, k2 = jax.random.split(k)
+                dropped = jax.random.uniform(k1) < self.drop_net_prob
+                pick_first = jax.random.uniform(k2) < 0.5
+                w1 = jnp.where(dropped, jnp.where(pick_first, 1.0, 0.0), 0.5).astype(x.dtype)
+                w2 = jnp.where(dropped, jnp.where(pick_first, 0.0, 1.0), 0.5).astype(x.dtype)
+            h_out = w1 * self_out + w2 * cross_out
+            x = res + drop(h_out, deterministic=deterministic)
+            if not self.normalize_before:
+                x = norm_attn(x)
+        else:
+            x = res + drop(self_out, deterministic=deterministic)
+            if not self.normalize_before:
+                x = norm_attn(x)
+            if s2 is not None:  # serial
+                res = x
+                norm_cross = nn.LayerNorm(dtype=self.dtype, name="cross_norm")
+                h = norm_cross(x) if self.normalize_before else x
+                cross_out, _ = MultiHeadAttention(
+                    self.dim, self.num_heads, self.attention_dropout,
+                    dtype=self.dtype, name="s2_attn",
+                )(h, s2, s2, s2_bias, deterministic)
+                x = res + drop(cross_out, deterministic=deterministic)
+                if not self.normalize_before:
+                    x = norm_cross(x)
+
+        res = x
+        norm_ffn = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
+        h = norm_ffn(x) if self.normalize_before else x
+        h = FeedForward(
+            self.dim, self.ffn_dim, self.activation, self.dropout,
+            self.activation_dropout, self.dtype, name="ffn",
+        )(h, deterministic)
+        x = res + drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = norm_ffn(x)
+        return x
+
 
 class TextualEncoder(nn.Module):
-    """Text-transformer stage over adapter output
-    (reference: s2t_sate.py:349-530)."""
+    """Text-transformer stage over adapter output, with optional
+    intermediate XCTC taps (+PAE curriculum) and CTC-Aug cross-attention
+    (reference: s2t_sate.py:349-760)."""
 
     cfg: SATEConfig
 
     def setup(self):
-        a = self.cfg.acoustic
+        cfg = self.cfg
+        a = cfg.acoustic
         dt = a.dtype
-        self.layers = [
-            S2TEncoderLayer(
-                a.encoder_embed_dim, self.cfg.text_ffn_embed_dim,
-                self.cfg.text_attention_heads, a.dropout, a.attention_dropout,
-                a.activation_dropout, a.activation_fn, a.encoder_normalize_before,
-                self.cfg.text_attention_type, dtype=dt, name=f"layer{i}",
-            )
-            for i in range(self.cfg.text_encoder_layers)
-        ]
+        if cfg.textual_encoder_embed_norm:
+            self.embed_norm = nn.LayerNorm(dtype=dt, name="embed_norm")
+        use_cross = cfg.xctc_cross_attn and cfg.cross_attn_start_layer > 0
+        layers = []
+        for i in range(cfg.text_encoder_layers):
+            if use_cross and (i + 1) >= cfg.cross_attn_start_layer:
+                layers.append(CrossStreamTextLayer(
+                    a.encoder_embed_dim, cfg.text_ffn_embed_dim,
+                    cfg.text_attention_heads, a.dropout, a.attention_dropout,
+                    a.activation_dropout, a.activation_fn,
+                    a.encoder_normalize_before,
+                    collaboration_mode=cfg.cross_attn_collaboration_mode,
+                    drop_net=cfg.cross_attn_league_drop_net,
+                    drop_net_prob=cfg.cross_attn_league_drop_net_prob,
+                    dtype=dt, name=f"layer{i}",
+                ))
+            else:
+                layers.append(S2TEncoderLayer(
+                    a.encoder_embed_dim, cfg.text_ffn_embed_dim,
+                    cfg.text_attention_heads, a.dropout, a.attention_dropout,
+                    a.activation_dropout, a.activation_fn,
+                    a.encoder_normalize_before,
+                    cfg.text_attention_type, dtype=dt, name=f"layer{i}",
+                ))
+        self.layers = layers
+        if use_cross:
+            self.attn_norm = nn.LayerNorm(dtype=dt, name="cross_attn_norm")
         if a.encoder_normalize_before:
             self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
-        if self.cfg.text_use_xctc:
+        use_xctc = cfg.text_use_xctc or cfg.inter_xctc_layers
+        if use_xctc:
             self.xctc_head = CTCHead(a.vocab_size, a.dropout, dtype=dt, name="xctc_head")
+        if cfg.inter_xctc_layers:
+            if not cfg.share_inter_xctc_norm:
+                self.inter_xctc_norms = {
+                    str(l): nn.LayerNorm(dtype=dt, name=f"inter_xctc_norm{l}")
+                    for l in cfg.inter_xctc_layers
+                }
+            if cfg.xctc_pae != "none":
+                self.xpae = Adapter(
+                    a.encoder_embed_dim, a.vocab_size, cfg.xctc_pae,
+                    cfg.adapter_temperature, dtype=dt, name="xpae",
+                )
         self.drop = nn.Dropout(a.dropout)
 
-    def __call__(self, x, lengths, deterministic: bool = True):
-        a = self.cfg.acoustic
+    def _oracle_probs(self, logits, lengths, tokens, token_lengths):
+        """Ground-truth curriculum for the XCTC PAE (reference:
+        s2t_sate.py:627-700 + modules/speech_to_text/adapter.py:245-256)."""
+        from s2t_tpu.ops.ctc import ctc_best_alignment
+
+        cfg = self.cfg
+        lp = jax.lax.stop_gradient(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        )
+        aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
+        V = logits.shape[-1]
+        oracle = jax.nn.one_hot(aligned, V, dtype=jnp.float32)
+        if cfg.pae_oracle_smooth:
+            oracle = jnp.where(oracle == 1.0, 0.9 + 0.1 / V, 0.1 / V)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        mask = (
+            jax.random.uniform(self.make_rng("dropout"), aligned.shape)
+            < cfg.xctc_pae_ground_truth_ratio
+        )
+        if cfg.xctc_pae_ground_truth_only_mistake:
+            mask = mask & (jnp.argmax(lp, axis=-1) != aligned)
+        return jnp.where(mask[..., None], oracle, probs)
+
+    def __call__(self, x, lengths, deterministic: bool = True,
+                 target=None, target_lengths=None):
+        cfg = self.cfg
+        a = cfg.acoustic
         T = x.shape[1]
+        if cfg.textual_encoder_embed_norm:
+            x = self.embed_norm(x)
+        if not cfg.textual_encoder_no_scale_embedding:
+            x = x * jnp.sqrt(a.encoder_embed_dim).astype(x.dtype)
         pos_emb = None
-        if self.cfg.text_attention_type == "rel_pos":
-            pos_emb = relative_encoding(T, a.encoder_embed_dim, x.dtype)
-        else:
-            x = x + sinusoidal_encoding(T, a.encoder_embed_dim, x.dtype)[None]
-        x = self.drop(x, deterministic=deterministic)
+        if not cfg.text_no_pos_emb:
+            if cfg.text_attention_type == "rel_pos":
+                pos_emb = relative_encoding(T, a.encoder_embed_dim, x.dtype)
+            else:
+                x = x + sinusoidal_encoding(T, a.encoder_embed_dim, x.dtype)[None]
+            x = self.drop(x, deterministic=deterministic)
         valid = lengths_to_mask(lengths, T)
         bias = padding_bias(valid, x.dtype)
-        for layer in self.layers:
-            x = layer(x, valid, bias, pos_emb, deterministic)
+        use_cross = cfg.xctc_cross_attn and cfg.cross_attn_start_layer > 0
+        attn_x = None
+        inter_xctc_logits = []
+        for i, layer in enumerate(self.layers):
+            if isinstance(layer, CrossStreamTextLayer):
+                x = layer(x, bias, attn_x, bias, deterministic)
+            else:
+                x = layer(x, valid, bias, pos_emb, deterministic)
+            layer_idx = i + 1
+            if use_cross and layer_idx == cfg.cross_attn_layer:
+                attn_x = self.attn_norm(x)
+            if layer_idx in cfg.inter_xctc_layers and layer_idx != cfg.text_encoder_layers:
+                if cfg.share_inter_xctc_norm:
+                    h = self.final_norm(x)
+                else:
+                    h = self.inter_xctc_norms[str(layer_idx)](x)
+                xlogits = self.xctc_head(h, deterministic)
+                inter_xctc_logits.append((layer_idx, xlogits))
+                if cfg.xctc_pae != "none":
+                    probs = None
+                    if (
+                        cfg.xctc_pae_ground_truth_ratio > 0
+                        and not deterministic
+                        and target is not None
+                    ):
+                        probs = self._oracle_probs(
+                            xlogits, lengths, target, target_lengths
+                        )
+                    pae_in = x if cfg.pae_unnorm_input else h
+                    x = self.xpae(pae_in, xlogits, deterministic=deterministic,
+                                  probs=probs)
         if a.encoder_normalize_before:
             x = self.final_norm(x)
-        xctc = self.xctc_head(x, deterministic) if self.cfg.text_use_xctc else None
-        return x, xctc
+        xctc = None
+        if cfg.text_use_xctc or cfg.inter_xctc_layers:
+            xctc = self.xctc_head(x, deterministic)
+        return x, xctc, tuple(inter_xctc_logits)
 
 
 class S2TSATEEncoder(nn.Module):
@@ -142,9 +346,13 @@ class S2TSATEEncoder(nn.Module):
             )
         self.textual_enc = TextualEncoder(self.cfg, name="textual")
 
-    def __call__(self, features, lengths, deterministic: bool = True):
+    def __call__(self, features, lengths, deterministic: bool = True,
+                 transcript=None, transcript_lengths=None,
+                 target=None, target_lengths=None):
         cfg = self.cfg
-        enc = self.acoustic_enc(features, lengths, deterministic)
+        enc = self.acoustic_enc(
+            features, lengths, deterministic, transcript, transcript_lengths
+        )
         x = enc["encoder_out"]
         enc_lengths = enc["encoder_lengths"]
         if cfg.freeze_acoustic_encoder:
@@ -161,7 +369,9 @@ class S2TSATEEncoder(nn.Module):
             enc_lengths = new_lengths
         elif cfg.adapter_type != "none":
             x = self.adapter(x, ctc_logits, deterministic=deterministic)
-        x, xctc_logits = self.textual_enc(x, enc_lengths, deterministic)
+        x, xctc_logits, inter_xctc_logits = self.textual_enc(
+            x, enc_lengths, deterministic, target, target_lengths
+        )
         if cfg.freeze_textual_encoder:
             x = jax.lax.stop_gradient(x)
         return {
@@ -169,6 +379,7 @@ class S2TSATEEncoder(nn.Module):
             "encoder_out": x,
             "encoder_lengths": enc_lengths,
             "xctc_logits": xctc_logits,
+            "inter_xctc_logits": inter_xctc_logits,
         }
 
 
@@ -192,8 +403,13 @@ class S2TSATEModel(nn.Module):
             dtype=a.dtype, name="decoder",
         )
 
-    def __call__(self, features, feat_lengths, prev_tokens, deterministic=True):
-        enc = self.encoder(features, feat_lengths, deterministic)
+    def __call__(self, features, feat_lengths, prev_tokens, deterministic=True,
+                 transcript=None, transcript_lengths=None,
+                 target=None, target_lengths=None):
+        enc = self.encoder(
+            features, feat_lengths, deterministic,
+            transcript, transcript_lengths, target, target_lengths,
+        )
         enc_mask = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
         logits = self.decoder(prev_tokens, enc["encoder_out"], enc_mask, deterministic)
         return {"decoder_logits": logits, **enc}
@@ -230,5 +446,6 @@ def s2t_sate_s(**kw) -> SATEConfig:
     ):
         if key in rest:
             acoustic_kw[key] = rest.pop(key)
-    acoustic = s2t_transformer_s(inter_ctc_layers=(), **acoustic_kw)
+    acoustic_kw.setdefault("inter_ctc_layers", ())
+    acoustic = s2t_transformer_s(**acoustic_kw)
     return SATEConfig(acoustic=acoustic).replace(**rest)

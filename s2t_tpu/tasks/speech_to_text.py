@@ -149,6 +149,12 @@ class SpeechToTextTask(Task):
                     tgt = batch["target"]
                     kwargs["target"] = jnp.where(tgt == 2, 1, tgt)  # strip EOS
                     kwargs["target_lengths"] = batch["target_lengths"] - 1
+            if (
+                not deterministic
+                and getattr(model.cfg, "inter_mixup_ratio_decay", False)
+                and "_step" in batch
+            ):
+                kwargs["num_updates"] = batch["_step"]
             return model.apply(
                 {"params": params}, *args, deterministic=deterministic, rngs=rngs,
                 **kwargs,

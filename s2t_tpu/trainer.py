@@ -63,8 +63,16 @@ def s2t_forward(model, params, batch, deterministic, rngs=None):
     args = (batch["features"], batch["feat_lengths"], batch["prev_tokens"])
     if params is None:
         return model.init(rngs["params"], *args, deterministic=True)
+    kwargs = {}
+    if (
+        not deterministic
+        and getattr(getattr(model, "cfg", None), "inter_mixup_ratio_decay", False)
+        and "_step" in batch
+    ):
+        kwargs["num_updates"] = batch["_step"]
     return model.apply(
-        {"params": params}, *args, deterministic=deterministic, rngs=rngs
+        {"params": params}, *args, deterministic=deterministic, rngs=rngs,
+        **kwargs,
     )
 
 
