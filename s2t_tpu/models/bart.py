@@ -18,6 +18,7 @@ from s2t_tpu.models.transformer import TransformerMTConfig, TransformerTextEncod
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -64,7 +65,7 @@ class BARTModel(nn.Module):
             self.cls_dense = nn.Dense(cfg.encoder_embed_dim, dtype=dt,
                                       name="cls_dense")
             self.cls_out = nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")
-            self.cls_drop = nn.Dropout(cfg.pooler_dropout)
+            self.cls_drop = _FastDropout(cfg.pooler_dropout)
 
     def __call__(self, src_tokens, src_lengths, prev_tokens,
                  deterministic=True, classification=False) -> Dict[str, Any]:

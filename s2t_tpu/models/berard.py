@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.subsampling import Conv1dSubsampling
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -77,7 +78,7 @@ class LSTMEncoder(nn.Module):
                 h = nn.Dense(cfg.encoder_hidden, dtype=cfg.dtype, name=f"proj{i}")(h)
             else:
                 h = h_f
-            x = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+            x = _FastDropout(cfg.dropout)(h, deterministic=deterministic)
         return {
             "encoder_out": x,
             "encoder_lengths": lengths,
@@ -105,7 +106,7 @@ class LSTMAttentionDecoder(nn.Module):
         self.attn_key = nn.Dense(cfg.decoder_hidden, use_bias=False, name="attn_k")
         self.attn_v = nn.Dense(1, use_bias=False, name="attn_v")
         self.out = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="out")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def _attend(self, query, enc, enc_mask):
         # additive (MLP) attention

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from s2t_tpu.registry import register_model, register_model_architecture
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 SQRT_HALF = 0.7071067811865476
 
@@ -107,7 +108,7 @@ class FConvEncoder(nn.Module):
             if (chans[i - 1] if i else chans[0]) != c
         }
         self.fc2 = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def __call__(self, src_tokens, src_lengths=None, deterministic: bool = True):
         cfg = self.cfg
@@ -187,7 +188,7 @@ class FConvDecoder(nn.Module):
         self.fc2 = nn.Dense(cfg.decoder_out_embed_dim, dtype=dt, name="fc2")
         if not cfg.share_decoder_input_output_embed:
             self.fc3 = nn.Dense(cfg.vocab_size, dtype=dt, name="fc3")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def _attend(self, i, x, target_emb, enc_y, enc_value, enc_valid):
         """Multi-step attention for layer i.  x: (B, U, C)."""

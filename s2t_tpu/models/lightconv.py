@@ -21,6 +21,7 @@ from s2t_tpu.modules.lightconv import LightConvBlock
 from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -79,7 +80,7 @@ class LightConvEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, valid, deterministic=True):
         cfg = self.cfg
-        drop = nn.Dropout(cfg.dropout)
+        drop = _FastDropout(cfg.dropout)
         res = x
         h = nn.LayerNorm(dtype=cfg.dtype, name="conv_norm")(x)
         h, _ = LightConvBlock(
@@ -104,7 +105,7 @@ class LightConvDecoderLayer(nn.Module):
     def __call__(self, x, enc_out, cross_bias, deterministic=True,
                  conv_cache=None):
         cfg = self.cfg
-        drop = nn.Dropout(cfg.dropout)
+        drop = _FastDropout(cfg.dropout)
         res = x
         h = nn.LayerNorm(dtype=cfg.dtype, name="conv_norm")(x)
         h, new_cache = LightConvBlock(
@@ -155,7 +156,7 @@ class LightConvModel(nn.Module):
         ]
         self.enc_norm = nn.LayerNorm(dtype=dt, name="enc_norm")
         self.dec_norm = nn.LayerNorm(dtype=dt, name="dec_norm")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def encode(self, src_tokens, src_lengths=None, deterministic: bool = True):
         cfg = self.cfg

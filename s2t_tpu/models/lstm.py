@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -114,7 +115,7 @@ class LSTMModel(nn.Module):
         if not cfg.share_decoder_input_output_embed:
             self.logits_proj = nn.Dense(cfg.vocab_size, use_bias=False,
                                         dtype=dt, name="logits_proj")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     # ------------------------------------------------------------------ #
     def encode(self, src_tokens, src_lengths=None, deterministic: bool = True):
@@ -261,7 +262,7 @@ class LSTMLM(nn.Module):
         if not cfg.share_decoder_input_output_embed:
             self.logits_proj = nn.Dense(cfg.vocab_size, use_bias=False,
                                         dtype=dt, name="logits_proj")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def _logits(self, out):
         if self.cfg.share_decoder_input_output_embed:

@@ -28,6 +28,7 @@ from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -188,7 +189,7 @@ class PDSEncoder(nn.Module):
             )
         if cfg.encoder_normalize_before:
             self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def __call__(self, features, lengths, deterministic: bool = True):
         cfg = self.cfg

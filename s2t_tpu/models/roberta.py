@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.attention import padding_bias
 from s2t_tpu.modules.layers import S2TEncoderLayer
 from s2t_tpu.registry import register_model, register_model_architecture
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -95,7 +96,7 @@ class RobertaModel(nn.Module):
             self.cls_dense = nn.Dense(cfg.encoder_embed_dim, dtype=dt,
                                       name="cls_dense")
             self.cls_out = nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def encode(self, tokens, deterministic: bool = True, segments=None):
         cfg = self.cfg

@@ -30,6 +30,7 @@ from s2t_tpu.models.s2t_transformer import (
 from s2t_tpu.models.transformer import TransformerMTConfig, TransformerTextEncoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -83,7 +84,7 @@ class DualDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, speech_out, speech_bias, text_out, text_bias,
                  deterministic=True, cache=None, cache_index=None):
-        drop = nn.Dropout(self.dropout)
+        drop = _FastDropout(self.dropout)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_norm")(x)
         h, new_cache = MultiHeadAttention(

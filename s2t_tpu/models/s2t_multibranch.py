@@ -26,6 +26,7 @@ from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
 from s2t_tpu.modules.subsampling import Conv1dSubsampling
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -89,7 +90,7 @@ class CollaborationBlock(nn.Module):
             self.dim, self.num_heads, self.dropout, dtype=self.dtype,
             name="cross_attn",
         )(h, other, other, padding_bias(other_valid, x.dtype), deterministic)
-        return res + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return res + _FastDropout(self.dropout)(h, deterministic=deterministic)
 
 
 class S2TMultiBranchEncoder(nn.Module):
@@ -139,7 +140,7 @@ class S2TMultiBranchEncoder(nn.Module):
                 D, cfg.encoder_attention_heads, cfg.dropout, dt,
                 name="collab_to_textual",
             )
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def __call__(self, features, lengths, deterministic: bool = True):
         cfg = self.cfg

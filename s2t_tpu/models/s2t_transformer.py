@@ -29,6 +29,7 @@ from s2t_tpu.modules.subsampling import Conv1dSubsampling, Conv2dSubsampling
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -470,7 +471,7 @@ class S2TTransformerEncoder(nn.Module):
                     str(l): nn.LayerNorm(dtype=dt, name=f"inter_axctc_norm{l}")
                     for l in cfg.inter_axctc_layers
                 }
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def _mixup(self, x, lengths, num_updates=None):
         """Inter-mixup (reference: s2t_transformer.py apply_mixup :1610-1680).

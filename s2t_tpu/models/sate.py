@@ -36,6 +36,7 @@ from s2t_tpu.models.s2t_transformer import (
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -143,7 +144,7 @@ class CrossStreamTextLayer(nn.Module):
         from s2t_tpu.modules.attention import MultiHeadAttention
         from s2t_tpu.modules.layers import FeedForward
 
-        drop = nn.Dropout(self.dropout)
+        drop = _FastDropout(self.dropout)
         res = x
         norm_attn = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
         h = norm_attn(x) if self.normalize_before else x
@@ -251,7 +252,7 @@ class TextualEncoder(nn.Module):
                     a.encoder_embed_dim, a.vocab_size, cfg.xctc_pae,
                     cfg.adapter_temperature, dtype=dt, name="xpae",
                 )
-        self.drop = nn.Dropout(a.dropout)
+        self.drop = _FastDropout(a.dropout)
 
     def _oracle_probs(self, logits, lengths, tokens, token_lengths):
         """Ground-truth curriculum for the XCTC PAE (reference:

@@ -30,6 +30,7 @@ from s2t_tpu.modules.subsampling import Conv1dSubsampling
 from s2t_tpu.modules.ctc_head import CTCHead
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -95,7 +96,7 @@ class EmformerLayer(nn.Module):
         self.ffn = FeedForward(self.dim, self.ffn_dim, self.activation,
                                self.dropout, 0.0, self.dtype, name="ffn")
         self.ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = _FastDropout(self.dropout)
 
     def __call__(self, seg, state, seg_valid, deterministic: bool = True):
         """seg: (B, S+R, D) current segment (+lookahead).
@@ -171,7 +172,7 @@ class EmformerModel(nn.Module):
         if cfg.use_ctc:
             self.ctc_head = CTCHead(cfg.ctc_vocab_size, cfg.dropout, dtype=dt,
                                     name="ctc_head")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def init_stream_state(self, batch_size: int):
         cfg = self.cfg

@@ -22,6 +22,7 @@ from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding, relative_enc
 from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -117,7 +118,7 @@ class TransformerTextEncoder(nn.Module):
             self.ctc_head = CTCHead(cfg.vocab_size, cfg.dropout, dtype=dt, name="ctc_head")
             if cfg.inter_ctc_layers:
                 self.inter_ctc_norm = nn.LayerNorm(dtype=dt, name="inter_ctc_norm")
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = _FastDropout(cfg.dropout)
 
     def __call__(self, src_tokens, src_lengths=None, deterministic: bool = True):
         cfg = self.cfg

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.attention import causal_bias, padding_bias
 from s2t_tpu.modules.layers import TransformerDecoderLayer
 from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 class TransformerDecoder(nn.Module):
@@ -89,7 +90,7 @@ class TransformerDecoder(nn.Module):
             self.output_proj = nn.Dense(
                 self.vocab_size, use_bias=False, dtype=self.dtype, name="output_proj"
             )
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = _FastDropout(self.dropout)
 
     def _embed(self, tokens: jnp.ndarray, pos_offset) -> jnp.ndarray:
         x = self.embed_tokens(tokens)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.layers import S2TEncoderLayer
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 @dataclass(frozen=True)
@@ -289,9 +290,9 @@ class Wav2Vec2Model(nn.Module):
             for i in range(cfg.encoder_layers)
         ]
         self.final_proj = nn.Dense(final_dim, dtype=cfg.dtype, name="final_proj")
-        self.drop_input = nn.Dropout(cfg.dropout_input)
-        self.drop_features = nn.Dropout(cfg.dropout_features)
-        self.encoder_drop = nn.Dropout(cfg.dropout)
+        self.drop_input = _FastDropout(cfg.dropout_input)
+        self.drop_features = _FastDropout(cfg.dropout_features)
+        self.encoder_drop = _FastDropout(cfg.dropout)
 
     def _encode(self, x, valid, deterministic):
         from s2t_tpu.modules.attention import padding_bias
@@ -436,7 +437,7 @@ class Wav2VecCtc(nn.Module):
     def setup(self):
         self.w2v = Wav2Vec2Model(self.cfg, name="w2v")
         self.proj = nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype, name="proj")
-        self.final_drop = nn.Dropout(self.cfg.final_dropout)
+        self.final_drop = _FastDropout(self.cfg.final_dropout)
 
     def __call__(self, source, lengths, deterministic: bool = True):
         # span masking stays active as a fine-tuning regulariser in training

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from s2t_tpu.modules.positional import apply_rope, rope_tables
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 NEG = -1e9
 
@@ -72,7 +73,7 @@ class MultiHeadAttention(nn.Module):
                 nn.initializers.xavier_uniform(),
                 (2 * self.max_relative_length + 1, self.head_dim),
             )
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = _FastDropout(self.dropout)
 
     def _relative_bias(self, q, key_pos, q_pos):
         """Shaw relative-key score as an additive (B, H, Tq, Tk) bias term
@@ -239,7 +240,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         self.pos_bias_v = self.param(
             "pos_bias_v", nn.initializers.xavier_uniform(), (self.num_heads, self.head_dim)
         )
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = _FastDropout(self.dropout)
 
     @staticmethod
     def _rel_shift(x):

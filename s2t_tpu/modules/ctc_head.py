@@ -11,6 +11,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 class CTCHead(nn.Module):
@@ -28,7 +29,7 @@ class CTCHead(nn.Module):
     ) -> jnp.ndarray:
         if self.norm:
             x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = _FastDropout(self.dropout)(x, deterministic=deterministic)
         if embedding is not None:
             # shared with embedding table: logits = x @ E^T
             return jnp.einsum("btd,vd->btv", x, embedding.astype(x.dtype))

@@ -1,0 +1,45 @@
+"""Bandwidth-lean dropout for TPU.
+
+``flax.linen.Dropout`` draws a float32 uniform and compares — on the big
+attention-probability tensors (B, H, T, T) that is 4 bytes of HBM write plus
+a bool pass per element just to build the mask (profiled at ~5.8 ms/step of
+the 42 ms m-model step: 3.8 ms ``_uniform`` + 2.0 ms ``lt``).  This module
+draws raw uint8 bits instead — 1 byte/element — and compares against a
+threshold k = round(rate·256).
+
+The effective drop rate is quantized to k/256 (e.g. 0.15 → 38/256 ≈ 0.1484);
+the rescale uses the EFFECTIVE keep probability, so the estimator stays
+exactly unbiased.  For the rates used by the recipes (0.1/0.15/0.25/0.5 …)
+the quantization error is ≤ 0.002 absolute, far below run-to-run noise.
+
+Same call contract as ``nn.Dropout``: ``Dropout(rate)(x, deterministic=...)``
+drawing from the "dropout" rng collection.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Dropout(nn.Module):
+    rate: float
+    rng_collection: str = "dropout"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        k = int(round(self.rate * 256))
+        if k <= 0:
+            return x
+        k = min(k, 255)
+        keep_eff = 1.0 - k / 256.0
+        bits = jax.random.bits(
+            self.make_rng(self.rng_collection), x.shape, dtype=jnp.uint8
+        )
+        scale = jnp.asarray(1.0 / keep_eff, x.dtype)
+        return jnp.where(bits >= jnp.uint8(k), x * scale, 0)

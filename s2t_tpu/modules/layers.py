@@ -22,6 +22,7 @@ from s2t_tpu.modules.attention import (
 )
 from s2t_tpu.modules.subsampling import get_activation
 from s2t_tpu.utils.masking import lengths_to_mask
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 class FeedForward(nn.Module):
@@ -36,7 +37,7 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h = get_activation(self.activation)(h)
-        h = nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+        h = _FastDropout(self.activation_dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
         return h
 
@@ -75,7 +76,7 @@ class ConformerConvModule(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
         h = nn.swish(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pointwise_conv2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = _FastDropout(self.dropout)(h, deterministic=deterministic)
         return h
 
 
@@ -117,7 +118,7 @@ class S2TEncoderLayer(nn.Module):
         pos_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        drop = nn.Dropout(self.dropout)
+        drop = _FastDropout(self.dropout)
         ffn_scale = 0.5 if self.macaron_style else 1.0
 
         if self.macaron_style:
@@ -254,7 +255,7 @@ class TransformerDecoderLayer(nn.Module):
             self.dim, self.ffn_dim, self.activation, self.dropout,
             self.activation_dropout, self.dtype, name="ffn",
         )
-        self.drop_mod = nn.Dropout(self.dropout)
+        self.drop_mod = _FastDropout(self.dropout)
 
     def cross_kv(self, encoder_out):
         """Precompute the static cross-attention K/V for this layer."""

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 
 def unfold_windows(x: jnp.ndarray, k: int, causal: bool) -> jnp.ndarray:
@@ -51,7 +52,7 @@ class LightweightConv(nn.Module):
         w = w.astype(jnp.float32)
         if self.weight_softmax:
             w = jax.nn.softmax(w, axis=-1)
-        w = nn.Dropout(self.weight_dropout)(w, deterministic=deterministic)
+        w = _FastDropout(self.weight_dropout)(w, deterministic=deterministic)
         new_cache = None
         if cache is not None:
             win = jnp.concatenate([cache, x], axis=1)[:, None]  # (B,1,k,C)
@@ -84,7 +85,7 @@ class DynamicConv(nn.Module):
         w = w.reshape(B, T, H, k).astype(jnp.float32)
         if self.weight_softmax:
             w = jax.nn.softmax(w, axis=-1)
-        w = nn.Dropout(self.weight_dropout)(w, deterministic=deterministic)
+        w = _FastDropout(self.weight_dropout)(w, deterministic=deterministic)
         new_cache = None
         if cache is not None:
             win = jnp.concatenate([cache, x], axis=1)[:, None]

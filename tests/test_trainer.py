@@ -113,6 +113,72 @@ class TestTrainer:
         assert abs(lrs[3] - 2e-3 * (100 / 400) ** 0.5) < 1e-5
 
 
+class TestFusedAdamSkip:
+    def test_matches_generic_wrapper(self):
+        """fused_adamw_skip_nonfinite == skip_nonfinite(chain(clip, adamw))
+        through a mixed finite/NaN gradient sequence."""
+        import optax
+
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.optim.builders import (
+            fused_adamw_skip_nonfinite,
+            skip_nonfinite,
+        )
+
+        cfg = OptimizationConfig(
+            lr=1e-2, clip_norm=0.5, weight_decay=0.01,
+            adam_betas=(0.9, 0.98), adam_eps=1e-8,
+        )
+        sched = lambda step: 1e-2 * (0.9 ** step)
+        fused = fused_adamw_skip_nonfinite(cfg, sched, max_consecutive_errors=3)
+        ref = skip_nonfinite(
+            optax.chain(
+                optax.clip_by_global_norm(0.5),
+                optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8, weight_decay=0.01),
+            ),
+            max_consecutive_errors=3,
+        )
+        rng = np.random.default_rng(0)
+        params = {"a": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+                  "b": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)}
+        p_f, p_r = params, params
+        s_f, s_r = fused.init(params), ref.init(params)
+        for i in range(8):
+            if i in (2, 5):
+                g = {"a": jnp.full((8,), jnp.nan), "b": jnp.ones((3, 4))}
+            else:
+                g = {"a": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+                     "b": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)}
+            u_f, s_f = fused.update(g, s_f, p_f)
+            u_r, s_r = ref.update(g, s_r, p_r)
+            p_f = optax.apply_updates(p_f, u_f)
+            p_r = optax.apply_updates(p_r, u_r)
+            for k in params:
+                np.testing.assert_allclose(
+                    np.asarray(p_f[k]), np.asarray(p_r[k]), rtol=1e-6,
+                    err_msg=f"step {i} param {k}",
+                )
+        assert int(s_f.notfinite_count) == int(s_r.notfinite_count)
+
+    def test_gives_up_after_max_consecutive(self):
+        from s2t_tpu.config import OptimizationConfig
+        from s2t_tpu.optim.builders import fused_adamw_skip_nonfinite
+
+        cfg = OptimizationConfig(lr=1e-2, clip_norm=0.0, weight_decay=0.0)
+        tx = fused_adamw_skip_nonfinite(
+            cfg, lambda s: 1e-2, max_consecutive_errors=2
+        )
+        params = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        bad = {"w": jnp.full((2,), jnp.nan)}
+        for i in range(3):
+            up, state = tx.update(bad, state, params)
+            if i < 2:
+                assert np.all(np.asarray(up["w"]) == 0.0), i
+        # past the cap the bad update is applied so the NaN surfaces loudly
+        assert not np.any(np.isfinite(np.asarray(up["w"])))
+
+
 class TestSkipNonFinite:
     def test_nonfinite_grads_skip_update(self):
         """A NaN gradient leaves params and adam state untouched and bumps
