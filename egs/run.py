@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--gen-subset", default="test")
     p.add_argument("--vocab-size", type=int, default=5000)
     p.add_argument("--speed-perturb", action="store_true")
+    p.add_argument("--corpus", default="tsv",
+                   help="stage-0 raw layout: tsv|mustc|librispeech|covost|mtedx")
+    p.add_argument("--lang", help="stage-0 corpus language (de, es-en, ...)")
+    p.add_argument("--prep-task", default="st", choices=["asr", "st"])
+    p.add_argument("--prep-splits", nargs="+",
+                   help="stage-0 split names (default: corpus-specific)")
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
@@ -47,10 +53,17 @@ def main(argv=None):
         logger.info("=== stage 0: data preparation ===")
         from s2t_tpu.cli.prep_audio import main as prep_main
 
-        prep_argv = [
-            "--input-root", args.input_root, "--output-root", args.data,
-            "--vocab-size", str(args.vocab_size), "--cmvn",
-        ]
+        prep_argv = ["--output-root", args.data,
+                     "--vocab-size", str(args.vocab_size), "--cmvn",
+                     "--corpus", args.corpus, "--task", args.prep_task]
+        if args.corpus == "tsv":
+            prep_argv += ["--input-root", args.input_root]
+        else:
+            prep_argv += ["--data-root", args.input_root]
+            if args.lang:
+                prep_argv += ["--lang", args.lang]
+        if args.prep_splits:
+            prep_argv += ["--splits", *args.prep_splits]
         if args.speed_perturb:
             prep_argv.append("--speed-perturb")
         prep_main(prep_argv)
