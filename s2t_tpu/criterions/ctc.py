@@ -57,14 +57,18 @@ class CTCCriterion:
     def __init__(self, cfg: "CTCCriterion.Config"):
         self.cfg = cfg
 
-    def _one_ctc(self, logits, enc_lengths, tokens, token_lengths, mixup=None):
-        log_probs = _masked_log_softmax(logits)
-
+    def _one_ctc(self, logits, enc_lengths, tokens, token_lengths, mixup=None,
+                 fused=None):
+        # raw logits path: the loss normalizes via a fused logsumexp instead
+        # of materializing f32 log_softmax over (B, T, V); with ``fused``
+        # (head internals) the emissions come from a small gather-matmul on
+        # the head input and never touch the logits tensor (ops/ctc.py)
         def rows(tk, tl):
             return ctc_loss(
-                log_probs, tk, enc_lengths, tl,
+                logits, tk, enc_lengths, tl,
                 blank_id=self.cfg.blank_id, reduction="none",
-                zero_infinity=self.cfg.zero_infinity,
+                zero_infinity=self.cfg.zero_infinity, normalized=False,
+                fused_head=fused,
             )
 
         if mixup is None:
@@ -130,6 +134,7 @@ class CTCCriterion:
             l = self._one_ctc(
                 model_out["ctc_logits"], enc_lengths, transcript,
                 transcript_lengths, mixup,
+                fused=model_out.get("ctc_fused"),
             )
             logs["ctc_loss"] = l
             total = total + cfg.ctc_weight * l

@@ -74,6 +74,12 @@ class S2TTransformerConfig:
     # rematerialise encoder layers in backward (reference:
     # modules/checkpoint_activations.py) — trades FLOPs for HBM
     checkpoint_activations: bool = False
+    # what the remat saves: "full" recomputes everything (max memory win);
+    # "dots" saves matmul/conv outputs and recomputes only the elementwise
+    # tail (layernorm, gelu, dropout masks) — on HBM-bound steps this SAVES
+    # time too, since the uint8 dropout masks and pre-norm intermediates
+    # never round-trip HBM between forward and backward
+    remat_policy: str = "full"  # full | dots | dots_no_batch
     # LayerDrop (reference: modules/layer_drop.py); under jit both paths are
     # computed and the dropped layer's output is discarded — same training
     # semantics, no dynamic graph
@@ -223,6 +229,21 @@ class S2TTransformerConfig:
         return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
 
 
+def _remat_layer(layer_cls, policy_name: str):
+    """nn.remat with the configured checkpoint policy.  deterministic must
+    stay static for flax Dropout control flow; nn.remat counts the module
+    itself as argument 0, so in __call__(self, x, valid_mask, attn_bias,
+    pos_emb, deterministic) the flag is index 5 (index 4 would mark the
+    traced pos_emb static — TracerBoolConversion / unhashable-static
+    crashes whenever dropout > 0)."""
+    policies = {
+        "full": None,
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+    }
+    return nn.remat(layer_cls, static_argnums=(5,), policy=policies[policy_name])
+
+
 class PipeStageBlock(nn.Module):
     """One pipeline stage: a contiguous block of encoder layers.
 
@@ -239,7 +260,7 @@ class PipeStageBlock(nn.Module):
         cfg = self.cfg
         layer_cls = S2TEncoderLayer
         if cfg.checkpoint_activations:
-            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(5,))
+            layer_cls = _remat_layer(S2TEncoderLayer, cfg.remat_policy)
         for j in range(self.n_layers):
             x = layer_cls(
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
@@ -306,14 +327,9 @@ class S2TTransformerEncoder(nn.Module):
             self.embed_norm = nn.LayerNorm(dtype=dt, name="embed_norm")
         layer_cls = S2TEncoderLayer
         if cfg.checkpoint_activations:
-            # rematerialise activations in the backward pass; deterministic
-            # must stay static for flax Dropout control flow.  nn.remat
-            # counts the module itself as argument 0, so in
-            # __call__(self, x, valid_mask, attn_bias, pos_emb,
-            # deterministic) the deterministic flag is index 5 (index 4
-            # would mark the traced pos_emb static — TracerBoolConversion /
-            # unhashable-static crashes whenever dropout > 0)
-            layer_cls = nn.remat(S2TEncoderLayer, static_argnums=(5,))
+            # rematerialise activations in the backward pass (policy and
+            # static-argnum rationale: _remat_layer)
+            layer_cls = _remat_layer(S2TEncoderLayer, cfg.remat_policy)
         def lconv_kernel(i):
             if cfg.encoder_lconv_kernels:
                 return cfg.encoder_lconv_kernels[
@@ -583,6 +599,10 @@ class S2TTransformerEncoder(nn.Module):
         jit step work unchanged.  (reference: fairscale Pipe microbatching,
         model.py:80-455; TPU pattern: GSPMD pipelining a la praxis.)"""
         cfg = self.cfg
+        if bias is None:
+            # the encoder elides a pure-padding bias for the fused-attention
+            # path; the microbatch state tensors need a dense one
+            bias = padding_bias(valid, x.dtype)
         S = cfg.pipeline_parallel
         M = cfg.pipeline_microbatches or 2 * S
         B = x.shape[0]
@@ -684,11 +704,15 @@ class S2TTransformerEncoder(nn.Module):
             T = x.shape[1]
 
         valid = lengths_to_mask(lengths, T)
-        bias = padding_bias(valid, x.dtype)
+        # bias None = "padding only": lets MultiHeadAttention route through
+        # the fused VMEM attention kernel (it rebuilds the dense padding
+        # bias itself when the kernel doesn't apply)
+        bias = None
         if cfg.encoder_attention_window > 0:
             from s2t_tpu.modules.attention import local_window_bias
 
-            bias = bias + local_window_bias(T, cfg.encoder_attention_window, x.dtype)
+            bias = padding_bias(valid, x.dtype) + local_window_bias(
+                T, cfg.encoder_attention_window, x.dtype)
         if cfg.seq_parallel:
             # activations sharded over ("data" batch, "seq" time): elementwise
             # and FFN work is fully local, attention goes through the ring
@@ -719,7 +743,7 @@ class S2TTransformerEncoder(nn.Module):
                 x, lengths, mixup = self._mixup(x, lengths, num_updates)
                 T = x.shape[1]
                 valid = lengths_to_mask(lengths, T)
-                bias = padding_bias(valid, x.dtype)
+                bias = None if bias is None else padding_bias(valid, x.dtype)
             if cfg.encoder_layerdrop > 0 and not deterministic:
                 keep = (
                     jax.random.uniform(self.make_rng("dropout"))
@@ -769,11 +793,11 @@ class S2TTransformerEncoder(nn.Module):
                 if layer_idx in cfg.compression_layers:
                     x, lengths = self._compress(x, logits, lengths, layer_idx)
                     valid = lengths_to_mask(lengths, T)
-                    bias = padding_bias(valid, x.dtype)
+                    bias = None
                     if cfg.encoder_attention_window > 0:
                         from s2t_tpu.modules.attention import local_window_bias
 
-                        bias = bias + local_window_bias(
+                        bias = padding_bias(valid, x.dtype) + local_window_bias(
                             T, cfg.encoder_attention_window, x.dtype
                         )
             if (
@@ -818,10 +842,15 @@ class S2TTransformerEncoder(nn.Module):
             x = self.final_norm(x)
 
         ctc_logits = None
+        ctc_fused = None
         if cfg.use_ctc:
-            ctc_logits = self.ctc_head(
+            # return_fused: head internals let the CTC criterion gather
+            # emissions from the head input instead of the (B, T, V) logits
+            # (ops/ctc.py _fused_head_emissions)
+            ctc_logits, ctc_fused = self.ctc_head(
                 x, deterministic,
                 embedding=self._head_embed(cfg.share_ctc_and_embed),
+                return_fused=True,
             )
         xctc_logits = None
         if cfg.use_xctc:
@@ -837,6 +866,7 @@ class S2TTransformerEncoder(nn.Module):
             "encoder_out": x,
             "encoder_lengths": lengths,
             "ctc_logits": ctc_logits,
+            "ctc_fused": ctc_fused,
             "inter_ctc_logits": tuple(inter_ctc_logits),
             "xctc_logits": xctc_logits,
             "inter_xctc_logits": tuple(inter_xctc_logits),

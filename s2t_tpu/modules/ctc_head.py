@@ -26,11 +26,32 @@ class CTCHead(nn.Module):
         x: jnp.ndarray,
         deterministic: bool = True,
         embedding: Optional[jnp.ndarray] = None,
+        return_fused: bool = False,
     ) -> jnp.ndarray:
+        """``return_fused=True`` additionally returns the projection inputs
+        {"hidden", "kernel" (D, V), "bias" (V,) or None} so the CTC loss can
+        gather emission scores as a small (B,T,D)x(B,S,D) matmul instead of
+        routing them through the full (B, T, V) logits (ops/ctc.py
+        _fused_head_emissions)."""
         if self.norm:
             x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = _FastDropout(self.dropout)(x, deterministic=deterministic)
         if embedding is not None:
             # shared with embedding table: logits = x @ E^T
-            return jnp.einsum("btd,vd->btv", x, embedding.astype(x.dtype))
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(x)
+            logits = jnp.einsum("btd,vd->btv", x, embedding.astype(x.dtype))
+            if return_fused:
+                return logits, {
+                    "hidden": x,
+                    "kernel": embedding.astype(x.dtype).T,
+                    "bias": None,
+                }
+            return logits
+        proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")
+        logits = proj(x)
+        if return_fused:
+            return logits, {
+                "hidden": x,
+                "kernel": proj.variables["params"]["kernel"],
+                "bias": proj.variables["params"]["bias"],
+            }
+        return logits

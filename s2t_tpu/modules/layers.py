@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from s2t_tpu.modules.attention import (
     MultiHeadAttention,
     RelPositionMultiHeadAttention,
+    padding_bias,
 )
 from s2t_tpu.modules.subsampling import get_activation
 from s2t_tpu.utils.masking import lengths_to_mask
@@ -147,6 +148,10 @@ class S2TEncoderLayer(nn.Module):
                 name="self_attn",
             )(h, valid_mask, deterministic)
         elif self.attention_type == "rel_pos":
+            if attn_bias is None:
+                # the encoder elides a pure-padding bias (the fused-attention
+                # path rebuilds it internally); rel_pos attention is dense
+                attn_bias = padding_bias(valid_mask, h.dtype)
             h = RelPositionMultiHeadAttention(
                 self.dim, self.num_heads, self.attention_dropout, self.dtype,
                 name="self_attn",

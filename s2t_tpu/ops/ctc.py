@@ -36,19 +36,72 @@ def _extend_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
 
 
 def _lattice_logp(
-    log_probs: jnp.ndarray, ext_labels: jnp.ndarray
+    log_probs: jnp.ndarray, ext_labels: jnp.ndarray, normalized: bool = True
 ) -> jnp.ndarray:
     """Gather per-state emission scores: (B, T, V),(B, S) -> (B, T, S).
 
     Implemented as a one-hot matmul, not take_along_axis: on TPU the dynamic
     gather over the vocab axis lowers to scalarised loads (~35 ms at
     B=32,T=250,V=10k measured on v5e) while the equivalent einsum rides the
-    MXU (<1 ms), and its transpose (the backward scatter) does too.  0/1
-    selection in f32 is exact."""
-    one_hot = jax.nn.one_hot(ext_labels, log_probs.shape[-1], dtype=jnp.float32)
-    return jnp.einsum(
-        "btv,bsv->bts", log_probs.astype(jnp.float32), one_hot
+    MXU (<1 ms), and its transpose (the backward scatter) does too.  One-hot
+    selection with f32 accumulation is exact in any input dtype.
+
+    ``normalized=False`` takes RAW logits and subtracts the log-softmax
+    normalizer from the (B, T, S) gather result instead of from the (B, T, V)
+    input.  Same math — log_softmax(x)[lbl] == x[lbl] - logsumexp(x) — but it
+    never materializes an f32 (B, T, V) tensor: the bf16 logits the model
+    already produced feed the MXU directly and the logsumexp is a fused
+    reduction over them.  At the bench shape (40,250,10k) the f32
+    log_softmax materialization was 400 MB of HBM write + read per head.
+    """
+    one_hot = jax.nn.one_hot(ext_labels, log_probs.shape[-1], dtype=log_probs.dtype)
+    emit = jnp.einsum(
+        "btv,bsv->bts", log_probs, one_hot,
+        preferred_element_type=jnp.float32,
     )
+    if not normalized:
+        emit = emit - _logsumexp_v(log_probs)[:, :, None]
+    return emit
+
+
+def _logsumexp_v(logits: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, V) -> (B, T) f32 log-softmax normalizer as a fused reduction
+    (never materializes an f32 (B, T, V) tensor; layout-agnostic reads)."""
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    return m.astype(jnp.float32) + jnp.log(
+        jnp.sum(
+            jnp.exp(logits.astype(jnp.float32) - m[..., None].astype(jnp.float32)),
+            axis=-1,
+        )
+    )
+
+
+def _fused_head_emissions(
+    logits: jnp.ndarray, ext_labels: jnp.ndarray, fused_head: dict
+) -> jnp.ndarray:
+    """Emission scores straight from the CTC head's INPUT: (B, T, S) =
+    hidden @ gather(kernel, ext_labels) + bias[ext_labels] - logsumexp(logits).
+
+    The (B, T, V) logits feed only the logsumexp reduction; the per-state
+    scores come from a (B,T,D)x(B,S,D) matmul against the S gathered
+    classifier columns.  vs gathering from the logits tensor this removes
+    the big-tensor einsum read (and its layout copy) in forward and the
+    (B,T,S)x(B,S,V) scatter matmul in backward — the gradient of the gather
+    path flows through the small matmuls into hidden/kernel directly.
+    Exactness: gathered-column matmul accumulates the SAME products the
+    logits matmul accumulates, in f32 on the MXU."""
+    h, W, b = fused_head["hidden"], fused_head["kernel"], fused_head["bias"]
+    one_hot = jax.nn.one_hot(ext_labels, logits.shape[-1], dtype=h.dtype)
+    w_ext = jnp.einsum("dv,bsv->bsd", W.astype(h.dtype), one_hot)
+    em = jnp.einsum(
+        "btd,bsd->bts", h, w_ext, preferred_element_type=jnp.float32
+    )
+    if b is not None:
+        b_ext = jnp.einsum(
+            "v,bsv->bs", b.astype(jnp.float32), one_hot.astype(jnp.float32)
+        )
+        em = em + b_ext[:, None, :]
+    return em - _logsumexp_v(logits)[:, :, None]
 
 
 def _transition_mask(ext_labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
@@ -76,18 +129,24 @@ def ctc_forward_alphas(
     input_lengths: jnp.ndarray,
     blank_id: int = 0,
     force_emits: Optional[jnp.ndarray] = None,
+    normalized: bool = True,
+    fused_head: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the alpha recurrence. Returns (final_alpha (B,S), ext_labels (B,S)).
 
     ``force_emits``: optional (B, T) int32; at frame t, if force_emits[b,t] >= 0
     the lattice is constrained to that state index (imputer semantics,
     reference: torch_imputer/imputer.py force_emits argument).
+    ``normalized=False``: log_probs are raw logits (see _lattice_logp).
+    ``fused_head``: emission gather from the head input (_fused_head_emissions).
     """
-    log_probs = log_probs.astype(jnp.float32)
     B, T, V = log_probs.shape
     ext = _extend_labels(labels, blank_id)
     S = ext.shape[1]
-    emit = _lattice_logp(log_probs, ext)  # (B, T, S)
+    if fused_head is not None:
+        emit = _fused_head_emissions(log_probs, ext, fused_head)  # (B, T, S)
+    else:
+        emit = _lattice_logp(log_probs, ext, normalized=normalized)
     skip_ok = _transition_mask(ext, blank_id)  # (B, S)
 
     init = jnp.full((B, S), NEG_INF, dtype=jnp.float32)
@@ -129,14 +188,21 @@ def ctc_loss(
     blank_id: int = 0,
     reduction: str = "sum",
     zero_infinity: bool = True,
+    normalized: bool = True,
+    fused_head: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Negative log likelihood CTC loss.
 
     Args:
-      log_probs: (B, T, V) log-softmax outputs.
+      log_probs: (B, T, V) log-softmax outputs — or raw logits with
+        ``normalized=False`` (preferred in training: skips the f32 (B, T, V)
+        log_softmax materialization, see _lattice_logp).
       labels: (B, U) int labels, padded arbitrarily beyond label_lengths.
       input_lengths: (B,) valid frames.
       label_lengths: (B,) valid labels.
+      fused_head: optional head internals {"hidden","kernel","bias"} —
+        emissions gathered from the head input (_fused_head_emissions);
+        implies the logits in ``log_probs`` are raw.
     Matches torch.nn.functional.ctc_loss semantics (parity-tested in
     tests/test_ctc.py).
     """
@@ -148,10 +214,14 @@ def ctc_loss(
         # fused single-kernel lattice (custom fwd/bwd); same numerics as the
         # scan below, ~10x faster on TPU (see ops/ctc_pallas.py)
         nll = ctc_nll_pallas(
-            log_probs, labels, input_lengths, label_lengths, blank_id
+            log_probs, labels, input_lengths, label_lengths, blank_id,
+            normalized=normalized, fused_head=fused_head,
         )
     else:
-        alpha, _ = ctc_forward_alphas(log_probs, labels, input_lengths, blank_id)
+        alpha, _ = ctc_forward_alphas(
+            log_probs, labels, input_lengths, blank_id,
+            normalized=normalized, fused_head=fused_head,
+        )
         last_label = 2 * label_lengths - 1  # final label state
         last_blank = 2 * label_lengths  # final blank state
         a_label = jnp.take_along_axis(alpha, last_label[:, None].clip(0), axis=1)[:, 0]

@@ -26,6 +26,7 @@ f32 throughout); parity is asserted in tests/test_ctc.py.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -191,13 +192,24 @@ def ctc_nll_pallas(
     input_lengths: jnp.ndarray,
     label_lengths: jnp.ndarray,
     blank_id: int = 0,
+    normalized: bool = True,
+    fused_head: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Per-utterance CTC negative log-likelihood, differentiable w.r.t.
     ``log_probs``.  Drop-in for the scan path of ``ops.ctc.ctc_loss``."""
-    from s2t_tpu.ops.ctc import _extend_labels, _lattice_logp, _transition_mask
+    from s2t_tpu.ops.ctc import (
+        _extend_labels,
+        _fused_head_emissions,
+        _lattice_logp,
+        _transition_mask,
+    )
 
     ext = _extend_labels(labels, blank_id)
-    emit = _lattice_logp(log_probs, ext)  # (B, T, S) via one-hot einsum
+    if fused_head is not None:
+        emit = _fused_head_emissions(log_probs, ext, fused_head)
+    else:
+        # (B, T, S) via one-hot einsum; normalized=False keeps logits in bf16
+        emit = _lattice_logp(log_probs, ext, normalized=normalized)
     skip_ok = _transition_mask(ext, blank_id)
     last_label = (2 * label_lengths - 1).astype(jnp.int32)
     last_blank = (2 * label_lengths).astype(jnp.int32)

@@ -108,6 +108,68 @@ class TestCTCLoss:
         g_ref = t_logits.grad.numpy()
         np.testing.assert_allclose(np.asarray(g_ours), g_ref, atol=2e-3, rtol=1e-2)
 
+    def test_raw_logits_path_matches_log_softmax(self, rng):
+        """normalized=False on raw logits == normalized=True on log_softmax,
+        for values AND gradients (incl. bf16 logits as produced in training)."""
+        logits_np = rng.normal(scale=3.0, size=(3, 20, 11)).astype(np.float32)
+        _, labels, il, ll = make_case(rng)
+
+        def loss_norm(x):
+            return ctc_loss(
+                jax.nn.log_softmax(x, axis=-1), jnp.asarray(labels),
+                jnp.asarray(il), jnp.asarray(ll),
+            )
+
+        def loss_raw(x):
+            return ctc_loss(
+                x, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                normalized=False,
+            )
+
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(logits_np, dtype)
+            v1, g1 = jax.value_and_grad(lambda a: loss_norm(a.astype(jnp.float32)))(x)
+            v2, g2 = jax.value_and_grad(lambda a: loss_raw(a))(x)
+            np.testing.assert_allclose(float(v1), float(v2), rtol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(g1, np.float32), np.asarray(g2, np.float32),
+                atol=2e-2 if dtype == jnp.bfloat16 else 2e-5,
+            )
+
+    def test_fused_head_matches_logits_path(self, rng):
+        """Emissions gathered from the head input (hidden @ W[:, ext] + b[ext])
+        must match gathering from logits = hidden @ W + b, for loss and
+        gradients w.r.t. hidden and W."""
+        B, T, D, V, U = 3, 18, 16, 13, 5
+        h = rng.normal(size=(B, T, D)).astype(np.float32)
+        W = rng.normal(size=(D, V)).astype(np.float32)
+        b = rng.normal(size=(V,)).astype(np.float32)
+        labels = rng.integers(1, V, size=(B, U)).astype(np.int32)
+        il = np.full((B,), T, np.int32)
+        ll = rng.integers(1, U + 1, size=(B,)).astype(np.int32)
+
+        def loss_plain(h, W):
+            logits = jnp.einsum("btd,dv->btv", h, W) + b
+            return ctc_loss(
+                logits, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                normalized=False,
+            )
+
+        def loss_fused(h, W):
+            logits = jnp.einsum("btd,dv->btv", h, W) + b
+            return ctc_loss(
+                logits, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                fused_head={"hidden": h, "kernel": W, "bias": jnp.asarray(b)},
+            )
+
+        v1, (gh1, gw1) = jax.value_and_grad(loss_plain, argnums=(0, 1))(
+            jnp.asarray(h), jnp.asarray(W))
+        v2, (gh2, gw2) = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+            jnp.asarray(h), jnp.asarray(W))
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-4)
+
     def test_jit_and_none_reduction(self, rng):
         lp, labels, il, ll = make_case(rng)
         f = jax.jit(lambda a, b, c, d: ctc_loss(a, b, c, d, reduction="none"))
