@@ -251,6 +251,7 @@ def fused_attention_available(T: int, D: int, H: int = 8,
             return False
     except RuntimeError:
         return False
+    min_seq = int(os.environ.get("S2T_PALLAS_ATTN_MIN_SEQ", min_seq))
     if T < min_seq:
         return False
     Tp = _round_up(T, _LANE)

@@ -76,6 +76,57 @@ def _logsumexp_v(logits: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _fused_head_logsumexp(fused_head: dict) -> jnp.ndarray:
+    """(B, T) f32 log-softmax normalizer computed CHUNKED over the vocab from
+    the head input — the (B, T, V) logits tensor never exists.
+
+    An online-logsumexp ``lax.scan`` over vocab chunks of the classifier: per
+    chunk z = h @ W[:, c] (+ b[c]) is a (B, T, C) matmul whose max/sum-exp
+    folds into a running (m, s) carry.  vs materializing the logits this
+    removes, at the bench shape (40,250,10k): the 400 MB logits write+read,
+    its backward layout copy, the f32 softmax buffer, and the full-width
+    bias-grad reduce — the backward of the scan re-derives softmax chunks and
+    accumulates dh/dW/db per chunk (same matmul count as the dense backward).
+    V is padded to a lane multiple with -1e9 bias columns (exp -> 0)."""
+    h, W, b = fused_head["hidden"], fused_head["kernel"], fused_head["bias"]
+    B, T, D = h.shape
+    V = W.shape[1]
+    C = 1024
+    nc = -(-V // C)
+    pad = nc * C - V
+    b_eff = jnp.zeros((V,), jnp.float32) if b is None else b.astype(jnp.float32)
+    if pad:
+        W = jnp.pad(W, ((0, 0), (0, pad)))
+        b_eff = jnp.pad(b_eff, (0, pad), constant_values=-1e9)
+    Wc = W.reshape(D, nc, C).transpose(1, 0, 2)  # (nc, D, C)
+    bc = b_eff.reshape(nc, C)
+
+    def chunk(carry, wb):
+        m, s = carry
+        w, bb = wb
+        z = (
+            jnp.einsum("btd,dc->btc", h, w, preferred_element_type=jnp.float32)
+            + bb[None, None, :]
+        )
+        zm = jnp.max(z, axis=-1)
+        new_m = jnp.maximum(m, zm)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(z - new_m[..., None]), axis=-1
+        )
+        return (new_m, s), None
+
+    init = (
+        jnp.full((B, T), -jnp.inf, jnp.float32),
+        jnp.zeros((B, T), jnp.float32),
+    )
+    # remat the chunk: without it the scan saves every f32 (B, T, C) chunk
+    # for backward (same HBM traffic as the dense logits, measured slower);
+    # recomputing the chunk matmul in backward costs one extra matmul pass
+    # and keeps the residuals at O(B*T) per chunk
+    (m, s), _ = jax.lax.scan(jax.checkpoint(chunk), init, (Wc, bc))
+    return m + jnp.log(s)
+
+
 def _fused_head_emissions(
     logits: jnp.ndarray, ext_labels: jnp.ndarray, fused_head: dict
 ) -> jnp.ndarray:
@@ -91,7 +142,7 @@ def _fused_head_emissions(
     Exactness: gathered-column matmul accumulates the SAME products the
     logits matmul accumulates, in f32 on the MXU."""
     h, W, b = fused_head["hidden"], fused_head["kernel"], fused_head["bias"]
-    one_hot = jax.nn.one_hot(ext_labels, logits.shape[-1], dtype=h.dtype)
+    one_hot = jax.nn.one_hot(ext_labels, W.shape[1], dtype=h.dtype)
     w_ext = jnp.einsum("dv,bsv->bsd", W.astype(h.dtype), one_hot)
     em = jnp.einsum(
         "btd,bsd->bts", h, w_ext, preferred_element_type=jnp.float32
@@ -101,7 +152,7 @@ def _fused_head_emissions(
             "v,bsv->bs", b.astype(jnp.float32), one_hot.astype(jnp.float32)
         )
         em = em + b_ext[:, None, :]
-    return em - _logsumexp_v(logits)[:, :, None]
+    return em - _fused_head_logsumexp(fused_head)[:, :, None]
 
 
 def _transition_mask(ext_labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
