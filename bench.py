@@ -168,27 +168,29 @@ def bench_training(jax, jnp):
     wall = time.perf_counter() - t0
     steps_per_sec = K / wall
 
-    # MFU vs chip peak: XLA cost analysis when available, else an analytic
-    # transformer estimate (3x forward MACs x 2)
+    # MFU on analytic MODEL flops (dense formulation, bwd = 2x fwd): counting
+    # the compiled program's executed flops would penalize optimizations that
+    # delete redundant work (s2t_tpu/utils/flops.py); executed flops are
+    # reported alongside for transparency.
     dev = str(jax.devices()[0]).lower()
     peak = 275e12 if "v4" in dev else 197e12
-    flops_per_step = None
+    from s2t_tpu.utils.flops import s2t_train_flops
+
+    flops_per_step = s2t_train_flops(
+        B, T, U,
+        d_model=cfg.encoder_embed_dim, ffn=cfg.encoder_ffn_embed_dim,
+        enc_layers=cfg.encoder_layers, dec_layers=cfg.decoder_layers,
+        vocab=VOCAB,
+    )
+    executed = None
     try:
         cost = jax.jit(one).lower(state, batch, jax.random.PRNGKey(0)).compile()
         analysis = cost.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
-        flops_per_step = float(analysis.get("flops", 0.0)) or None
+        executed = float(analysis.get("flops", 0.0)) or None
     except Exception:
         pass
-    if not flops_per_step:
-        Tp, D, F, L_e, L_d, Vv = T // 4, 256, 2048, 12, 6, VOCAB
-        enc = L_e * (4 * Tp * D * D + 2 * Tp * Tp * D + 2 * Tp * D * F)
-        sub = (T // 2) * 1024 * 80 * 5 + (T // 4) * 256 * 1024 * 5
-        dec = L_d * (4 * U * D * D + 2 * U * U * D + 2 * Tp * D * D
-                     + 2 * U * Tp * D + 2 * U * D * F)
-        heads = U * D * Vv + Tp * D * Vv
-        flops_per_step = 3 * 2 * B * (enc + sub + dec + heads)
     mfu = flops_per_step * steps_per_sec / peak
 
     return {
@@ -196,6 +198,7 @@ def bench_training(jax, jnp):
         "train_frames_per_sec": round(steps_per_sec * B * T, 0),
         "train_tokens_per_sec": round(steps_per_sec * B * U, 0),
         "train_flops_per_step": flops_per_step,
+        "train_executed_flops_per_step": executed,
         "mfu": round(mfu, 4) if mfu is not None else None,
     }
 

@@ -336,6 +336,10 @@ class GenerationConfig:
     # equivalent): exact greedy output from parallel teacher-forced passes
     # seeded by the CTC draft; implies beam-1 semantics
     jacobi: bool = False
+    # int8 KV cache for incremental decode: halves the per-step beam-reorder
+    # gather traffic (the decode loop's dominant cost, docs/serving.md);
+    # per-(position, head) absmax scales (modules/attention.py)
+    kv_cache_dtype: str = "model"  # "model" | "int8"
     # S2T-fork CTC inference extras (reference: dataclass/configs.py:811-885)
     infer_ctc_weight: float = 0.0
     ctc_infer: bool = False

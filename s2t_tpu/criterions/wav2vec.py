@@ -28,9 +28,54 @@ class Wav2VecCriterion:
     def __init__(self, cfg: "Wav2VecCriterion.Config"):
         self.cfg = cfg
 
+    def _cpc_v1(
+        self, model_out: Dict[str, Any]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """wav2vec v1 CPC loss over dense (B, T, steps, 1+N) scores
+        (reference: wav2vec_criterion.py:64-77 — infonce cross-entropy with
+        target 0, else binary cross-entropy with the positive column labelled
+        1 and optional 1/num_negatives weights on the negatives)."""
+        logits = model_out["cpc_logits"].astype(jnp.float32)
+        valid = model_out["cpc_valid"]  # (B, T, steps)
+        B = logits.shape[0]
+        if model_out.get("infonce"):
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nll = jnp.where(valid, -lp[..., 0], 0.0)
+            loss = jnp.sum(nll)
+            sample_size = jnp.sum(valid).astype(jnp.float32)
+            pred = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum(jnp.where(valid, (pred == 0).astype(jnp.float32), 0.0))
+        else:
+            labels = jnp.zeros_like(logits).at[..., 0].set(1.0)
+            bce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+                jnp.exp(-jnp.abs(logits))
+            )
+            if model_out.get("balanced_classes"):
+                w = jnp.full_like(logits, 1.0 / max(model_out["num_negatives"], 1))
+                w = w.at[..., 0].set(1.0)
+                bce = bce * w
+            bce = jnp.where(valid[..., None], bce, 0.0)
+            loss = jnp.sum(bce)
+            # reference sample_size = number of positive targets
+            sample_size = jnp.sum(valid).astype(jnp.float32)
+            correct = jnp.sum(
+                jnp.where(valid, (logits[..., 0] > 0).astype(jnp.float32), 0.0)
+            )
+        logs = {
+            "loss": loss,
+            "nll_loss": loss,
+            "ntokens": sample_size,
+            "nsentences": jnp.asarray(float(B), jnp.float32),
+            "n_correct": correct,
+            "total": sample_size,
+        }
+        return loss, sample_size, logs
+
     def __call__(
         self, model_out: Dict[str, Any], batch: Dict[str, Any]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        if "cpc_logits" in model_out:
+            return self._cpc_v1(model_out)
         logits = model_out["logits"].astype(jnp.float32)  # (1+N, B, M)
         K, B, M = logits.shape
         valid = model_out.get("mask_valid")

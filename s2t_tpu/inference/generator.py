@@ -56,8 +56,11 @@ class SequenceGenerator:
         diversity_rate: float = -1.0,
         constraints_mode: Optional[str] = None,
         static_cross_kv: bool = True,
+        kv_cache_dtype: str = "model",  # model dtype | "int8" (halves the
+        # beam loop's cache-reorder bytes; modules/attention.py int8 branch)
         extra_models: Optional[list] = None,
     ):
+        self.kv_int8 = kv_cache_dtype == "int8"
         self.model = model
         self.beam_size = beam_size
         self.max_len_a = max_len_a
@@ -148,8 +151,10 @@ class SequenceGenerator:
                     {"params": params}, enc_out,
                     method=self.model.precompute_cross,
                 )
+            cache_kw = {"kv_int8": True} if self.kv_int8 else {}
             cache = self.model.apply(
-                {"params": params}, B * K, max_len, method=self.model.init_cache
+                {"params": params}, B * K, max_len, method=self.model.init_cache,
+                **cache_kw,
             )
             use_lm = self.lm_model is not None and self.lm_weight != 0.0
             if use_lm:

@@ -21,5 +21,6 @@ from s2t_tpu.models import s2t_w2v2_transformer  # noqa: F401
 from s2t_tpu.models import transformer  # noqa: F401
 from s2t_tpu.models import transformer_align  # noqa: F401
 from s2t_tpu.models import transformer_lm  # noqa: F401
+from s2t_tpu.models import wav2vec  # noqa: F401
 from s2t_tpu.models import wav2vec2  # noqa: F401
 from s2t_tpu.models.build import build_model  # noqa: F401

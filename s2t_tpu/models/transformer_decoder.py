@@ -166,13 +166,29 @@ class TransformerDecoder(nn.Module):
         )
         return self._output(x)
 
-    def init_cache(self, batch_size: int, max_len: int) -> dict:
-        """Zeroed KV cache pytree: per layer (B, max_len, H, Dh) k/v arrays."""
+    def init_cache(self, batch_size: int, max_len: int,
+                   kv_int8: bool = False) -> dict:
+        """Zeroed KV cache pytree: per layer (B, max_len, H, Dh) k/v arrays.
+
+        ``kv_int8``: int8 storage with per-(position, head) bf16 scales —
+        halves the beam loop's dominant cache-reorder traffic
+        (modules/attention.py int8 branch; generation.kv_cache_dtype)."""
         head_dim = self.embed_dim // self.num_heads
+        shape = (batch_size, max_len, self.num_heads, head_dim)
+        if kv_int8:
+            return {
+                f"layer{i}": {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.zeros(shape[:3], jnp.bfloat16),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "v_scale": jnp.zeros(shape[:3], jnp.bfloat16),
+                }
+                for i in range(self.num_layers)
+            }
         return {
             f"layer{i}": {
-                "k": jnp.zeros((batch_size, max_len, self.num_heads, head_dim), self.dtype),
-                "v": jnp.zeros((batch_size, max_len, self.num_heads, head_dim), self.dtype),
+                "k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype),
             }
             for i in range(self.num_layers)
         }

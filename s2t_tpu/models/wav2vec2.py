@@ -457,9 +457,116 @@ class Wav2VecCtc(nn.Module):
         }
 
 
+@dataclass(frozen=True)
+class Wav2VecSeq2SeqConfig(Wav2Vec2Config):
+    vocab_size: int = 10000
+    decoder_embed_dim: int = 768
+    decoder_ffn_embed_dim: int = 3072
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 4
+    decoder_dropout: float = 0.1
+    decoder_attention_dropout: float = 0.1
+    decoder_activation_dropout: float = 0.0
+    decoder_learned_pos: bool = False
+    decoder_normalize_before: bool = False
+    share_decoder_input_output_embed: bool = False
+    max_target_positions: int = 2048
+    final_dropout: float = 0.0
+    pad_id: int = 1
+
+
+@register_model("wav2vec_seq2seq")
+class Wav2VecSeq2Seq(nn.Module):
+    """Fine-tuning: w2v2 encoder + autoregressive transformer decoder
+    (reference: fairseq/models/wav2vec/wav2vec2_asr.py:226
+    Wav2Vec2Seq2SeqModel — the seq2seq alternative to the CTC head,
+    trained with label-smoothed CE).  The batch interface matches the
+    speech_to_text task (features = raw waveform here), so the standard
+    trainer, criterion, and beam generator drive it unchanged."""
+
+    cfg: Wav2VecSeq2SeqConfig
+
+    def setup(self):
+        from s2t_tpu.models.transformer_decoder import TransformerDecoder
+
+        cfg = self.cfg
+        self.w2v = Wav2Vec2Model(cfg, name="w2v")
+        if cfg.encoder_embed_dim != cfg.decoder_embed_dim:
+            self.enc_proj = nn.Dense(
+                cfg.decoder_embed_dim, dtype=cfg.dtype, name="enc_proj"
+            )
+        self.final_drop = _FastDropout(cfg.final_dropout)
+        self.decoder = TransformerDecoder(
+            vocab_size=cfg.vocab_size,
+            embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim,
+            num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads,
+            dropout=cfg.decoder_dropout,
+            attention_dropout=cfg.decoder_attention_dropout,
+            activation_dropout=cfg.decoder_activation_dropout,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            learned_pos=cfg.decoder_learned_pos,
+            max_positions=cfg.max_target_positions,
+            pad_id=cfg.pad_id,
+            dtype=cfg.dtype,
+            name="decoder",
+        )
+
+    def _encode_w2v(self, source, lengths, deterministic):
+        x, out_lengths = self.w2v.extract_features(
+            source, lengths, deterministic, apply_mask=not deterministic
+        )
+        x = self.final_drop(x, deterministic=deterministic)
+        if self.cfg.encoder_embed_dim != self.cfg.decoder_embed_dim:
+            x = self.enc_proj(x)
+        return x, out_lengths
+
+    def __call__(self, source, lengths, prev_tokens, deterministic: bool = True,
+                 **_unused):
+        x, out_lengths = self._encode_w2v(source, lengths, deterministic)
+        enc_mask = lengths_to_mask(out_lengths, x.shape[1])
+        logits = self.decoder(prev_tokens, x, enc_mask, deterministic)
+        return {
+            "decoder_logits": logits,
+            "encoder_out": x,
+            "encoder_lengths": out_lengths,
+            "ctc_logits": None,
+            "inter_ctc_logits": (),
+            "xctc_logits": None,
+            "inter_xctc_logits": (),
+            "mixup": None,
+        }
+
+    # --- inference-facing methods (same surface as S2TTransformerModel) ----
+    def encode(self, source, lengths, deterministic: bool = True):
+        x, out_lengths = self._encode_w2v(source, lengths, deterministic)
+        return {"encoder_out": x, "encoder_lengths": out_lengths}
+
+    def decode(self, prev_tokens, encoder_out, encoder_valid_mask):
+        return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
+
+    def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask,
+                    cross_kv=None):
+        return self.decoder.step(tokens, cache, index, encoder_out,
+                                 encoder_valid_mask, cross_kv=cross_kv)
+
+    def precompute_cross(self, encoder_out):
+        return self.decoder.precompute_cross(encoder_out)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        return self.decoder.init_cache(batch_size, max_len)
+
+
 @register_model_architecture("wav2vec2", "wav2vec2_base")
 def wav2vec2_base(**kw) -> Wav2Vec2Config:
     return Wav2Vec2Config().replace(**kw)
+
+
+@register_model_architecture("wav2vec_seq2seq", "wav2vec_seq2seq")
+def wav2vec_seq2seq_arch(**kw) -> Wav2VecSeq2SeqConfig:
+    return Wav2VecSeq2SeqConfig().replace(**kw)
 
 
 @register_model_architecture("wav2vec_ctc", "wav2vec_ctc")

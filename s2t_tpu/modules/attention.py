@@ -210,7 +210,59 @@ class MultiHeadAttention(nn.Module):
             bias = padding_bias(valid_mask, q.dtype)
 
         new_cache = None
-        if cache is not None:
+        if cache is not None and "k_scale" in cache:
+            # int8 KV cache (generation.kv_cache_dtype=int8): each step's
+            # k/v row is quantized per (position, head) with an absmax/127
+            # scale before the cache write.  The beam loop's dominant cost is
+            # the per-step cache reorder gather (docs/serving.md) — int8
+            # halves those bytes; dequantization fuses into the attention
+            # einsum's operand read.
+            def q8(x):
+                s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+                s = jnp.maximum(s, 1e-8)
+                q = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+                ).astype(jnp.int8)
+                return q, s.astype(jnp.bfloat16)
+
+            kq, ks = q8(k)
+            vq, vs = q8(v)
+            upd = lambda c, x: jax.lax.dynamic_update_slice_in_dim(
+                c, x, cache_index, axis=1
+            )
+            new_cache = {
+                "k": upd(cache["k"], kq), "k_scale": upd(cache["k_scale"], ks),
+                "v": upd(cache["v"], vq), "v_scale": upd(cache["v_scale"], vs),
+            }
+            Tk = new_cache["k"].shape[1]
+            step_mask = jnp.arange(Tk)[None, None, None, :] <= cache_index
+            step_bias = jnp.where(step_mask, 0.0, NEG).astype(q.dtype)
+            bias = step_bias if bias is None else bias + step_bias
+            if self.attention_type == "relative":
+                q_pos = cache_index + jnp.arange(q.shape[1])
+                key_pos = jnp.arange(Tk)
+                bias = bias + self._relative_bias(q, key_pos, q_pos)
+            # the per-(position, head) scale commutes out of the head-dim
+            # contraction, so the int8 cache feeds the matmuls directly —
+            # never materializing a dequantized copy:
+            #   scores[t] = (q . k8[t]) * s_k[t];  out = sum_t (w[t] s_v[t]) v8[t]
+            k8 = new_cache["k"].astype(q.dtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k8) / jnp.sqrt(
+                q.shape[-1]
+            ).astype(q.dtype)
+            scores = scores * jnp.transpose(
+                new_cache["k_scale"].astype(q.dtype), (0, 2, 1)
+            )[:, :, None, :]
+            scores = scores + bias
+            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            self.sow("intermediates", "attn_weights", w)
+            wv = w * jnp.transpose(
+                new_cache["v_scale"].astype(q.dtype), (0, 2, 1)
+            )[:, :, None, :]
+            out = jnp.einsum("bhqk,bkhd->bqhd", wv, new_cache["v"].astype(q.dtype))
+            out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
+            return self.out_proj(out), new_cache
+        elif cache is not None:
             # write this step's k/v at cache_index, then attend over the cache
             k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)

@@ -18,9 +18,38 @@ drawing from the "dropout" rng collection.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _regen_dropout(x, key, k):
+    return _regen_fwd(x, key, k)[0]
+
+
+def _mask_apply(x, key, k):
+    bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+    scale = jnp.asarray(1.0 / (1.0 - k / 256.0), x.dtype)
+    return jnp.where(bits >= jnp.uint8(k), x * scale, 0)
+
+
+def _regen_fwd(x, key, k):
+    # residual is just the key: backward re-draws the identical bits instead
+    # of storing the (x.shape) u8 mask across fwd->bwd.  With the hardware
+    # rng (rbg) regeneration is cheaper than the mask's HBM round trip on
+    # every large tensor this module guards (attention probs, FFN
+    # activations).
+    return _mask_apply(x, key, k), key
+
+
+def _regen_bwd(k, key, g):
+    return _mask_apply(g, key, k), None
+
+
+_regen_dropout.defvjp(_regen_fwd, _regen_bwd)
 
 
 class Dropout(nn.Module):
@@ -37,9 +66,4 @@ class Dropout(nn.Module):
         if k <= 0:
             return x
         k = min(k, 255)
-        keep_eff = 1.0 - k / 256.0
-        bits = jax.random.bits(
-            self.make_rng(self.rng_collection), x.shape, dtype=jnp.uint8
-        )
-        scale = jnp.asarray(1.0 / keep_eff, x.dtype)
-        return jnp.where(bits >= jnp.uint8(k), x * scale, 0)
+        return _regen_dropout(x, self.make_rng(self.rng_collection), k)

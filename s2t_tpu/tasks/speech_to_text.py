@@ -112,6 +112,7 @@ class SpeechToTextTask(Task):
 
         # fused Pallas fbank on TPU; XLA composite elsewhere (CPU tests)
         use_pallas = jax.default_backend() not in ("cpu",)
+        capture_attn = self.cfg.criterion.startswith("latency_augmented")
 
         def fwd(model, params, batch, deterministic, rngs=None):
             feats = batch["features"]
@@ -155,6 +156,20 @@ class SpeechToTextTask(Task):
                 and "_step" in batch
             ):
                 kwargs["num_updates"] = batch["_step"]
+            if capture_attn:
+                # latency-augmented training: the criterion penalizes the
+                # decoder's expected cross-attention delays (criterions/
+                # latency.py) — capture the sown probabilities
+                from s2t_tpu.criterions.latency import stack_cross_attn
+
+                out, mods = model.apply(
+                    {"params": params}, *args, deterministic=deterministic,
+                    rngs=rngs, mutable=["intermediates"], **kwargs,
+                )
+                attn = stack_cross_attn(mods["intermediates"])
+                if attn is not None:
+                    out["cross_attn"] = attn
+                return out
             return model.apply(
                 {"params": params}, *args, deterministic=deterministic, rngs=rngs,
                 **kwargs,
@@ -230,6 +245,7 @@ class SpeechToTextTask(Task):
             diverse_beam_strength=g.diverse_beam_strength,
             diversity_rate=g.diversity_rate,
             constraints_mode=g.constraints,
+            kv_cache_dtype=getattr(g, "kv_cache_dtype", "model"),
         )
 
     def decode_tokens(self, tokens) -> str:

@@ -128,6 +128,19 @@ class TranslationTask(Task):
                     mods["intermediates"], model.cfg
                 )
                 return out
+            if self.cfg.criterion.startswith("latency_augmented"):
+                # simultaneous-MT latency penalty over all decoder layers'
+                # cross-attention (criterions/latency.py)
+                from s2t_tpu.criterions.latency import stack_cross_attn
+
+                out, mods = model.apply(
+                    {"params": params}, *args, deterministic=deterministic,
+                    rngs=rngs, mutable=["intermediates"],
+                )
+                attn = stack_cross_attn(mods["intermediates"])
+                if attn is not None:
+                    out["cross_attn"] = attn
+                return out
             return model.apply(
                 {"params": params}, *args, deterministic=deterministic, rngs=rngs
             )

@@ -51,10 +51,14 @@ sps = K / wall
 cost = jax.jit(one).lower(state, batch, jax.random.PRNGKey(0)).compile()
 an = cost.cost_analysis()
 if isinstance(an, list): an = an[0]
-flops = float(an.get("flops", 0.0))
+executed = float(an.get("flops", 0.0))
 bytes_ = float(an.get("bytes accessed", 0.0))
+from s2t_tpu.utils.flops import s2t_train_flops
+flops = s2t_train_flops(
+    B, T, U, d_model=cfg.encoder_embed_dim, ffn=cfg.encoder_ffn_embed_dim,
+    enc_layers=cfg.encoder_layers, dec_layers=cfg.decoder_layers, vocab=VOCAB)
 dev = str(jax.devices()[0]).lower()
 peak = 197e12
 print(f"arch={arch} B={B} T={T} steps/s={sps:.3f} ms/step={1000/sps:.2f}")
-print(f"flops/step={flops:.3e} bytes/step={bytes_:.3e} MFU={flops*sps/peak:.4f}")
+print(f"model flops/step={flops:.3e} executed={executed:.3e} bytes/step={bytes_:.3e} MFU={flops*sps/peak:.4f}")
 print(f"HBM BW use={bytes_*sps/1e9:.1f} GB/s (v5e peak ~819)")

@@ -25,6 +25,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     beam = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    kv = sys.argv[3] if len(sys.argv) > 3 else "model"
     T, N, VOCAB, MAX_LEN = 1000, 2, 10000, 100
     cfg = s2t_transformer_s(
         vocab_size=VOCAB, dtype_str="bfloat16", max_target_positions=1024
@@ -37,7 +38,8 @@ def main():
         jax.random.PRNGKey(0), feats, lens, jnp.zeros((B, 4), jnp.int32)
     )["params"]
     gen = SequenceGenerator(
-        model, beam_size=beam, max_len_a=0.0, max_len_b=MAX_LEN, lenpen=1.0
+        model, beam_size=beam, max_len_a=0.0, max_len_b=MAX_LEN, lenpen=1.0,
+        kv_cache_dtype=kv,
     )
     toks, _, _ = gen.generate(params, {"features": feats, "feat_lengths": lens})
     np.asarray(toks)  # compile + warm
@@ -54,7 +56,7 @@ def main():
     wall = time.perf_counter() - t0
     print(
         f"RTF {B * N * T * 0.01 / wall:.1f}x realtime | "
-        f"{B * N / wall:.1f} utt/s | wall {wall:.2f}s | B={B} beam={beam}"
+        f"{B * N / wall:.1f} utt/s | wall {wall:.2f}s | B={B} beam={beam} kv={kv}"
     )
 
 
