@@ -112,14 +112,20 @@ def bench_nast_generation(jax, jnp):
 
 
 def bench_training(jax, jnp):
-    """Full train-step throughput + MFU for s2t_transformer_s (bf16)."""
+    """Full train-step throughput + MFU for s2t_transformer_m (bf16) at the
+    reference's --max-tokens 40000 regime (BASELINE.md: 40k frames/step).
+    The m-model (512d) is the MuST-C/LibriSpeech workhorse; the s-model's
+    256-dim matmuls structurally underfill the 128x128 MXU, so its MFU says
+    more about the architecture than the implementation."""
     from s2t_tpu.config import OptimizationConfig
     from s2t_tpu.criterions import build_criterion
-    from s2t_tpu.models.s2t_transformer import S2TTransformerModel, s2t_transformer_s
+    from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+    from s2t_tpu.registry import ARCHS
     from s2t_tpu.trainer import Trainer
 
-    B, T, U, VOCAB = 32, 1000, 30, 10000
-    cfg = s2t_transformer_s(
+    B, T, U, VOCAB = 40, 1000, 30, 10000
+    _, preset = ARCHS.get("s2t_transformer_m")
+    cfg = preset(
         vocab_size=VOCAB, dtype_str="bfloat16", max_target_positions=1024
     )
     model = S2TTransformerModel(cfg)

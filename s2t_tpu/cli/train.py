@@ -263,6 +263,7 @@ def main(cfg) -> Dict[str, Any]:
     progress = ProgressLogger(
         cfg.common.log_format, cfg.common.tensorboard_logdir,
         cfg.common.wandb_project,
+        azureml_logging=cfg.common.azureml_logging,
     )
     max_epoch = cfg.optimization.max_epoch or math.inf
     max_update = cfg.optimization.max_update or math.inf

@@ -173,6 +173,9 @@ class CommonConfig:
     log_format: str = "simple"  # simple | json | none
     tensorboard_logdir: Optional[str] = None
     wandb_project: Optional[str] = None
+    # log metrics to the ambient AzureML run when azureml-core is installed
+    # (reference: --azureml-logging, logging/progress_bar.py:440)
+    azureml_logging: bool = False
     dtype: str = "bfloat16"  # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"  # parameter dtype
     profile: bool = False

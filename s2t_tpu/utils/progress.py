@@ -1,7 +1,8 @@
-"""Progress logging sinks: simple / json stdout + TensorBoard + W&B.
+"""Progress logging sinks: simple / json stdout + TensorBoard + W&B + AzureML.
 
 (reference: fairseq/logging/progress_bar.py:28-485 — renderer selected by
---log-format with optional TensorBoard/W&B wrappers.)
+--log-format with optional TensorBoard/W&B/AzureML wrappers; the AzureML
+wrapper is :440-476.)
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ class ProgressLogger:
         log_format: str = "simple",
         tensorboard_logdir: Optional[str] = None,
         wandb_project: Optional[str] = None,
+        azureml_logging: bool = False,
     ):
         self.log_format = log_format
         self.tb = None
@@ -37,6 +39,15 @@ class ProgressLogger:
                 self.wandb = wandb
             except ImportError:
                 logger.warning("wandb not installed; skipping sink")
+        self.azureml = None
+        if azureml_logging:
+            # reference: progress_bar.py:440-476 AzureMLProgressBarWrapper
+            try:
+                from azureml.core import Run  # optional
+
+                self.azureml = Run.get_context()
+            except ImportError:
+                logger.warning("azureml-core not installed; skipping sink")
 
     def log(self, stats: Dict[str, float], step: int, tag: str = "train",
             epoch: Optional[int] = None):
@@ -55,6 +66,12 @@ class ProgressLogger:
             tb.add_scalars(stats, step)
         if self.wandb is not None:
             self.wandb.log({f"{tag}/{k}": v for k, v in stats.items()}, step=step)
+        if self.azureml is not None:
+            for k, v in stats.items():
+                if isinstance(v, (int, float)):
+                    self.azureml.log(
+                        name=f"{tag}/{k}", value=v, description=k
+                    )
 
     def close(self):
         if self.tb is not None:
