@@ -27,7 +27,11 @@ NEG = -1e9
 
 
 def dot_attention_weights(q, k, bias, dtype):
-    """q: (B, Tq, H, Dh), k: (B, Tk, H, Dh), bias: (B, 1|H, Tq, Tk) additive."""
+    """q: (B, Tq, H, Dh), k: (B, Tk, H, Dh), bias: (B, 1|H, Tq, Tk) additive.
+
+    The softmax stays in f32 (the (B, H, T, T) store is bf16 either way —
+    XLA fuses the convert; measured only 0.35 ms/step on the m-model to
+    drop the upcast, not worth the numerics)."""
     depth = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(depth).astype(q.dtype)
     if bias is not None:
