@@ -73,12 +73,13 @@ class GlobalCMVN:
 
 @register_feature_transform("specaugment")
 class SpecAugment:
-    """SpecAugment (Park et al. 2019): frequency + time masking, batched.
+    """SpecAugment (Park et al. 2019): time warp + frequency/time masking.
 
-    (reference: feature_transforms/specaugment.py:13-131.  The optional cv2
-    time-warp — W>0 with a single-point sparse warp — contributes little per
-    the paper and needs image resampling; implemented here as the widely-used
-    no-warp policy, matching the reference recipes which set time_warp_W=0.)
+    (reference: feature_transforms/specaugment.py:13-131 uses a cv2/sparse
+    image warp; the paper's warp is 1-D along time, so here it is the exact
+    piecewise-linear time resample — a center frame c in [W, len-W) is moved
+    by w ~ U[-W, W] and the two segments are linearly re-sampled with a
+    gather + lerp.  W=0 (the recipe default) disables it.)
     """
 
     def __init__(
@@ -91,6 +92,7 @@ class SpecAugment:
         time_mask_p: float = 1.0,
         mask_value: Optional[float] = None,
     ):
+        self.time_warp_w = time_warp_w
         self.freq_mask_n = freq_mask_n
         self.freq_mask_f = freq_mask_f
         self.time_mask_n = time_mask_n
@@ -120,6 +122,9 @@ class SpecAugment:
             # here at eval with no rng — no-op instead of crashing
             return feats
         B, T, D = feats.shape
+        if self.time_warp_w > 0:
+            rng, k_w = jax.random.split(rng)
+            feats = self._time_warp(feats, lengths, k_w)
         valid = lengths_to_mask(lengths, T)[..., None]
         n = jnp.maximum(lengths[:, None, None].astype(feats.dtype), 1.0)
         fill = (
@@ -156,6 +161,36 @@ class SpecAugment:
 
         out = jnp.where(keep, feats, fill)
         return jnp.where(valid, out, feats)
+
+    def _time_warp(self, feats, lengths, rng):
+        """Piecewise-linear time warp: map [0, c] -> [0, c+w] and
+        [c, len) -> [c+w, len) and resample by linear interpolation."""
+        B, T, D = feats.shape
+        W = self.time_warp_w
+        k1, k2 = jax.random.split(rng)
+        L = lengths.astype(jnp.float32)[:, None]  # (B, 1)
+        # rows shorter than 2W+2 keep identity (the reference skips them too)
+        ok = (lengths >= 2 * W + 2)[:, None]
+        c = W + jax.random.uniform(k1, (B, 1)) * jnp.maximum(L - 2 * W, 1.0)
+        w = jax.random.uniform(k2, (B, 1), minval=-W, maxval=W + 1.0)
+        w = jnp.floor(w)
+        cw = c + w
+        t = jnp.arange(T, dtype=jnp.float32)[None, :]  # (B, T) broadcast
+        # inverse map: output position t reads source position src(t)
+        left = t * (c / jnp.maximum(cw, 1.0))
+        right = c + (t - cw) * (L - 1 - c) / jnp.maximum(L - 1 - cw, 1.0)
+        src = jnp.where(t <= cw, left, right)
+        src = jnp.where(ok, src, t)
+        src = jnp.clip(src, 0.0, L - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, T - 1)
+        frac = (src - lo.astype(jnp.float32))[..., None].astype(feats.dtype)
+        f_lo = jnp.take_along_axis(feats, lo[..., None], axis=1)
+        f_hi = jnp.take_along_axis(feats, hi[..., None], axis=1)
+        warped = f_lo * (1 - frac) + f_hi * frac
+        # padded tail stays untouched
+        pad = t >= L
+        return jnp.where(pad[..., None], feats, warped)
 
 
 class CompositeTransform:

@@ -132,3 +132,50 @@ class TestTransforms:
         assert len(ct.transforms) == 2
         out = ct(jnp.ones((1, 10, 4)), jnp.asarray([10]), jax.random.PRNGKey(0))
         assert out.shape == (1, 10, 4)
+
+
+class TestTimeWarp:
+    """SpecAugment's W>0 time warp (1-D piecewise-linear resample — the
+    exact form of the paper's warp; reference specaugment.py uses a cv2
+    sparse image warp with the same endpoints)."""
+
+    def _sa(self, W):
+        from s2t_tpu.data.audio.transforms import SpecAugment
+
+        return SpecAugment(time_warp_w=W, freq_mask_n=0, time_mask_n=0)
+
+    def test_warp_zero_is_identity(self):
+        import jax, jax.numpy as jnp
+        feats = jnp.asarray(np.random.default_rng(0).normal(size=(2, 40, 8)),
+                            jnp.float32)
+        lengths = jnp.asarray([40, 25])
+        out = self._sa(0)(feats, lengths, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(feats))
+
+    def test_warp_moves_content_keeps_padding_and_range(self):
+        import jax, jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        feats = jnp.asarray(rng.normal(size=(3, 60, 8)), jnp.float32)
+        lengths = jnp.asarray([60, 40, 10])
+        sa = self._sa(5)
+        out = np.asarray(sa(feats, lengths, jax.random.PRNGKey(3)))
+        f = np.asarray(feats)
+        # something moved on long rows
+        assert np.abs(out[0, :60] - f[0, :60]).max() > 1e-6
+        # padded tail untouched
+        np.testing.assert_allclose(out[1, 40:], f[1, 40:])
+        # too-short rows (len < 2W+2) stay identity
+        np.testing.assert_allclose(out[2], f[2])
+        # linear interpolation never leaves the convex hull per feature dim
+        assert out[0].max() <= f[0].max() + 1e-5
+        assert out[0].min() >= f[0].min() - 1e-5
+
+    def test_warp_endpoints_fixed(self):
+        """Frame 0 maps to source 0 (the warp pins sequence endpoints)."""
+        import jax, jax.numpy as jnp
+        feats = jnp.asarray(np.random.default_rng(2).normal(size=(1, 50, 4)),
+                            jnp.float32)
+        lengths = jnp.asarray([50])
+        out = np.asarray(self._sa(4)(feats, lengths, jax.random.PRNGKey(1)))
+        np.testing.assert_allclose(out[0, 0], np.asarray(feats)[0, 0],
+                                   rtol=1e-5)

@@ -183,3 +183,40 @@ class TestTaskIntegration:
         # with label_smoothing=0 CE == NLL, so any loss-over-nll gap is the
         # latency penalty flowing through the captured cross-attention
         assert last["loss"] > last["nll_loss"] + 1e-4
+
+
+class TestCompositeCriterions:
+    def test_model_criterion_weighted_sum(self):
+        from s2t_tpu.criterions import build_criterion
+
+        crit = build_criterion(
+            "model", {"loss_weights": {"a": 2.0, "b": 0.5, "c": 0.0},
+                      "log_keys": ["extra"]},
+        )
+        out = {"losses": {"a": jnp.asarray(1.0), "b": jnp.asarray(4.0),
+                          "c": jnp.asarray(100.0)},
+               "sample_size": 7.0, "extra": jnp.asarray(3.0)}
+        loss, n, logs = crit(out, {"ntokens": 7.0})
+        assert float(loss) == pytest.approx(2.0 * 1.0 + 0.5 * 4.0)
+        assert float(n) == 7.0
+        assert float(logs["extra"]) == 3.0
+        assert "loss_c" not in logs  # zero-weighted terms dropped
+
+    def test_composite_loss_averages_pairs(self):
+        from s2t_tpu.criterions import build_criterion
+
+        crit = build_criterion(
+            "composite_loss",
+            {"underlying_criterion": "label_smoothed_cross_entropy",
+             "underlying_cfg": {"label_smoothing": 0.0}},
+        )
+        rng = np.random.default_rng(0)
+        B, U, V = 2, 4, 9
+        mk = lambda s: {"decoder_logits": jnp.asarray(
+            np.random.default_rng(s).normal(size=(B, U, V)), jnp.float32)}
+        tgt = jnp.asarray(rng.integers(2, V, size=(2, B, U)), jnp.int32)
+        out = {"outputs": (mk(1), mk(2))}
+        loss, n, logs = crit(out, {"targets": tgt})
+        l1, n1, _ = crit.underlying(mk(1), {"target": tgt[0]})
+        l2, n2, _ = crit.underlying(mk(2), {"target": tgt[1]})
+        assert float(loss) == pytest.approx((float(l1) + float(l2)) / 2, rel=1e-6)
