@@ -25,12 +25,22 @@ from s2t_tpu.registry import register_model, register_model_architecture
 
 @register_model("s2t_ctc")
 class S2TCTCModel(nn.Module):
-    """Encoder-only model; forward returns encoder/CTC outputs only."""
+    """Encoder-only model; forward returns encoder/CTC outputs only.
 
-    cfg: S2TTransformerConfig
+    The encoder family follows the config type: an ``SATEConfig`` selects
+    the stacked acoustic+textual encoder (reference: s2t_ctc.py:491
+    --acoustic-encoder transformer|pds|sate — the NAST-on-SATE/PDS recipes,
+    e.g. egs/mustc/st/conf/nast_pds_big.yaml with encoder-type: sate)."""
+
+    cfg: Any
 
     def setup(self):
-        self.encoder = S2TTransformerEncoder(self.cfg, name="encoder")
+        from s2t_tpu.models.sate import S2TSATEEncoder, SATEConfig
+
+        if isinstance(self.cfg, SATEConfig):
+            self.encoder = S2TSATEEncoder(self.cfg, name="encoder")
+        else:
+            self.encoder = S2TTransformerEncoder(self.cfg, name="encoder")
 
     def __call__(
         self,
@@ -38,8 +48,9 @@ class S2TCTCModel(nn.Module):
         feat_lengths: jnp.ndarray,
         prev_tokens: jnp.ndarray = None,  # unused; kept for interface parity
         deterministic: bool = True,
+        **kwargs,
     ) -> Dict[str, Any]:
-        enc = self.encoder(features, feat_lengths, deterministic)
+        enc = self.encoder(features, feat_lengths, deterministic, **kwargs)
         return {"decoder_logits": None, **enc}
 
     def encode(self, features, feat_lengths, deterministic: bool = True):
@@ -65,3 +76,14 @@ def s2t_nast(**kw) -> S2TTransformerConfig:
         use_xctc=True,
     )
     return cfg.replace(**kw)
+
+
+@register_model_architecture("s2t_ctc", "s2t_ctc_sate")
+def s2t_ctc_sate(**kw):
+    """Encoder-only NAST over the SATE encoder (acoustic transformer or PDS
+    by acoustic_encoder=...; reference: nast_pds_big.yaml encoder-type: sate
+    + acoustic-encoder: pds)."""
+    from s2t_tpu.models.sate import s2t_sate_s
+
+    kw.setdefault("acoustic_decoder_layers", 0)
+    return s2t_sate_s(**kw)

@@ -17,11 +17,14 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple, TYPE_CHECKING
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+if TYPE_CHECKING:
+    from s2t_tpu.models.pds import PDSConfig
 
 from s2t_tpu.modules.adapter import Adapter, ctc_shrink_matrix
 from s2t_tpu.modules.attention import padding_bias
@@ -44,6 +47,14 @@ class SATEConfig:
     acoustic: S2TTransformerConfig = dataclasses.field(
         default_factory=S2TTransformerConfig
     )
+    # acoustic encoder family: "transformer" or "pds" (reference:
+    # s2t_sate.py:845-854 --acoustic-encoder; the sate_pds_* recipes stack
+    # a progressive-downsampling acoustic encoder under the textual one)
+    acoustic_encoder: str = "transformer"
+    # PDS acoustic-encoder config when acoustic_encoder == "pds"; its final
+    # stage dim must equal acoustic.encoder_embed_dim (the adapter/textual
+    # stack reads dims from ``acoustic``)
+    pds: Optional["PDSConfig"] = None
     # adapter bridge (reference: adapter types at modules/speech_to_text/adapter.py:109)
     adapter_type: str = "league"
     adapter_shrink_strategy: str = "avg"
@@ -339,7 +350,17 @@ class S2TSATEEncoder(nn.Module):
 
     def setup(self):
         a = self.cfg.acoustic
-        self.acoustic_enc = S2TTransformerEncoder(a, name="acoustic")
+        if self.cfg.acoustic_encoder == "pds":
+            from s2t_tpu.models.pds import PDSEncoder
+
+            p = self.cfg.pds
+            assert p is not None, "acoustic_encoder=pds needs a pds config"
+            assert p.pds_embed_dims[-1] == a.encoder_embed_dim, (
+                "PDS final stage dim must equal acoustic.encoder_embed_dim"
+            )
+            self.acoustic_enc = PDSEncoder(p, name="acoustic")
+        else:
+            self.acoustic_enc = S2TTransformerEncoder(a, name="acoustic")
         if self.cfg.adapter_type not in ("none", "shrink"):
             self.adapter = Adapter(
                 a.encoder_embed_dim, a.ctc_vocab_size, self.cfg.adapter_type,
@@ -351,9 +372,12 @@ class S2TSATEEncoder(nn.Module):
                  transcript=None, transcript_lengths=None,
                  target=None, target_lengths=None):
         cfg = self.cfg
-        enc = self.acoustic_enc(
-            features, lengths, deterministic, transcript, transcript_lengths
-        )
+        if cfg.acoustic_encoder == "pds":
+            enc = self.acoustic_enc(features, lengths, deterministic)
+        else:
+            enc = self.acoustic_enc(
+                features, lengths, deterministic, transcript, transcript_lengths
+            )
         x = enc["encoder_out"]
         enc_lengths = enc["encoder_lengths"]
         if cfg.freeze_acoustic_encoder:
@@ -436,10 +460,14 @@ class S2TSATEModel(nn.Module):
 @register_model_architecture("s2t_sate", "s2t_sate")
 @register_model_architecture("s2t_sate", "s2t_sate_s")
 def s2t_sate_s(**kw) -> SATEConfig:
+    # "acoustic_encoder" selects the encoder FAMILY (SATEConfig field) and
+    # must not be prefix-routed into the acoustic transformer config
+    enc_family = kw.pop("acoustic_encoder", "transformer")
     acoustic_kw = {
         k[len("acoustic_"):]: v for k, v in kw.items() if k.startswith("acoustic_")
     }
     rest = {k: v for k, v in kw.items() if not k.startswith("acoustic_")}
+    rest["acoustic_encoder"] = enc_family
     # task-level ctx keys route into the acoustic config
     for key in (
         "vocab_size", "src_vocab_size", "input_feat_per_channel",
@@ -448,5 +476,28 @@ def s2t_sate_s(**kw) -> SATEConfig:
         if key in rest:
             acoustic_kw[key] = rest.pop(key)
     acoustic_kw.setdefault("inter_ctc_layers", ())
+    pds_kw = {k: v for k, v in rest.items() if k.startswith("pds_")}
+    for k in pds_kw:
+        rest.pop(k)
     acoustic = s2t_transformer_s(**acoustic_kw)
-    return SATEConfig(acoustic=acoustic).replace(**rest)
+    pds_cfg = None
+    if rest.get("acoustic_encoder") == "pds":
+        from s2t_tpu.models.pds import PDSConfig
+
+        # the PDS stages inherit the shared/context dims from the acoustic
+        # config (vocab, features, dtype); stage plan comes from pds_* keys
+        pds_cfg = PDSConfig(
+            vocab_size=acoustic.vocab_size,
+            src_vocab_size=acoustic.src_vocab_size,
+            input_feat_per_channel=acoustic.input_feat_per_channel,
+            input_channels=acoustic.input_channels,
+            max_source_positions=acoustic.max_source_positions,
+            max_target_positions=acoustic.max_target_positions,
+            encoder_embed_dim=acoustic.encoder_embed_dim,
+            dropout=acoustic.dropout,
+            attention_dropout=acoustic.attention_dropout,
+            activation_dropout=acoustic.activation_dropout,
+            activation_fn=acoustic.activation_fn,
+            dtype_str=acoustic.dtype_str,
+        ).replace(**pds_kw)
+    return SATEConfig(acoustic=acoustic, pds=pds_cfg).replace(**rest)

@@ -27,6 +27,22 @@ ARCHS = {
         "text_encoder_layers": 1, "text_attention_heads": 2,
         "text_ffn_embed_dim": 64,
     },
+    "s2t_sate_s@pds": {
+        # SATE with a PDS acoustic encoder (sate_pds_* recipes; the @pds
+        # suffix only names the test case — the arch is s2t_sate_s)
+        **{f"acoustic_{k}": v for k, v in TINY.items()},
+        "acoustic_encoder": "pds",
+        "pds_stages": 2, "pds_ratios": [2, 2], "pds_layers": [1, 1],
+        "pds_embed_dims": [32, 32], "pds_attn_heads": [2, 2],
+        "pds_ffn_ratios": [2, 2], "pds_kernel_sizes": [5, 5],
+        "pds_position_embed": [1, 1], "pds_ctc": [0, 0],
+        "acoustic_encoder_embed_dim": 32,
+        "acoustic_decoder_embed_dim": 32, "acoustic_decoder_ffn_embed_dim": 64,
+        "acoustic_decoder_layers": 1, "acoustic_decoder_attention_heads": 2,
+        "adapter_type": "inter_league",
+        "text_encoder_layers": 1, "text_attention_heads": 2,
+        "text_ffn_embed_dim": 64,
+    },
     "pdss2t_transformer_s_8": {
         **TINY,
         "pds_embed_dims": [16, 16, 16, 16], "pds_ffn_ratios": [2, 2, 2, 2],
@@ -92,7 +108,8 @@ def make_batch():
 @pytest.mark.slow
 @pytest.mark.parametrize("arch", sorted(ARCHS))
 def test_arch_overfits(arch):
-    model = build_model(arch, dict(ARCHS[arch]), vocab_size=V)
+    # an "@variant" suffix names the case; the arch is the part before it
+    model = build_model(arch.split("@")[0], dict(ARCHS[arch]), vocab_size=V)
     criterion = build_criterion(
         "label_smoothed_cross_entropy_with_ctc",
         {"label_smoothing": 0.0, "ctc": {"ctc_weight": 0.3}},
