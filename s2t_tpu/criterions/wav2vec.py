@@ -62,13 +62,25 @@ class Wav2VecCriterion:
                 jnp.where(valid, (logits[..., 0] > 0).astype(jnp.float32), 0.0)
             )
         logs = {
-            "loss": loss,
             "nll_loss": loss,
             "ntokens": sample_size,
             "nsentences": jnp.asarray(float(B), jnp.float32),
             "n_correct": correct,
             "total": sample_size,
         }
+        # v1 extra losses (reference wav2vec.py get_extra_losses:345-352 +
+        # criterion loss_weights scaling): gumbel diversity or kmeans VQ
+        if "kmeans_loss" in model_out:
+            extra = model_out["kmeans_loss"] * sample_size
+            loss = loss + extra
+            logs["kmeans_loss"] = model_out["kmeans_loss"]
+        elif "prob_perplexity" in model_out and self.cfg.prob_ppl_weight > 0:
+            nv = model_out["num_vars"]
+            div = (nv - model_out["prob_perplexity"]) / nv
+            extra = self.cfg.prob_ppl_weight * div * sample_size
+            loss = loss + extra
+            logs["diversity_loss"] = extra
+        logs["loss"] = loss
         return loss, sample_size, logs
 
     def __call__(

@@ -62,6 +62,14 @@ class Wav2VecConfig:
     offset: int = -1  # -1 = "auto" from the extractor's receptive field
     activation: str = "relu"
     infonce: bool = False
+    # vector quantization of the targets (reference wav2vec.py:198-224:
+    # --vq-type none|gumbel|kmeans)
+    vq_type: str = "none"
+    vq_vars: int = 320
+    vq_groups: int = 2
+    vq_dim: int = 0  # 0 = extractor dim
+    vq_temp: Tuple[float, float, float] = (2.0, 0.5, 0.999995)
+    vq_gamma: float = 0.25
     dtype_str: str = "float32"
 
     def replace(self, **kw):
@@ -188,6 +196,22 @@ class Wav2VecModel(nn.Module):
             cfg, name="feature_extractor"
         )
         self.feature_aggregator = ConvAggregator(cfg, name="feature_aggregator")
+        c_feat = cfg.conv_feature_layers[-1][0]
+        vq_dim = cfg.vq_dim if cfg.vq_dim > 0 else c_feat
+        if cfg.vq_type == "gumbel":
+            from s2t_tpu.models.wav2vec2 import GumbelVectorQuantizer
+
+            self.vq = GumbelVectorQuantizer(
+                c_feat, cfg.vq_vars, cfg.vq_groups, vq_dim, cfg.dtype,
+                name="vq",
+            )
+        elif cfg.vq_type == "kmeans":
+            from s2t_tpu.modules.vq import KmeansVectorQuantizer
+
+            self.vq = KmeansVectorQuantizer(
+                c_feat, cfg.vq_vars, cfg.vq_groups, vq_dim,
+                gamma=cfg.vq_gamma, dtype=cfg.dtype, name="vq",
+            )
         self.drop_feats = _FastDropout(cfg.dropout_features)
         self.drop_agg = _FastDropout(cfg.dropout_agg)
         c_in = cfg.conv_aggregator_layers[-1][0]
@@ -216,6 +240,26 @@ class Wav2VecModel(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.cfg
         feats = self.feature_extractor(source, deterministic)  # (B, T', C)
+        extra = {}
+        if cfg.vq_type == "gumbel":
+            # annealed-temperature gumbel quantization of the targets
+            # (reference wav2vec.py:302-307: features = q_res["x"])
+            feats, prob_ppl, code_ppl = self.vq(
+                feats, jnp.asarray(cfg.vq_temp[0], jnp.float32), deterministic
+            )
+            extra = {
+                "prob_perplexity": prob_ppl,
+                "code_perplexity": code_ppl,
+                "num_vars": cfg.vq_vars * cfg.vq_groups,
+            }
+        elif cfg.vq_type == "kmeans":
+            q = self.vq(feats)
+            feats = q["x"]
+            extra = {
+                "kmeans_loss": q["kmeans_loss"],
+                "code_perplexity": q["code_perplexity"],
+                "num_vars": q["num_vars"],
+            }
         y = self.drop_feats(feats, deterministic=deterministic)
         x = self.feature_aggregator(y, deterministic=deterministic)
         x = self.drop_agg(x, deterministic=deterministic)
@@ -282,6 +326,7 @@ class Wav2VecModel(nn.Module):
             "infonce": cfg.infonce,
             "balanced_classes": cfg.balanced_classes,
             "num_negatives": N + Nx,
+            **extra,
         }
 
 

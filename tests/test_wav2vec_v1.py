@@ -203,3 +203,83 @@ class TestWav2VecSeq2Seq:
             np.asarray(full[:, -1], np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+class TestWav2VecV1VQ:
+    def test_kmeans_vq_module(self):
+        from s2t_tpu.modules.vq import KmeansVectorQuantizer
+
+        vq = KmeansVectorQuantizer(input_dim=16, num_vars=8, groups=2,
+                                   vq_dim=16)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 16)),
+                        jnp.float32)
+        params = vq.init(jax.random.PRNGKey(0), x)
+        out = vq.apply(params, x)
+        assert out["x"].shape == (2, 10, 16)
+        assert out["targets"].shape == (2, 10, 2)
+        assert float(out["kmeans_loss"]) > 0
+        # straight-through: gradient flows to the input
+        g = jax.grad(lambda x: float == None or jnp.sum(vq.apply(params, x)["x"]))(x)
+        assert np.abs(np.asarray(g)).sum() > 0
+        # quantized rows are actual codewords (per group)
+        emb = np.asarray(params["params"]["embedding"], np.float32)
+        got = np.asarray(out["x"], np.float32).reshape(2, 10, 2, 8)
+        idx = np.asarray(out["targets"])
+        for b in range(2):
+            for t in range(0, 10, 3):
+                for gr in range(2):
+                    np.testing.assert_allclose(
+                        got[b, t, gr], emb[idx[b, t, gr], gr], rtol=1e-5)
+
+    def test_v1_kmeans_trains(self):
+        cfg = tiny_v1_cfg(vq_type="kmeans", vq_vars=8, vq_groups=2, vq_dim=24)
+        model = Wav2VecModel(cfg)
+        from s2t_tpu.criterions import build_criterion
+
+        criterion = build_criterion("wav2vec", {"infonce": False})
+        src = jnp.asarray(np.random.default_rng(5).normal(size=(2, 1600)),
+                          jnp.float32)
+        lengths = jnp.asarray([1600, 1200])
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            src, lengths, False,
+        )["params"]
+        out = model.apply(
+            {"params": params}, src, lengths, False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert "kmeans_loss" in out
+        loss, n, logs = criterion(out, {})
+        assert np.isfinite(float(loss))
+        assert "kmeans_loss" in logs
+        g = jax.grad(lambda p: criterion(model.apply(
+            {"params": p}, src, lengths, False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        ), {})[0])(params)
+        # the codebook receives gradient through the VQ losses
+        emb_g = np.asarray(g["vq"]["embedding"], np.float32)
+        assert np.abs(emb_g).sum() > 0
+
+    def test_v1_gumbel_diversity(self):
+        cfg = tiny_v1_cfg(vq_type="gumbel", vq_vars=8, vq_groups=2, vq_dim=24)
+        model = Wav2VecModel(cfg)
+        from s2t_tpu.criterions import build_criterion
+
+        criterion = build_criterion("wav2vec", {"infonce": True,
+                                                "prob_ppl_weight": 0.1})
+        src = jnp.asarray(np.random.default_rng(6).normal(size=(1, 1500)),
+                          jnp.float32)
+        lengths = jnp.asarray([1500])
+        cfg2 = cfg.replace(infonce=True)
+        model = Wav2VecModel(cfg2)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            src, lengths, False,
+        )["params"]
+        out = model.apply(
+            {"params": params}, src, lengths, False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert "prob_perplexity" in out
+        loss, n, logs = criterion(out, {})
+        assert "diversity_loss" in logs and np.isfinite(float(loss))
