@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import string
 import sys
 
@@ -46,6 +47,24 @@ def main(argv=None):
 
     sub.add_parser("lcrm").add_argument("--input", default=None)
 
+    rp = sub.add_parser("rm_pt")  # reference: scripts/rm_pt.py — prune old
+    rp.add_argument("--root", required=True, nargs="+")  # checkpoint dirs
+    rp.add_argument("--save-last", type=int, default=0)
+    rp.add_argument("--save-interval", type=int, default=0)
+    rp.add_argument("--dry-run", action="store_true")
+
+    sd = sub.add_parser("shard_docs")  # reference: scripts/shard_docs.py
+    sd.add_argument("input")
+    sd.add_argument("--num-shards", type=int, required=True)
+
+    cd = sub.add_parser("count_docs")  # reference: scripts/count_docs.py
+    cd.add_argument("input")
+
+    sv = sub.add_parser("split_train_valid_docs")
+    # reference: scripts/split_train_valid_docs.py
+    sv.add_argument("input")
+    sv.add_argument("--valid-percent", type=float, default=0.01)
+
     rb = sub.add_parser("read_binarized")  # reference: scripts/read_binarized.py
     rb.add_argument("--dataset-impl", default="mmap")
     rb.add_argument("--dict", dest="dict_path", default=None)
@@ -65,6 +84,82 @@ def main(argv=None):
         TOKENIZERS.get(args.type).train(lines, args.vocab_size, args.model)
         print(f"trained {args.type} model ({args.vocab_size}) -> {args.model}",
               file=sys.stderr)
+        return
+
+    if args.cmd == "rm_pt":
+        # keep checkpoint_best/_last plus the newest --save-last numbered
+        # checkpoints (or every --save-interval'th); delete the rest
+        import re
+
+        num_re = re.compile(r"checkpoint(?:_\d+_)?(\d+)\.(pt|ckpt)$")
+        for root in args.root:
+            entries = []
+            for f in sorted(os.listdir(root)):
+                m = num_re.fullmatch(f)
+                if m:
+                    entries.append((int(m.group(1)), f))
+            entries.sort()
+            keep = set()
+            if args.save_last > 0:
+                keep |= {f for _, f in entries[-args.save_last:]}
+            if args.save_interval > 0:
+                keep |= {f for n, f in entries if n % args.save_interval == 0}
+            for _, f in entries:
+                if f in keep:
+                    continue
+                path = os.path.join(root, f)
+                print(("would remove " if args.dry_run else "removing ") + path,
+                      file=sys.stderr)
+                if not args.dry_run:
+                    os.remove(path)
+                    for side in (path + ".json", path + ".meta"):
+                        if os.path.exists(side):
+                            os.remove(side)
+        return
+
+    if args.cmd in ("shard_docs", "count_docs", "split_train_valid_docs"):
+        # documents separated by a single empty line (reference scripts)
+        def docs(path):
+            doc = []
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip() == "":
+                        if doc:
+                            yield doc
+                        doc = []
+                    else:
+                        doc.append(line)
+            if doc:
+                yield doc
+
+        if args.cmd == "count_docs":
+            n = lines = toks = 0
+            for d in docs(args.input):
+                n += 1
+                lines += len(d)
+                toks += sum(len(l.split()) for l in d)
+            print(f"docs {n} | avg lines/doc {lines / max(n,1):.2f} | "
+                  f"avg tokens/doc {toks / max(n,1):.2f}")
+        elif args.cmd == "shard_docs":
+            assert args.num_shards > 1
+            outs = [open(f"{args.input}.shard{i}", "w", encoding="utf-8")
+                    for i in range(args.num_shards)]
+            try:
+                for i, d in enumerate(docs(args.input)):
+                    o = outs[i % args.num_shards]
+                    o.writelines(d)
+                    o.write("\n")
+            finally:
+                for o in outs:
+                    o.close()
+        else:
+            valid_every = max(int(1.0 / max(args.valid_percent, 1e-9)), 2)
+            with open(args.input + ".train", "w", encoding="utf-8") as tr, \
+                 open(args.input + ".valid", "w", encoding="utf-8") as va:
+                for i, d in enumerate(docs(args.input)):
+                    o = va if i % valid_every == 0 else tr
+                    o.writelines(d)
+                    o.write("\n")
         return
 
     if args.cmd == "read_binarized":

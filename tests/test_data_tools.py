@@ -347,3 +347,45 @@ class TestSemisupervisedTranslation:
                 state, m = trainer.train_step(state, b)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+class TestCorpusScripts:
+    """rm_pt / shard_docs / count_docs / split_train_valid_docs
+    (reference: scripts/{rm_pt,shard_docs,count_docs,split_train_valid_docs}.py)."""
+
+    def _corpus(self, tmp_path):
+        p = tmp_path / "corpus.txt"
+        p.write_text("a b\nc d\n\ne f\n\ng h\ni j\n")
+        return p
+
+    def test_shard_docs_respects_boundaries(self, tmp_path, capsys):
+        from s2t_tpu.cli.text_tools import main
+
+        p = self._corpus(tmp_path)
+        main(["shard_docs", str(p), "--num-shards", "2"])
+        s0 = (tmp_path / "corpus.txt.shard0").read_text()
+        s1 = (tmp_path / "corpus.txt.shard1").read_text()
+        # doc boundaries intact: each shard is full documents
+        assert s0.count("\n\n") + s1.count("\n\n") >= 2
+        assert "a b\nc d\n" in s0 and "e f\n" in s1
+
+    def test_rm_pt_keeps_last_and_specials(self, tmp_path):
+        from s2t_tpu.cli.text_tools import main
+
+        ck = tmp_path / "ck"
+        ck.mkdir()
+        for n in ("checkpoint1.ckpt", "checkpoint2.ckpt", "checkpoint3.ckpt",
+                  "checkpoint_best.ckpt", "checkpoint_last.ckpt"):
+            (ck / n).touch()
+        main(["rm_pt", "--root", str(ck), "--save-last", "1"])
+        left = sorted(x.name for x in ck.iterdir())
+        assert left == ["checkpoint3.ckpt", "checkpoint_best.ckpt",
+                        "checkpoint_last.ckpt"]
+
+    def test_split_train_valid(self, tmp_path):
+        from s2t_tpu.cli.text_tools import main
+
+        p = self._corpus(tmp_path)
+        main(["split_train_valid_docs", str(p), "--valid-percent", "0.34"])
+        assert (tmp_path / "corpus.txt.train").exists()
+        assert (tmp_path / "corpus.txt.valid").exists()
