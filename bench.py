@@ -111,7 +111,7 @@ def bench_nast_generation(jax, jnp):
     }
 
 
-def bench_training(jax, jnp):
+def bench_training(jax, jnp, arch="s2t_transformer_m", prefix="train"):
     """Full train-step throughput + MFU for s2t_transformer_m (bf16) at the
     reference's --max-tokens 40000 regime (BASELINE.md: 40k frames/step).
     The m-model (512d) is the MuST-C/LibriSpeech workhorse; the s-model's
@@ -124,7 +124,7 @@ def bench_training(jax, jnp):
     from s2t_tpu.trainer import Trainer
 
     B, T, U, VOCAB = 40, 1000, 30, 10000
-    _, preset = ARCHS.get("s2t_transformer_m")
+    _, preset = ARCHS.get(arch)
     cfg = preset(
         vocab_size=VOCAB, dtype_str="bfloat16", max_target_positions=1024
     )
@@ -200,12 +200,13 @@ def bench_training(jax, jnp):
     mfu = flops_per_step * steps_per_sec / peak
 
     return {
-        "train_steps_per_sec": round(steps_per_sec, 3),
-        "train_frames_per_sec": round(steps_per_sec * B * T, 0),
-        "train_tokens_per_sec": round(steps_per_sec * B * U, 0),
-        "train_flops_per_step": flops_per_step,
-        "train_executed_flops_per_step": executed,
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        f"{prefix}_steps_per_sec": round(steps_per_sec, 3),
+        f"{prefix}_frames_per_sec": round(steps_per_sec * B * T, 0),
+        f"{prefix}_tokens_per_sec": round(steps_per_sec * B * U, 0),
+        f"{prefix}_flops_per_step": flops_per_step,
+        f"{prefix}_executed_flops_per_step": executed,
+        f"{prefix}_mfu" if prefix != "train" else "mfu":
+            round(mfu, 4) if mfu is not None else None,
     }
 
 
@@ -288,6 +289,9 @@ def main():
     rtf, gen_extra = bench_generation(jax, jnp)
     nast_extra = bench_nast_generation(jax, jnp)
     train_extra = bench_training(jax, jnp)
+    # the L-model (268M) fills the MXU properly: its MFU is the
+    # implementation-quality number, the m-model's is shape-limited
+    train_extra.update(bench_training(jax, jnp, "s2t_transformer_l", "train_l"))
     wer_extra = bench_wer_sanity(jax, jnp)
     out = {
         "metric": "rtf_beam5_s2t_transformer_s",

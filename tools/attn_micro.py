@@ -54,11 +54,13 @@ def bench(core, label):
                 l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(qi, k, v)
                 return acc + l + sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-20
             return jax.lax.fori_loop(0, KK, body, jnp.zeros((), jnp.float32))
-        out = runk(q, k, v, key); jax.block_until_ready(out)
+        # float() forces a device->host read: block_until_ready does NOT
+        # reliably sync through the axon tunnel (docs/design.md round 3)
+        float(runk(q, k, v, key))
         best = 1e9
         for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(runk(q, k, v, key))
+            float(runk(q, k, v, key))
             best = min(best, time.perf_counter() - t0)
         return best
     K1, K2 = 10, K
