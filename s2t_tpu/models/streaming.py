@@ -49,6 +49,12 @@ class EmformerConfig:
     left_context: int = 8       # frames of exact left context
     right_context: int = 4      # lookahead frames (adds latency)
     max_memory_size: int = 8    # memory bank slots (summaries of past blocks)
+    # squash memory summaries through tanh (reference
+    # augmented_memory_attention.py tanh_on_mem=True)
+    memory_tanh: bool = False
+    # mask keys whose attention prob falls this many stds below the
+    # per-query mean (reference std_scale attention suppression); 0 = off
+    attention_std_scale: float = 0.0
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
@@ -85,12 +91,14 @@ class EmformerLayer(nn.Module):
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation: str = "relu"
+    memory_tanh: bool = False
+    attention_std_scale: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self):
         self.attn = MultiHeadAttention(
             self.dim, self.num_heads, self.attention_dropout, dtype=self.dtype,
-            name="self_attn",
+            attention_std_scale=self.attention_std_scale, name="self_attn",
         )
         self.attn_norm = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
         self.ffn = FeedForward(self.dim, self.ffn_dim, self.activation,
@@ -121,8 +129,14 @@ class EmformerLayer(nn.Module):
         x = res + self.drop(h, deterministic=deterministic)
         return x
 
+    def new_state(self, state, seg_out, seg_in, seg_valid, S: int):
+        return EmformerLayer.update_state(
+            state, seg_out, seg_in, seg_valid, S, tanh=self.memory_tanh
+        )
+
     @staticmethod
-    def update_state(state, seg_out, seg_in, seg_valid, S: int):
+    def update_state(state, seg_out, seg_in, seg_valid, S: int,
+                     tanh: bool = False):
         """Roll left-context and memory forward with this segment's S frames."""
         seg_main = seg_in[:, :S]
         valid_main = seg_valid[:, :S]
@@ -136,6 +150,10 @@ class EmformerLayer(nn.Module):
         summary = jnp.sum(seg_out[:, :S] * m, axis=1, keepdims=True) / jnp.maximum(
             jnp.sum(m, axis=1, keepdims=True), 1.0
         )
+        if tanh:
+            # bounded memory values (reference tanh_on_mem): keeps the bank
+            # stable over unbounded streams
+            summary = jnp.tanh(summary)
         has = jnp.any(valid_main, axis=1, keepdims=True)
         memory = jnp.concatenate([state["memory"], summary], axis=1)[:, 1:]
         memory_valid = jnp.concatenate(
@@ -164,7 +182,9 @@ class EmformerModel(nn.Module):
                 cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
                 cfg.encoder_attention_heads, cfg.left_context,
                 cfg.max_memory_size, cfg.dropout, cfg.attention_dropout,
-                cfg.activation_fn, dt, name=f"layer{i}",
+                cfg.activation_fn, memory_tanh=cfg.memory_tanh,
+                attention_std_scale=cfg.attention_std_scale, dtype=dt,
+                name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
         ]
@@ -192,7 +212,7 @@ class EmformerModel(nn.Module):
         x = seg
         for layer, st in zip(self.layers, states):
             y = layer(x, st, seg_valid, deterministic)
-            new_states.append(EmformerLayer.update_state(st, y, x, seg_valid, S))
+            new_states.append(layer.new_state(st, y, x, seg_valid, S))
             x = y
         return x, new_states
 

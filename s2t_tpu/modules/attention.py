@@ -26,7 +26,24 @@ from s2t_tpu.modules.dropout import Dropout as _FastDropout
 NEG = -1e9
 
 
-def dot_attention_weights(q, k, bias, dtype):
+def attention_suppression(scores: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Mask attention keys whose probability falls ``scale`` standard
+    deviations below the per-query mean (reference:
+    speech_to_text/utils.py:524-559 — the augmented-memory streaming
+    robustness trick).  scores: (..., Tk) pre-softmax."""
+    prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    nonzero = prob > 0
+    n = jnp.sum(nonzero.astype(jnp.float32), axis=-1, keepdims=True)
+    mean = jnp.sum(prob, axis=-1, keepdims=True) / (n + 1e-8)
+    dis = jnp.where(nonzero, (prob - mean) ** 2, 0.0)
+    std = jnp.sqrt(jnp.sum(dis, axis=-1, keepdims=True) / (n - 1.0 + 1e-8))
+    thr = mean - scale * std
+    return jnp.where(prob < thr, NEG, scores.astype(jnp.float32)).astype(
+        scores.dtype
+    )
+
+
+def dot_attention_weights(q, k, bias, dtype, std_scale: float = 0.0):
     """q: (B, Tq, H, Dh), k: (B, Tk, H, Dh), bias: (B, 1|H, Tq, Tk) additive.
 
     The softmax stays in f32 (the (B, H, T, T) store is bf16 either way —
@@ -36,6 +53,8 @@ def dot_attention_weights(q, k, bias, dtype):
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(depth).astype(q.dtype)
     if bias is not None:
         scores = scores + bias
+    if std_scale > 0:
+        scores = attention_suppression(scores, std_scale)
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
 
 
@@ -56,6 +75,10 @@ class MultiHeadAttention(nn.Module):
     # reduced attention: subsample keys/values by this stride (reference:
     # fairseq/modules/reduced_multihead_attention.py downsampled-KV variant)
     kv_stride: int = 1
+    # suppress outlier-weak keys: mask keys whose attention prob is more
+    # than this many stds below the per-query mean (reference
+    # augmented_memory_attention.py std_scale); 0 = off
+    attention_std_scale: float = 0.0
     # Shaw-style relative attention (attention_type == "relative"): clipped
     # learned relative-key embeddings added to the content score, k_only mode
     # (reference: fairseq/modules/relative_multihead_attention.py:16-57,
@@ -288,7 +311,7 @@ class MultiHeadAttention(nn.Module):
             rel = self._relative_bias(q, key_pos, q_pos)
             bias = rel if bias is None else bias + rel
 
-        w = dot_attention_weights(q, k, bias, q.dtype)
+        w = dot_attention_weights(q, k, bias, q.dtype, self.attention_std_scale)
         # capture for alignment supervision / attention dumps when the caller
         # applies with mutable=["intermediates"] (no-op otherwise); the
         # reference returns attn from forward when need_attn is set

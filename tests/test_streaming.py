@@ -96,3 +96,55 @@ class TestEmformer:
         # early frames (first segment, well before the perturbation window
         # minus lookahead) identical
         np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=1e-5)
+
+
+class TestAugmentedMemoryKnobs:
+    """memory_tanh + attention_std_scale (reference:
+    augmented_memory_attention.py tanh_on_mem / std_scale suppression)."""
+
+    def test_memory_tanh_bounds_bank(self):
+        from s2t_tpu.models.streaming import EmformerLayer
+
+        state = {
+            "memory": jnp.zeros((1, 2, 4)), "memory_valid": jnp.zeros((1, 2), bool),
+            "left": jnp.zeros((1, 2, 4)), "left_valid": jnp.zeros((1, 2), bool),
+        }
+        big = jnp.full((1, 3, 4), 50.0)
+        valid = jnp.ones((1, 3), bool)
+        st = EmformerLayer.update_state(state, big, big, valid, 3, tanh=True)
+        assert float(jnp.max(jnp.abs(st["memory"]))) <= 1.0
+        st2 = EmformerLayer.update_state(state, big, big, valid, 3, tanh=False)
+        assert float(jnp.max(jnp.abs(st2["memory"]))) > 1.0
+
+    def test_attention_suppression_masks_weak_keys(self):
+        from s2t_tpu.modules.attention import attention_suppression
+
+        # one dominant key, several weak.  probs ~ [1, 4x~0]: mean 0.2,
+        # std ~0.447 -> with scale=0.3 the threshold 0.2 - 0.134 = 0.066
+        # sits above the weak probs, which must be -inf'd
+        scores = jnp.asarray([[10.0, 0.0, 0.0, 0.0, 0.0]])
+        out = np.asarray(attention_suppression(scores, scale=0.3))
+        assert out[0, 0] == pytest.approx(10.0)
+        assert (out[0, 1:] < -1e8).all()
+        # uniform scores: std 0, nothing falls below the threshold
+        flat = jnp.zeros((1, 5))
+        out2 = np.asarray(attention_suppression(flat, scale=0.3))
+        np.testing.assert_allclose(out2, 0.0, atol=1e-6)
+
+    def test_streaming_with_knobs_runs(self):
+        import jax
+        from s2t_tpu.models.streaming import EmformerConfig, EmformerModel
+
+        cfg = EmformerConfig(
+            encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+            encoder_attention_heads=2, encoder_layers=1, segment_size=4,
+            left_context=4, max_memory_size=2, vocab_size=8,
+            memory_tanh=True, attention_std_scale=0.5,
+        )
+        model = EmformerModel(cfg)
+        feats = jnp.asarray(np.random.default_rng(0).normal(size=(2, 40, 80)),
+                            jnp.float32)
+        lens = jnp.asarray([40, 28])
+        params = model.init(jax.random.PRNGKey(0), feats, lens)["params"]
+        out = model.apply({"params": params}, feats, lens)
+        assert np.isfinite(np.asarray(out["ctc_logits"], np.float32)).all()
