@@ -129,6 +129,15 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
         ss = float(logs.get("sample_size", 1.0))
         tot["loss"] = tot.get("loss", 0.0) + float(logs["loss"])
         tot["nll_loss"] = tot.get("nll_loss", 0.0) + float(logs.get("nll_loss", logs["loss"]))
+        # carry every scalar criterion log into validation history
+        # (latency_loss, ctc_loss, diversity_loss, accuracy counters, ...)
+        for k, v in logs.items():
+            if k in ("loss", "nll_loss", "sample_size"):
+                continue
+            try:
+                tot[k] = tot.get(k, 0.0) + float(v)
+            except (TypeError, ValueError):
+                pass
         n += ss
         if ctc_wer_fn is not None:
             _accumulate_ctc_wer(task, ctc_wer_fn, eval_params, dev, batch, wer_counts)

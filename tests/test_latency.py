@@ -183,6 +183,8 @@ class TestTaskIntegration:
         # with label_smoothing=0 CE == NLL, so any loss-over-nll gap is the
         # latency penalty flowing through the captured cross-attention
         assert last["loss"] > last["nll_loss"] + 1e-4
+        # and validation history carries the criterion's own log for it
+        assert float(last["latency_loss"]) > 0.0
 
 
 class TestCompositeCriterions:
