@@ -67,7 +67,10 @@ def decode_audio(path: str | Path) -> tuple[np.ndarray, int]:
 
         wav, sr = torchaudio.load(path)
         return wav.mean(dim=0).numpy() * 32768.0, sr
-    except ImportError:
+    except (ImportError, NotImplementedError):
+        # NotImplementedError: the parity tests install a torchaudio SHIM
+        # (tools/refshim) so the in-process reference can import it; its
+        # load() raises instead of decoding — treat as backend-absent
         pass
     raise RuntimeError(
         f"cannot decode {path!r}: non-WAV audio needs the optional "
