@@ -41,8 +41,31 @@ def _unflatten_beam(x, B, K):
     return x.reshape((B, K) + x.shape[1:])
 
 
-def _gather_beams(tree, indices, B, K):
+def _gather_beams(tree, indices, B, K, flat: bool = None):
     """Gather beam dim: indices (B, K) select along old beam axis."""
+    import os
+
+    if flat is None:
+        flat = bool(os.environ.get("S2T_FLAT_BEAM_GATHER"))
+    if flat == "einsum" or (flat is True and os.environ.get(
+            "S2T_FLAT_BEAM_GATHER") == "einsum"):
+        # reorder as a (K_new, K_old) one-hot matmul per sentence: each leaf
+        # is read once and written once through the MXU
+        onehot = jax.nn.one_hot(indices, K, dtype=jnp.bfloat16)  # (B, Kn, Ko)
+
+        def gather_leaf(x):
+            xb = x.reshape((B, K, -1))
+            out = jnp.einsum("bkj,bjf->bkf", onehot.astype(x.dtype), xb)
+            return out.reshape(x.shape)
+
+        return jax.tree.map(gather_leaf, tree)
+    if flat:
+        rows = (jnp.arange(B)[:, None] * K + indices).reshape(-1)
+
+        def gather_leaf(x):
+            return jnp.take(x, rows, axis=0)
+
+        return jax.tree.map(gather_leaf, tree)
 
     def gather_leaf(x):
         xb = x.reshape((B, -1) + x.shape[1:])
@@ -80,6 +103,7 @@ def beam_search(
     diverse_groups: int = 1,
     diverse_strength: float = 0.5,
     diverse_siblings_gamma: float = 0.0,
+    reorder_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -292,7 +316,12 @@ def beam_search(
             cand_tokens, alive_sel[..., None], axis=1
         )
         new_beam_idx = jnp.take_along_axis(beam_idx, alive_sel, axis=1)
-        new_cache = _gather_beams(new_cache, new_beam_idx, B, K)
+        if reorder_fn is not None:
+            # lazy reorder: big cache leaves stay in place; only the tiny
+            # ancestry map moves (modules/attention.py cache_ancestry)
+            new_cache = reorder_fn(new_cache, new_beam_idx, i)
+        else:
+            new_cache = _gather_beams(new_cache, new_beam_idx, B, K)
 
         new_ctc_state = state.ctc_state
         if ctc_scorer is not None:

@@ -58,9 +58,18 @@ class SequenceGenerator:
         static_cross_kv: bool = True,
         kv_cache_dtype: str = "model",  # model dtype | "int8" (halves the
         # beam loop's cache-reorder bytes; modules/attention.py int8 branch)
+        # keep the KV cache in place and select ancestor slots inside
+        # attention instead of physically reordering per step.  Token-exact
+        # (tests/test_lazy_reorder.py) but measured SLOWER at B=256 beam-5
+        # on v5e (1321x vs 1613x): the (K, K)-shaped selection tensors pad
+        # 5 -> 8 on both sublane dims and the extra VPU traffic outweighs
+        # the saved reorder bytes.  Off by default; revisit for large-K or
+        # long-output regimes where the reorder dominates harder.
+        lazy_beam_reorder: bool = False,
         extra_models: Optional[list] = None,
     ):
         self.kv_int8 = kv_cache_dtype == "int8"
+        self.lazy_beam_reorder = lazy_beam_reorder
         self.model = model
         self.beam_size = beam_size
         self.max_len_a = max_len_a
@@ -282,9 +291,53 @@ class SequenceGenerator:
                     )
 
             G = self.diverse_beam_groups
+            # LAZY BEAM REORDER (plain single-model beam only): the KV cache
+            # never moves; a (B, K, max_len) ancestry map rides in the cache
+            # pytree and attention selects ancestor slots in place
+            # (modules/attention.py cache_ancestry).  Token-identical to the
+            # eager reorder (tests/test_lazy_reorder.py), and removes the
+            # decode loop's single most expensive op (docs/serving.md).
+            beam_step = decode_step
+            reorder_fn = None
+            import inspect
+
+            lazy = (
+                self.lazy_beam_reorder
+                and not (use_lm or n_extra)
+                and not self.kv_int8
+                and K > 1
+                and hasattr(self.model, "decode_step")
+                and "ancestry"
+                in inspect.signature(self.model.decode_step).parameters
+            )
+            if lazy:
+                anc0 = jnp.zeros((B, K, max_len), jnp.int32)
+                cache = {"dec_kv": cache, "anc": anc0}
+                kw_l = {} if cross_kv is None else {"cross_kv": cross_kv}
+
+                def beam_step(tokens, cache_l, index):
+                    logits, new_kv = self.model.apply(
+                        {"params": params}, tokens, cache_l["dec_kv"], index,
+                        enc_out_b, enc_mask_b,
+                        method=self.model.decode_step,
+                        ancestry=cache_l["anc"], **kw_l,
+                    )
+                    logits = logits.astype(jnp.float32) / self.temperature
+                    return jax.nn.log_softmax(logits, -1), {
+                        "dec_kv": new_kv, "anc": cache_l["anc"]
+                    }
+
+                def reorder_fn(cache_l, idx, i):
+                    anc = jnp.take_along_axis(
+                        cache_l["anc"], idx[:, :, None], axis=1
+                    )
+                    anc = anc.at[:, :, i].set(idx)
+                    return {"dec_kv": cache_l["dec_kv"], "anc": anc}
+
             tokens, scores = beam_search(
-                decode_step,
+                beam_step,
                 cache,
+                reorder_fn=reorder_fn,
                 batch_size=B,
                 beam_size=K,
                 max_len=max_len,

@@ -977,9 +977,10 @@ class S2TTransformerModel(nn.Module):
         return self.decoder(prev_tokens, encoder_out, encoder_valid_mask, True)
 
     def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask,
-                    cross_kv=None):
+                    cross_kv=None, ancestry=None):
         return self.decoder.step(tokens, cache, index, encoder_out,
-                                 encoder_valid_mask, cross_kv=cross_kv)
+                                 encoder_valid_mask, cross_kv=cross_kv,
+                                 ancestry=ancestry)
 
     def precompute_cross(self, encoder_out):
         return self.decoder.precompute_cross(encoder_out)

@@ -212,6 +212,7 @@ class TransformerDecoder(nn.Module):
         encoder_out: jnp.ndarray,
         encoder_valid_mask: jnp.ndarray,
         cross_kv=None,
+        ancestry=None,
     ) -> Tuple[jnp.ndarray, dict]:
         """One decode step: (B, 1) tokens at position ``index`` -> (B, V) logits.
 
@@ -222,12 +223,25 @@ class TransformerDecoder(nn.Module):
         """
         x = self._embed(tokens, index)
         cross_bias = padding_bias(encoder_valid_mask, x.dtype)
+        anc_eff = None
+        if ancestry is not None:
+            # this step's row is written at each beam's OWN slot
+            K = ancestry.shape[1]
+            anc_eff = jax.lax.dynamic_update_slice_in_dim(
+                ancestry,
+                jnp.broadcast_to(
+                    jnp.arange(K, dtype=ancestry.dtype)[None, :, None],
+                    (ancestry.shape[0], K, 1),
+                ),
+                index, axis=2,
+            )
         new_cache = {}
         for i, layer in enumerate(self.layers):
             x, lc = layer(
                 x, encoder_out, None, cross_bias,
                 deterministic=True, cache=cache[f"layer{i}"], cache_index=index,
                 enc_kv=None if cross_kv is None else cross_kv[i],
+                cache_ancestry=anc_eff,
             )
             new_cache[f"layer{i}"] = lc
         if self.normalize_before:

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from s2t_tpu.modules.positional import apply_rope, rope_tables
 from s2t_tpu.modules.dropout import Dropout as _FastDropout
@@ -158,6 +159,7 @@ class MultiHeadAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         valid_mask: Optional[jnp.ndarray] = None,
         kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_ancestry: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
         """Returns (output (B, Tq, D), new_cache).
 
@@ -237,6 +239,48 @@ class MultiHeadAttention(nn.Module):
             bias = padding_bias(valid_mask, q.dtype)
 
         new_cache = None
+        if cache is not None and cache_ancestry is not None:
+            # LAZY BEAM REORDER: the beam loop never physically reorders the
+            # (B*K, L, H, Dh) cache — each beam writes its row at its OWN
+            # slot and ``cache_ancestry`` (B, K, L) int32 maps (beam, t) to
+            # the physical slot holding its token-t key/value (already
+            # including this step's row = own slot).  Attention scores every
+            # query against ALL K slots (K x the tiny decode matmul) and a
+            # 0/1 one-hot einsum selects the ancestor slot — exactly the
+            # scores the eagerly-reordered cache produces, with none of the
+            # per-step 2x(read+write) cache traffic (the reorder was the
+            # decode loop's single most expensive op, docs/serving.md).
+            assert "k_scale" not in cache, "ancestry + int8 KV unsupported"
+            assert q.shape[1] == 1 and self.attention_type in ("abs", "rope")
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k, cache_index, axis=1
+            )
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v, cache_index, axis=1
+            )
+            new_cache = {"k": k_cache, "v": v_cache}
+            Bs, Kb, L = cache_ancestry.shape
+            H, Dh = self.num_heads, self.head_dim
+            kc = k_cache.reshape(Bs, Kb, L, H, Dh)
+            vc = v_cache.reshape(Bs, Kb, L, H, Dh)
+            q2 = q.reshape(Bs, Kb, H, Dh)
+            # scores vs every slot j: (B, H, K, Kj, L)
+            s_all = jnp.einsum(
+                "bkhd,bjlhd->bhkjl", q2, kc,
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(Dh)
+            oh = jax.nn.one_hot(cache_ancestry, Kb, dtype=jnp.float32)
+            s = jnp.einsum("bhkjl,bklj->bhkl", s_all, oh)
+            step_mask = jnp.arange(L)[None, None, None, :] <= cache_index
+            s = jnp.where(step_mask, s, NEG)
+            p = jax.nn.softmax(s, axis=-1)  # (B, H, K, L) f32
+            pj = jnp.einsum("bhkl,bklj->bhkjl", p, oh)
+            out = jnp.einsum(
+                "bhkjl,bjlhd->bkhd", pj.astype(q.dtype), vc,
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
+            out = out.reshape(Bs * Kb, 1, self.embed_dim)
+            return self.out_proj(out), new_cache
         if cache is not None and "k_scale" in cache:
             # int8 KV cache (generation.kv_cache_dtype=int8): each step's
             # k/v row is quantized per (position, head) with an absmax/127

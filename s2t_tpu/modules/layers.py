@@ -276,6 +276,7 @@ class TransformerDecoderLayer(nn.Module):
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
         enc_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_ancestry: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
         drop = self.drop_mod
 
@@ -283,7 +284,7 @@ class TransformerDecoderLayer(nn.Module):
         h = self.self_attn_norm_mod(x) if self.normalize_before else x
         h, new_cache = self.self_attn_mod(
             h, h, h, self_bias, deterministic, cache=cache,
-            cache_index=cache_index,
+            cache_index=cache_index, cache_ancestry=cache_ancestry,
         )
         x = res + drop(h, deterministic=deterministic)
         if not self.normalize_before:
