@@ -89,6 +89,10 @@ def main(argv=None):
     if args.cmd == "rm_pt":
         # keep checkpoint_best/_last plus the newest --save-last numbered
         # checkpoints (or every --save-interval'th); delete the rest
+        if args.save_last <= 0 and args.save_interval <= 0:
+            p.error("rm_pt needs --save-last and/or --save-interval > 0 "
+                    "(a no-retention invocation would delete every "
+                    "numbered checkpoint)")
         import re
 
         num_re = re.compile(r"checkpoint(?:_\d+_)?(\d+)\.(pt|ckpt)$")

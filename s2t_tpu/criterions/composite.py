@@ -42,6 +42,8 @@ class CompositeLoss:
         self, model_out: Dict[str, Any], batch: Dict[str, Any]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
         outputs = model_out.get("outputs", (model_out,))
+        if not outputs:
+            raise ValueError("composite_loss needs at least one model output")
         targets = batch.get("targets")
         total = jnp.zeros((), jnp.float32)
         n = jnp.zeros((), jnp.float32)
@@ -100,6 +102,6 @@ class ModelCriterion:
         logs["loss"] = total
         logs["ntokens"] = sample_size
         logs["nsentences"] = jnp.asarray(
-            float(batch.get("nsentences", 1.0)), jnp.float32
+            batch.get("nsentences", 1.0), jnp.float32
         )
         return total, sample_size, logs

@@ -74,8 +74,11 @@ def average_lagging(delays, src_lens, tgt_mask) -> jnp.ndarray:
     B, U = delays.shape
     gamma = jnp.maximum(_tgt_lens(tgt_mask), 1.0) / src_lens  # (B,)
     reached = delays >= src_lens[:, None]
-    # mask strictly AFTER the first step that reaches the source end
-    after = jnp.pad(reached, ((0, 0), (1, 0)))[:, :-1]
+    # mask strictly AFTER the FIRST step that reaches the source end —
+    # cumulative, since expected delays need not be monotone
+    after = jnp.pad(
+        jax.lax.cummax(reached.astype(jnp.int32), axis=1), ((0, 0), (1, 0))
+    )[:, :-1].astype(bool)
     keep = (~after) & tgt_mask
     idx = jnp.arange(U, dtype=jnp.float32)
     lagging = jnp.where(keep, delays - idx[None] / gamma[:, None], 0.0)

@@ -10,8 +10,12 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
+import logging
+
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger("s2t_tpu.generator")
 
 from s2t_tpu.inference.beam_search import beam_search
 from s2t_tpu.utils.masking import lengths_to_mask
@@ -160,7 +164,18 @@ class SequenceGenerator:
                     {"params": params}, enc_out,
                     method=self.model.precompute_cross,
                 )
-            cache_kw = {"kv_int8": True} if self.kv_int8 else {}
+            cache_kw = {}
+            if self.kv_int8:
+                import inspect as _inspect
+
+                if "kv_int8" in _inspect.signature(
+                        self.model.init_cache).parameters:
+                    cache_kw = {"kv_int8": True}
+                else:
+                    logger.warning(
+                        "%s.init_cache has no int8 cache mode; decoding at "
+                        "full precision", type(self.model).__name__,
+                    )
             cache = self.model.apply(
                 {"params": params}, B * K, max_len, method=self.model.init_cache,
                 **cache_kw,

@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -237,16 +237,19 @@ class Wav2VecModel(nn.Module):
         source: jnp.ndarray,
         lengths: jnp.ndarray,
         deterministic: bool = True,
+        temp: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         feats = self.feature_extractor(source, deterministic)  # (B, T', C)
         extra = {}
         if cfg.vq_type == "gumbel":
-            # annealed-temperature gumbel quantization of the targets
-            # (reference wav2vec.py:302-307: features = q_res["x"])
-            feats, prob_ppl, code_ppl = self.vq(
-                feats, jnp.asarray(cfg.vq_temp[0], jnp.float32), deterministic
-            )
+            # gumbel quantization of the targets; ``temp`` is the annealed
+            # temperature passed in as data each step (same contract as
+            # wav2vec2 — the task/trainer computes the schedule).  Defaults
+            # to the schedule start (reference wav2vec.py:302-307).
+            if temp is None:
+                temp = jnp.asarray(cfg.vq_temp[0], jnp.float32)
+            feats, prob_ppl, code_ppl = self.vq(feats, temp, deterministic)
             extra = {
                 "prob_perplexity": prob_ppl,
                 "code_perplexity": code_ppl,
@@ -260,8 +263,12 @@ class Wav2VecModel(nn.Module):
                 "code_perplexity": q["code_perplexity"],
                 "num_vars": q["num_vars"],
             }
-        y = self.drop_feats(feats, deterministic=deterministic)
-        x = self.feature_aggregator(y, deterministic=deterministic)
+        # CPC targets are the PRE-dropout (post-VQ) features — the reference
+        # scores predictions against the clean features (wav2vec.py:308-313);
+        # dropout applies only on the aggregator input
+        y = feats
+        x = self.drop_feats(feats, deterministic=deterministic)
+        x = self.feature_aggregator(x, deterministic=deterministic)
         x = self.drop_agg(x, deterministic=deterministic)
 
         B, T, C = y.shape
@@ -281,21 +288,31 @@ class Wav2VecModel(nn.Module):
         # negatives: (B, T, N(+Nx), C) gathered with self-exclusion
         rng = self.make_rng("dropout") if not deterministic else jax.random.PRNGKey(0)
         parts = []
+        # negatives come from VALID frames only: padded-tail features are
+        # content-free and would be trivially separable negatives (the
+        # reference batches cropped pad-free waveforms, wav2vec.py:518-560)
         if N > 0:
-            idx = jax.random.randint(rng, (B, T, N), 0, max(T - 1, 1))
+            hi = jnp.maximum(frames - 1, 1).astype(jnp.float32)  # (B,)
+            u = jax.random.uniform(rng, (B, T, N))
+            idx = jnp.floor(u * hi[:, None, None]).astype(jnp.int32)
             idx = jnp.where(idx >= jnp.arange(T)[None, :, None], idx + 1, idx)
-            idx = jnp.minimum(idx, T - 1)
+            idx = jnp.minimum(idx, jnp.maximum(frames - 1, 0)[:, None, None])
             parts.append(jnp.take_along_axis(y[:, :, None], idx[..., None], axis=1))
         if Nx > 0:
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, 1))
             yf = y.reshape(B * T, C)
-            cidx = jax.random.randint(
-                jax.random.fold_in(rng, 1), (B, T, Nx), 0, max(B * T - 1, 1)
+            bsel = jax.random.randint(k1, (B, T, Nx), 0, B)
+            hi_b = jnp.maximum(frames[bsel] - 1, 1).astype(jnp.float32)
+            tsel = jnp.floor(
+                jax.random.uniform(k2, (B, T, Nx)) * hi_b
+            ).astype(jnp.int32)
+            # skip self: if the draw lands on (b, t) itself, shift the frame
+            same = (bsel == jnp.arange(B)[:, None, None]) & (
+                tsel == jnp.arange(T)[None, :, None]
             )
-            flat_self = (
-                jnp.arange(B)[:, None, None] * T + jnp.arange(T)[None, :, None]
-            )
-            cidx = jnp.where(cidx >= flat_self, cidx + 1, cidx)
-            cidx = jnp.minimum(cidx, B * T - 1)
+            tsel = jnp.where(same, tsel + 1, tsel)
+            tsel = jnp.minimum(tsel, jnp.maximum(frames[bsel] - 1, 0))
+            cidx = bsel * T + tsel
             parts.append(yf[cidx.reshape(-1)].reshape(B, T, Nx, C))
         negs = jnp.concatenate(parts, axis=2) if parts else None
 

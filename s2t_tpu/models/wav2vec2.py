@@ -555,8 +555,8 @@ class Wav2VecSeq2Seq(nn.Module):
     def precompute_cross(self, encoder_out):
         return self.decoder.precompute_cross(encoder_out)
 
-    def init_cache(self, batch_size: int, max_len: int):
-        return self.decoder.init_cache(batch_size, max_len)
+    def init_cache(self, batch_size: int, max_len: int, kv_int8: bool = False):
+        return self.decoder.init_cache(batch_size, max_len, kv_int8=kv_int8)
 
 
 @register_model_architecture("wav2vec2", "wav2vec2_base")

@@ -80,6 +80,12 @@ class MultiHeadAttention(nn.Module):
     # than this many stds below the per-query mean (reference
     # augmented_memory_attention.py std_scale); 0 = off
     attention_std_scale: float = 0.0
+    # sow the attention probabilities into the "intermediates" collection
+    # when applied mutably.  Only decoder CROSS attention sets this (the
+    # alignment/latency consumers need exactly that); encoder self-attention
+    # leaving it False keeps mutable-capture passes from materializing every
+    # (B, H, T, T) tensor and from disabling the fused kernel (code-review r3)
+    sow_attn: bool = False
     # Shaw-style relative attention (attention_type == "relative"): clipped
     # learned relative-key embeddings added to the content score, k_only mode
     # (reference: fairseq/modules/relative_multihead_attention.py:16-57,
@@ -229,7 +235,9 @@ class MultiHeadAttention(nn.Module):
 
             if fused_attention_available(
                 q.shape[1], self.head_dim, self.num_heads
-            ) and not self.is_mutable_collection("intermediates"):
+            ) and not (
+                self.sow_attn and self.is_mutable_collection("intermediates")
+            ):
                 rate = 0.0 if deterministic else self.dropout
                 rng = self.make_rng("dropout") if rate > 0 else None
                 out = fused_attention(q, k, v, valid_mask, rate, rng)
@@ -356,10 +364,12 @@ class MultiHeadAttention(nn.Module):
             bias = rel if bias is None else bias + rel
 
         w = dot_attention_weights(q, k, bias, q.dtype, self.attention_std_scale)
-        # capture for alignment supervision / attention dumps when the caller
-        # applies with mutable=["intermediates"] (no-op otherwise); the
-        # reference returns attn from forward when need_attn is set
-        self.sow("intermediates", "attn_weights", w)
+        # capture for alignment supervision / latency training when the
+        # caller applies with mutable=["intermediates"] (no-op otherwise);
+        # only modules with sow_attn (decoder cross-attention) participate —
+        # the reference returns attn from forward when need_attn is set
+        if self.sow_attn:
+            self.sow("intermediates", "attn_weights", w)
         w = self.drop(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
         out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)

@@ -253,7 +253,7 @@ class TransformerDecoderLayer(nn.Module):
                                                     name="cross_attn_norm")
             self.cross_attn_mod = MultiHeadAttention(
                 self.dim, self.num_heads, self.attention_dropout,
-                dtype=self.dtype, name="cross_attn",
+                dtype=self.dtype, sow_attn=True, name="cross_attn",
             )
         self.ffn_norm_mod = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
         self.ffn_mod = FeedForward(

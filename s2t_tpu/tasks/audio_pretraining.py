@@ -62,8 +62,11 @@ class AudioPretrainingTask(Task):
                 init_rngs = {"params": rngs["params"], "dropout": rngs["params"]}
                 return model.init(init_rngs, *args, deterministic=True)
             # gumbel temperature annealed by update count
-            # (reference: latent_temp (start, end, decay), wav2vec2.py:178)
-            t0, t1, decay = model.cfg.latent_temp
+            # (reference: latent_temp (start, end, decay), wav2vec2.py:178;
+            # wav2vec v1 names the same triple vq_temp, wav2vec.py:152)
+            t0, t1, decay = getattr(
+                model.cfg, "latent_temp", None
+            ) or model.cfg.vq_temp
             step = batch.get("_step", jnp.zeros((), jnp.int32))
             temp = jnp.maximum(t0 * decay ** step.astype(jnp.float32), t1)
             if rngs is None:

@@ -81,6 +81,18 @@ class TestMetricsVsReferenceLoops:
             jnp.asarray(delays), jnp.asarray(src_lens), jnp.asarray(tgt_mask)))
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_average_lagging_nonmonotone_delays(self):
+        """Expected delays can dip back below |x| after reaching it; the
+        reference loop still stops at the FIRST reach (code-review r3)."""
+        delays = np.asarray([[3.0, 10.0, 2.0, 2.0, 2.0]], np.float32)
+        src_lens = np.asarray([10.0], np.float32)
+        tgt_mask = np.ones((1, 5), bool)
+        gamma = 5.0 / 10.0
+        want = ((3.0 - 0 / gamma) + (10.0 - 1 / gamma)) / 2  # stops at i=1
+        got = float(average_lagging(
+            jnp.asarray(delays), jnp.asarray(src_lens), jnp.asarray(tgt_mask))[0])
+        assert got == pytest.approx(want)
+
     def test_variance_delay(self):
         rng = np.random.default_rng(3)
         d = rng.uniform(1, 10, size=(2, 4, 6)).astype(np.float32)

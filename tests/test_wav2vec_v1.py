@@ -219,7 +219,7 @@ class TestWav2VecV1VQ:
         assert out["targets"].shape == (2, 10, 2)
         assert float(out["kmeans_loss"]) > 0
         # straight-through: gradient flows to the input
-        g = jax.grad(lambda x: float == None or jnp.sum(vq.apply(params, x)["x"]))(x)
+        g = jax.grad(lambda x: jnp.sum(vq.apply(params, x)["x"]))(x)
         assert np.abs(np.asarray(g)).sum() > 0
         # quantized rows are actual codewords (per group)
         emb = np.asarray(params["params"]["embedding"], np.float32)
