@@ -63,6 +63,12 @@ class CTCCriterion:
         # of materializing f32 log_softmax over (B, T, V); with ``fused``
         # (head internals) the emissions come from a small gather-matmul on
         # the head input and never touch the logits tensor (ops/ctc.py)
+        if mixup is not None and fused is not None and "norm" not in fused:
+            # both mixed-target rows share the head: one normalizer pass
+            from s2t_tpu.ops.ctc import _fused_head_logsumexp
+
+            fused = {**fused, "norm": _fused_head_logsumexp(fused)}
+
         def rows(tk, tl):
             return ctc_loss(
                 logits, tk, enc_lengths, tl,

@@ -213,10 +213,31 @@ def scan_covost(
             for r in csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE)
         }
     if tgt_lang is None:
-        wanted = [
-            (p, None) for p, r in cv_rows.items()
-            if r.get("split", split) == split or "split" not in r
-        ]
+        # ASR: CommonVoice defines splits via per-split TSVs (train.tsv,
+        # dev.tsv, test.tsv), not a column — read the split's own manifest
+        # when it exists.  Falling back to validated.tsv for every split
+        # would put the whole corpus in train AND test (code-review r3).
+        split_tsv = root / f"{split}.tsv"
+        if split_tsv.exists():
+            with open(split_tsv, newline="", encoding="utf-8") as f:
+                wanted = [
+                    (r["path"], None)
+                    for r in csv.DictReader(
+                        f, delimiter="\t", quoting=csv.QUOTE_NONE
+                    )
+                ]
+        else:
+            has_split_col = any("split" in r for r in cv_rows.values())
+            if not has_split_col:
+                raise FileNotFoundError(
+                    f"CommonVoice ASR split {split!r}: no {split_tsv} and "
+                    "validated.tsv has no 'split' column — cannot derive "
+                    "disjoint splits"
+                )
+            wanted = [
+                (p, None) for p, r in cv_rows.items()
+                if r.get("split") == split
+            ]
     else:
         st_tsv = root / f"covost_v2.{src_lang}_{tgt_lang}.tsv"
         if not st_tsv.exists():

@@ -346,13 +346,13 @@ class S2TTransformerEncoder(nn.Module):
                 ("compression_layers", bool(cfg.compression_layers)),
                 ("inter_mixup_layer>0",
                  cfg.inter_mixup and cfg.inter_mixup_layer > 0),
-                # interior CTC heads would need taps inside the pipeline ring
-                ("inter_ctc_layers",
-                 any(l < cfg.encoder_layers for l in cfg.inter_ctc_layers)),
-                ("inter_xctc_layers",
-                 any(l < cfg.encoder_layers for l in cfg.inter_xctc_layers)),
-                ("inter_axctc_layers",
-                 any(l < cfg.encoder_layers for l in cfg.inter_axctc_layers)),
+                # CTC taps would need hooks inside the pipeline ring —
+                # ANY tap (even at the top layer) is silently unreachable
+                # there, so reject them all (code-review r3)
+                ("inter_ctc_layers", bool(cfg.inter_ctc_layers)),
+                ("inter_xctc_layers", bool(cfg.inter_xctc_layers)),
+                ("inter_axctc_layers", bool(cfg.inter_axctc_layers)),
+                ("layer_out_norm", getattr(cfg, "layer_out_norm", False)),
                 # stages must be homogeneous: param shapes identical per layer
                 ("per-layer lconv kernels",
                  len(set(cfg.encoder_lconv_kernels)) > 1),
@@ -642,30 +642,16 @@ class S2TTransformerEncoder(nn.Module):
     def _oracle_probs(
         self, logits, lengths, tokens, token_lengths, ratio
     ) -> jnp.ndarray:
-        """Mix Viterbi-aligned one-hot labels into the CTC posterior with
-        per-frame probability ``ratio`` (the torch_imputer best_alignment
-        consumer; reference: criterions/ctc.py get_ctc_align)."""
-        from s2t_tpu.ops.ctc import ctc_best_alignment
+        """Viterbi ground-truth curriculum (shared impl:
+        modules/adapter.py ctc_oracle_probs)."""
+        from s2t_tpu.modules.adapter import ctc_oracle_probs
 
-        lp = jax.lax.stop_gradient(
-            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return ctc_oracle_probs(
+            self.make_rng("dropout"), logits, lengths, tokens, token_lengths,
+            ratio, temperature=self.cfg.pae_ctc_temperature,
+            smooth=self.cfg.pae_oracle_smooth,
+            only_mistake=self.cfg.xctc_pae_ground_truth_only_mistake,
         )
-        aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
-        V = logits.shape[-1]
-        oracle = jax.nn.one_hot(aligned, V, dtype=jnp.float32)
-        if self.cfg.pae_oracle_smooth:
-            # smoothed oracle (reference: adapter.py:254-255)
-            oracle = jnp.where(oracle == 1.0, 0.9 + 0.1 / V, 0.1 / V)
-        probs = jax.nn.softmax(
-            logits.astype(jnp.float32) / self.cfg.pae_ctc_temperature, axis=-1
-        )
-        mask = jax.random.uniform(self.make_rng("dropout"), aligned.shape) < ratio
-        if self.cfg.xctc_pae_ground_truth_only_mistake:
-            # substitute only where the CTC argmax missed the aligned label
-            # (reference: s2t_transformer.py:1931-1932)
-            mistake = jnp.argmax(lp, axis=-1) != aligned
-            mask = mask & mistake
-        return jnp.where(mask[..., None], oracle, probs)
 
     def __call__(
         self,

@@ -266,27 +266,19 @@ class TextualEncoder(nn.Module):
         self.drop = _FastDropout(a.dropout)
 
     def _oracle_probs(self, logits, lengths, tokens, token_lengths):
-        """Ground-truth curriculum for the XCTC PAE (reference:
-        s2t_sate.py:627-700 + modules/speech_to_text/adapter.py:245-256)."""
-        from s2t_tpu.ops.ctc import ctc_best_alignment
+        """Ground-truth curriculum for the XCTC PAE (shared impl:
+        modules/adapter.py ctc_oracle_probs — this copy had drifted and
+        dropped the adapter-temperature division, code-review r3)."""
+        from s2t_tpu.modules.adapter import ctc_oracle_probs
 
         cfg = self.cfg
-        lp = jax.lax.stop_gradient(
-            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return ctc_oracle_probs(
+            self.make_rng("dropout"), logits, lengths, tokens, token_lengths,
+            cfg.xctc_pae_ground_truth_ratio,
+            temperature=cfg.adapter_temperature,
+            smooth=cfg.pae_oracle_smooth,
+            only_mistake=cfg.xctc_pae_ground_truth_only_mistake,
         )
-        aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
-        V = logits.shape[-1]
-        oracle = jax.nn.one_hot(aligned, V, dtype=jnp.float32)
-        if cfg.pae_oracle_smooth:
-            oracle = jnp.where(oracle == 1.0, 0.9 + 0.1 / V, 0.1 / V)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        mask = (
-            jax.random.uniform(self.make_rng("dropout"), aligned.shape)
-            < cfg.xctc_pae_ground_truth_ratio
-        )
-        if cfg.xctc_pae_ground_truth_only_mistake:
-            mask = mask & (jnp.argmax(lp, axis=-1) != aligned)
-        return jnp.where(mask[..., None], oracle, probs)
 
     def __call__(self, x, lengths, deterministic: bool = True,
                  target=None, target_lengths=None):

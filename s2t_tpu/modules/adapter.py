@@ -143,3 +143,42 @@ def ctc_shrink_matrix(
     else:
         raise ValueError(f"shrink strategy {strategy!r} not supported")
     return W.astype(ctc_logits.dtype), new_lengths
+
+
+def ctc_oracle_probs(
+    rng,
+    logits,
+    lengths,
+    tokens,
+    token_lengths,
+    ratio,
+    temperature: float = 1.0,
+    smooth: bool = False,
+    only_mistake: bool = False,
+):
+    """Viterbi ground-truth curriculum for PAE re-injection: with per-frame
+    probability ``ratio`` substitute the CTC best-alignment one-hot (optionally
+    label-smoothed) for the model's softmax(logits / temperature)
+    (the torch_imputer best_alignment consumer; reference:
+    criterions/ctc.py get_ctc_align + adapter.py:245-256).  Shared by the
+    s2t_transformer encoder and SATE's textual encoder."""
+    import jax
+
+    from s2t_tpu.ops.ctc import ctc_best_alignment
+
+    lp = jax.lax.stop_gradient(
+        jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    )
+    aligned, _ = ctc_best_alignment(lp, tokens, lengths, token_lengths)
+    V = logits.shape[-1]
+    oracle = jax.nn.one_hot(aligned, V, dtype=jnp.float32)
+    if smooth:
+        # smoothed oracle (reference: adapter.py:254-255)
+        oracle = jnp.where(oracle == 1.0, 0.9 + 0.1 / V, 0.1 / V)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    mask = jax.random.uniform(rng, aligned.shape) < ratio
+    if only_mistake:
+        # substitute only where the CTC argmax missed the aligned label
+        # (reference: s2t_transformer.py:1931-1932)
+        mask = mask & (jnp.argmax(lp, axis=-1) != aligned)
+    return jnp.where(mask[..., None], oracle, probs)

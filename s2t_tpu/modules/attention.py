@@ -214,37 +214,44 @@ class MultiHeadAttention(nn.Module):
                 out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
                 return self.out_proj(out), None
 
-        if (
-            bias is None
-            and valid_mask is not None
-            and cache is None
-            and kv_override is None
-            and self.attention_type in ("abs", "rope")  # rope applied above
-            and q.shape[1] == k.shape[1]
-        ):
-            # encoder self-attention with a pure padding mask: use the
-            # VMEM-resident fused kernel when available (TPU) — the (B, H,
-            # T, T) probabilities never touch HBM and attention dropout is
-            # regenerated in backward (ops/attention_pallas.py).  Skipped
-            # when attn_weights are being sowed (alignment supervision
-            # needs the dense probabilities).
-            from s2t_tpu.ops.attention_pallas import (
-                fused_attention,
-                fused_attention_available,
-            )
-
-            if fused_attention_available(
-                q.shape[1], self.head_dim, self.num_heads
-            ) and not (
-                self.sow_attn and self.is_mutable_collection("intermediates")
+        if bias is None and valid_mask is not None and cache is None \
+                and kv_override is None:
+            if (
+                self.attention_type in ("abs", "rope")  # rope applied above
+                and q.shape[1] == k.shape[1]
             ):
-                rate = 0.0 if deterministic else self.dropout
-                rng = self.make_rng("dropout") if rate > 0 else None
-                out = fused_attention(q, k, v, valid_mask, rate, rng)
-                out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
-                return self.out_proj(out), None
-            # dense fallback: rebuild the padding bias the caller elided
-            bias = padding_bias(valid_mask, q.dtype)
+                # encoder self-attention with a pure padding mask: use the
+                # VMEM-resident fused kernel when available (TPU) — the
+                # (B, H, T, T) probabilities never touch HBM and attention
+                # dropout is regenerated in backward
+                # (ops/attention_pallas.py).  Skipped when attn_weights are
+                # being sowed (alignment supervision needs the dense probs).
+                from s2t_tpu.ops.attention_pallas import (
+                    fused_attention,
+                    fused_attention_available,
+                )
+
+                if fused_attention_available(
+                    q.shape[1], self.head_dim, self.num_heads
+                ) and not (
+                    self.sow_attn
+                    and self.is_mutable_collection("intermediates")
+                ):
+                    rate = 0.0 if deterministic else self.dropout
+                    rng = self.make_rng("dropout") if rate > 0 else None
+                    out = fused_attention(q, k, v, valid_mask, rate, rng)
+                    out = out.reshape(
+                        out.shape[0], out.shape[1], self.embed_dim
+                    )
+                    return self.out_proj(out), None
+            # dense fallback for EVERY non-fused shape (incl. Shaw-relative
+            # and strided-KV attention — leaving bias None here ran those
+            # unmasked, code-review r3): rebuild the padding bias the caller
+            # elided, striding the mask like the keys when kv_stride > 1
+            vm = valid_mask
+            if self.kv_stride > 1:
+                vm = valid_mask[:, :: self.kv_stride]
+            bias = padding_bias(vm, q.dtype)
 
         new_cache = None
         if cache is not None and cache_ancestry is not None:

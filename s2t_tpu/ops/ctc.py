@@ -142,6 +142,13 @@ def _fused_head_emissions(
     Exactness: gathered-column matmul accumulates the SAME products the
     logits matmul accumulates, in f32 on the MXU."""
     h, W, b = fused_head["hidden"], fused_head["kernel"], fused_head["bias"]
+    # a precomputed normalizer ("norm") lets callers that evaluate the loss
+    # for several label sets over the SAME head (mixup's two target rows)
+    # run the vocab-wide logsumexp once instead of relying on XLA CSE'ing
+    # two separate scans
+    norm = fused_head.get("norm")
+    if norm is None:
+        norm = _fused_head_logsumexp(fused_head)
     one_hot = jax.nn.one_hot(ext_labels, W.shape[1], dtype=h.dtype)
     w_ext = jnp.einsum("dv,bsv->bsd", W.astype(h.dtype), one_hot)
     em = jnp.einsum(
@@ -152,7 +159,7 @@ def _fused_head_emissions(
             "v,bsv->bs", b.astype(jnp.float32), one_hot.astype(jnp.float32)
         )
         em = em + b_ext[:, None, :]
-    return em - _fused_head_logsumexp(fused_head)[:, :, None]
+    return em - norm[:, :, None]
 
 
 def _transition_mask(ext_labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:

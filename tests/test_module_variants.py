@@ -277,3 +277,28 @@ class TestQuantNoise:
                 l0 = float(m["loss"])
         assert float(m["loss"]) < l0
         assert np.isfinite(float(m["loss"]))
+
+
+class TestElidedBiasMasking:
+    """A None bias with a valid_mask must mask padding for EVERY attention
+    variant — Shaw-relative and strided-KV ran unmasked when the encoder
+    started eliding pure-padding biases (code-review r3 regression)."""
+
+    def test_relative_and_strided_match_explicit_bias(self):
+        from s2t_tpu.modules.attention import MultiHeadAttention, padding_bias
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 12, 16)), jnp.float32)
+        valid = jnp.asarray(np.arange(12)[None] < np.array([[12], [6]]))
+        for kw in (dict(attention_type="relative", max_relative_length=4),
+                   dict(kv_stride=2)):
+            m = MultiHeadAttention(16, 2, 0.0, **kw)
+            p = m.init(jax.random.PRNGKey(0), x, x, x, None, True,
+                       valid_mask=valid)
+            o_none = m.apply(p, x, x, x, None, True, valid_mask=valid)[0]
+            o_mask = m.apply(p, x, x, x, padding_bias(valid, x.dtype), True,
+                             valid_mask=valid)[0]
+            np.testing.assert_allclose(
+                np.asarray(o_none[1, :6]), np.asarray(o_mask[1, :6]),
+                atol=1e-6, err_msg=str(kw),
+            )

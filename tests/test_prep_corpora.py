@@ -140,8 +140,17 @@ class TestScanners:
         assert len(st) == 2
         assert st[0]["tgt_text"] == "translation dev 0"
         assert st[0]["src_text"] == "phrase dev 0"
+        # ASR mode: splits come from CommonVoice's per-split TSVs; with
+        # neither dev.tsv nor a 'split' column the scanner must REFUSE
+        # rather than put the whole validated set in every split
+        # (code-review r3: train/test contamination)
+        with pytest.raises(FileNotFoundError, match="split"):
+            list(scan_covost(tmp_path, "fr", "dev", tgt_lang=None))
+        (tmp_path / "dev.tsv").write_text(
+            "client_id\tpath\tsentence\n" + "spk0\tdev_0.mp3\tphrase dev 0\n"
+        )
         asr = list(scan_covost(tmp_path, "fr", "dev", tgt_lang=None))
-        # ASR mode has no split column filter in this tiny validated.tsv
+        assert len(asr) == 1 and asr[0]["tgt_text"] == "phrase dev 0"
         assert all("src_text" not in r for r in asr)
 
     def test_mtedx(self, tmp_path):

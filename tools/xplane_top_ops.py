@@ -58,11 +58,11 @@ for plane in space.planes:
     if not self_tot:
         continue
     total_ps = sum(self_tot.values())
-    print(f"== plane {plane.name}: XLA-op self-time total {total_ps/1e9:.3f} us")
+    print(f"== plane {plane.name}: XLA-op self-time total {total_ps/1e9:.3f} ms")
     for name, ps in self_tot.most_common(top_n):
-        print(f"{ps/1e9:10.3f} us  n={cnt[name]:5d}  {ps/total_ps*100:5.1f}%  {name[:120]}")
+        print(f"{ps/1e9:10.3f} ms  n={cnt[name]:5d}  {ps/total_ps*100:5.1f}%  {name[:120]}")
     print("\n-- by op kind --")
     for name, ps in self_tot.items():
         self_by_kind[base_name(name)] += ps
     for kind, ps in self_by_kind.most_common(25):
-        print(f"{ps/1e9:10.3f} us  {ps/total_ps*100:5.1f}%  {kind}")
+        print(f"{ps/1e9:10.3f} ms  {ps/total_ps*100:5.1f}%  {kind}")
