@@ -130,7 +130,9 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
         tot["loss"] = tot.get("loss", 0.0) + float(logs["loss"])
         tot["nll_loss"] = tot.get("nll_loss", 0.0) + float(logs.get("nll_loss", logs["loss"]))
         # carry every scalar criterion log into validation history
-        # (latency_loss, ctc_loss, diversity_loss, accuracy counters, ...)
+        # (latency_loss, ctc_loss, diversity_loss, ...).  Counter-style keys
+        # are summed raw and reported as their own ratio below — dividing a
+        # counter by sample_size is meaningless (code-review r3)
         for k, v in logs.items():
             if k in ("loss", "nll_loss", "sample_size"):
                 continue
@@ -149,7 +151,12 @@ def validate(cfg, task, trainer, state, valid_ds, generator=None) -> Dict[str, f
                 hyp = task.decode_tokens(hyp_toks[b])
                 ref = task.decode_tokens(np.asarray(batch["target"])[b])
                 scorer.add(ref, hyp)
-    out = {k: v / max(n, 1.0) for k, v in tot.items()}
+    COUNTERS = {"n_correct", "total", "ntokens", "nsentences"}
+    out = {
+        k: (v if k in COUNTERS else v / max(n, 1.0)) for k, v in tot.items()
+    }
+    if "n_correct" in out and out.get("total", 0) > 0:
+        out["accuracy"] = out["n_correct"] / out["total"]
     if scorer is not None:
         key = "wer" if cfg.eval.eval_wer else "bleu"
         out[key] = scorer.score()

@@ -46,9 +46,12 @@ def _gather_beams(tree, indices, B, K, flat: bool = None):
     import os
 
     if flat is None:
-        flat = bool(os.environ.get("S2T_FLAT_BEAM_GATHER"))
-    if flat == "einsum" or (flat is True and os.environ.get(
-            "S2T_FLAT_BEAM_GATHER") == "einsum"):
+        # experiment knob ("1"/"true"/"flat" or "einsum"); "0"/"false"/unset
+        # keep the default take_along_axis form, the measured winner
+        # (docs/design.md: four formulations table)
+        env = os.environ.get("S2T_FLAT_BEAM_GATHER", "").strip().lower()
+        flat = "einsum" if env == "einsum" else env in ("1", "true", "flat")
+    if flat == "einsum":
         # reorder as a (K_new, K_old) one-hot matmul per sentence: each leaf
         # is read once and written once through the MXU
         onehot = jax.nn.one_hot(indices, K, dtype=jnp.bfloat16)  # (B, Kn, Ko)

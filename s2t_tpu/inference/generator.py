@@ -209,10 +209,12 @@ class SequenceGenerator:
                     **cache, **extra_caches
                 }
 
-            def decode_step(tokens, cache, index):
+            def decode_step(tokens, cache, index, ancestry=None):
                 nested = use_lm or n_extra
                 dec_cache = cache["dec"] if nested else cache
                 kw = {} if cross_kv is None else {"cross_kv": cross_kv}
+                if ancestry is not None:
+                    kw["ancestry"] = ancestry
                 logits, new_dec = self.model.apply(
                     {"params": params},
                     tokens,
@@ -328,19 +330,15 @@ class SequenceGenerator:
             if lazy:
                 anc0 = jnp.zeros((B, K, max_len), jnp.int32)
                 cache = {"dec_kv": cache, "anc": anc0}
-                kw_l = {} if cross_kv is None else {"cross_kv": cross_kv}
 
                 def beam_step(tokens, cache_l, index):
-                    logits, new_kv = self.model.apply(
-                        {"params": params}, tokens, cache_l["dec_kv"], index,
-                        enc_out_b, enc_mask_b,
-                        method=self.model.decode_step,
-                        ancestry=cache_l["anc"], **kw_l,
+                    # one source of truth: the shared decode_step closure
+                    # does all logits post-processing
+                    lprobs, new_kv = decode_step(
+                        tokens, cache_l["dec_kv"], index,
+                        ancestry=cache_l["anc"],
                     )
-                    logits = logits.astype(jnp.float32) / self.temperature
-                    return jax.nn.log_softmax(logits, -1), {
-                        "dec_kv": new_kv, "anc": cache_l["anc"]
-                    }
+                    return lprobs, {"dec_kv": new_kv, "anc": cache_l["anc"]}
 
                 def reorder_fn(cache_l, idx, i):
                     anc = jnp.take_along_axis(

@@ -302,7 +302,10 @@ class Wav2VecModel(nn.Module):
             k1, k2 = jax.random.split(jax.random.fold_in(rng, 1))
             yf = y.reshape(B * T, C)
             bsel = jax.random.randint(k1, (B, T, Nx), 0, B)
-            hi_b = jnp.maximum(frames[bsel] - 1, 1).astype(jnp.float32)
+            # full valid range of the DONOR utterance (self-collisions are
+            # shifted below; an off-by-one here starved utterance-final
+            # frames, code-review r3)
+            hi_b = jnp.maximum(frames[bsel], 1).astype(jnp.float32)
             tsel = jnp.floor(
                 jax.random.uniform(k2, (B, T, Nx)) * hi_b
             ).astype(jnp.int32)

@@ -341,7 +341,8 @@ class MultiHeadAttention(nn.Module):
             )[:, :, None, :]
             scores = scores + bias
             w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            self.sow("intermediates", "attn_weights", w)
+            if self.sow_attn:
+                self.sow("intermediates", "attn_weights", w)
             wv = w * jnp.transpose(
                 new_cache["v_scale"].astype(q.dtype), (0, 2, 1)
             )[:, :, None, :]
