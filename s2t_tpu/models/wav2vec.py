@@ -99,26 +99,64 @@ def _act(name: str):
 
 class GroupNormBlock(nn.Module):
     """Single-group norm over (T, C) per utterance, f32 statistics
-    (reference: wav2vec.py norm_block -> Fp32GroupNorm(1, dim))."""
+    (reference: wav2vec.py norm_block -> Fp32GroupNorm(1, dim)).
+
+    The reference trains on cropped pad-free batches, so normalizing over
+    the whole time axis is safe there; with padded batches the statistics
+    must be MASKED to the valid frames or the same utterance gets different
+    features depending on its bucket's padding (and any junk in the tail
+    poisons every frame)."""
 
     affine: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=1, dtype=self.dtype, use_bias=self.affine,
-            use_scale=self.affine, name="gn",
-        )(x)
+    def __call__(self, x, valid=None):
+        B, T, C = x.shape
+        xf = x.astype(jnp.float32)
+        if valid is None:
+            n = float(T * C)
+            mean = jnp.mean(xf, axis=(1, 2))
+            var = jnp.mean((xf - mean[:, None, None]) ** 2, axis=(1, 2))
+        else:
+            m = valid[..., None]
+            # where, not multiply: junk (even NaN) in the padded tail must
+            # not reach the statistics
+            xz = jnp.where(m, xf, 0.0)
+            n = jnp.maximum(
+                jnp.sum(m.astype(jnp.float32), axis=(1, 2)) * C, 1.0
+            )
+            mean = jnp.sum(xz, axis=(1, 2)) / n
+            var = jnp.sum(
+                jnp.where(m, (xf - mean[:, None, None]) ** 2, 0.0),
+                axis=(1, 2),
+            ) / n
+        h = (xf - mean[:, None, None]) * jax.lax.rsqrt(
+            var[:, None, None] + 1e-5
+        )
+        if self.affine:
+            scale = self.param("gn_scale", nn.initializers.ones, (C,))
+            bias = self.param("gn_bias", nn.initializers.zeros, (C,))
+            h = h * scale[None, None] + bias[None, None]
+        if valid is not None:
+            # silence the padded tail for downstream convs
+            h = jnp.where(valid[..., None], h, 0.0)
+        return h.astype(self.dtype)
 
 
 class ConvFeatureExtractorV1(nn.Module):
-    """Raw waveform -> frame features (reference: wav2vec.py:367-418)."""
+    """Raw waveform -> frame features (reference: wav2vec.py:367-418).
+
+    ``lengths`` makes every group-norm's statistics padding-independent
+    (see GroupNormBlock)."""
 
     cfg: Wav2VecConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from s2t_tpu.utils.masking import lengths_to_mask
+
         cfg = self.cfg
         h = x[..., None]  # (B, T, 1)
         for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
@@ -127,11 +165,15 @@ class ConvFeatureExtractorV1(nn.Module):
                 features=dim, kernel_size=(k,), strides=(s,), padding="VALID",
                 use_bias=False, dtype=cfg.dtype, name=f"conv{i}",
             )(h)
+            valid = None
+            if lengths is not None:
+                lengths = (lengths - k) // s + 1
+                valid = lengths_to_mask(jnp.maximum(lengths, 0), h.shape[1])
             h = _FastDropout(cfg.dropout)(h, deterministic=deterministic)
             h = GroupNormBlock(
                 affine=not cfg.non_affine_group_norm, dtype=cfg.dtype,
                 name=f"norm{i}",
-            )(h)
+            )(h, valid)
             h = _act(cfg.activation)(h)
             if cfg.skip_connections_feat and h.shape[-1] == prev.shape[-1]:
                 # stride-subsample the residual to the new time length
@@ -149,7 +191,8 @@ class ConvAggregator(nn.Module):
     cfg: Wav2VecConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         for i, (dim, k, s) in enumerate(cfg.conv_aggregator_layers):
             residual = x
@@ -165,7 +208,7 @@ class ConvAggregator(nn.Module):
             h = GroupNormBlock(
                 affine=not cfg.non_affine_group_norm, dtype=cfg.dtype,
                 name=f"norm{i}",
-            )(h)
+            )(h, valid)
             h = _act(cfg.activation)(h)
             if cfg.skip_connections_agg:
                 if residual.shape[-1] != dim:
@@ -240,7 +283,9 @@ class Wav2VecModel(nn.Module):
         temp: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
-        feats = self.feature_extractor(source, deterministic)  # (B, T', C)
+        feats = self.feature_extractor(
+            source, deterministic, lengths=lengths
+        )  # (B, T', C)
         extra = {}
         if cfg.vq_type == "gumbel":
             # gumbel quantization of the targets; ``temp`` is the annealed
@@ -267,8 +312,12 @@ class Wav2VecModel(nn.Module):
         # scores predictions against the clean features (wav2vec.py:308-313);
         # dropout applies only on the aggregator input
         y = feats
+        from s2t_tpu.utils.masking import lengths_to_mask as _l2m
+
+        agg_valid = _l2m(self._frame_lengths(lengths), feats.shape[1])
         x = self.drop_feats(feats, deterministic=deterministic)
-        x = self.feature_aggregator(x, deterministic=deterministic)
+        x = self.feature_aggregator(x, deterministic=deterministic,
+                                    valid=agg_valid)
         x = self.drop_agg(x, deterministic=deterministic)
 
         B, T, C = y.shape

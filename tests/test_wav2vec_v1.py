@@ -283,3 +283,48 @@ class TestWav2VecV1VQ:
         assert "prob_perplexity" in out
         loss, n, logs = criterion(out, {})
         assert "diversity_loss" in logs and np.isfinite(float(loss))
+
+
+class TestNegativeSampling:
+    def test_negatives_never_from_padding(self):
+        """NaN-canary: poison the padded waveform tail; if any negative (or
+        target) were drawn from padded frames, the CPC logits on valid
+        positions would go NaN (code-review r3: padded-tail negatives)."""
+        cfg = tiny_v1_cfg(num_negatives=6, cross_sample_negatives=4)
+        model = Wav2VecModel(cfg)
+        rng = np.random.default_rng(7)
+        B, T = 3, 2000
+        src = rng.normal(size=(B, T)).astype(np.float32)
+        lengths = np.asarray([2000, 1100, 700])
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(src), jnp.asarray(lengths), False,
+        )["params"]
+        out_clean = model.apply(
+            {"params": params}, jnp.asarray(src), jnp.asarray(lengths), False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        src_poison = src.copy()
+        for b, L in enumerate(lengths):
+            src_poison[b, L:] = np.nan
+        out = model.apply(
+            {"params": params}, jnp.asarray(src_poison), jnp.asarray(lengths),
+            False, rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        logits = np.asarray(out["cpc_logits"], np.float32)
+        valid = np.asarray(out["cpc_valid"])
+        # conv receptive field bleeds NaN slightly BEFORE the frame boundary;
+        # restrict the check to frames whose receptive field is fully valid
+        frames = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(lengths),
+            method=Wav2VecModel._frame_lengths))
+        margin = 2  # extractor kernel/stride margin at these tiny configs
+        clean = np.asarray(out_clean["cpc_logits"], np.float32)
+        for b in range(B):
+            f = frames[b] - margin
+            v = valid[b, :f]
+            assert np.isfinite(logits[b, :f][v]).all(), f"row {b}"
+            # and the clean run agrees where both are finite
+            np.testing.assert_allclose(
+                logits[b, :f][v], clean[b, :f][v], rtol=1e-4, atol=1e-4
+            )
