@@ -18,14 +18,37 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def make_buckets(max_val: int, num_buckets: int, min_val: int = 16) -> np.ndarray:
-    """Geometric bucket boundaries from min_val to max_val (inclusive)."""
+def make_buckets(
+    max_val: int,
+    num_buckets: int,
+    min_val: int = 16,
+    sizes: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Static bucket lattice up to max_val (inclusive).
+
+    With ``sizes`` (the dataset's actual length distribution), boundaries are
+    length quantiles so padding waste is bounded regardless of how far the
+    configured cap sits above the data (a 250k-sample cap over 800-sample
+    clips must not pad to 250k).  Without sizes, falls back to a geometric
+    span — the reference's BucketPadLengthDataset likewise buckets on the
+    observed size distribution (fairseq/data/bucket_pad_length_dataset.py).
+    Boundaries snap up to multiples of 8 (never past max_val) so padded T
+    stays sublane-friendly on TPU.
+    """
     if num_buckets <= 1:
         return np.asarray([max_val], dtype=np.int64)
-    ratios = np.geomspace(min_val, max_val, num_buckets)
-    buckets = np.unique(np.ceil(ratios).astype(np.int64))
-    buckets[-1] = max_val
-    return buckets
+    if sizes is not None and len(sizes) > 0:
+        s = np.minimum(np.asarray(sizes, np.int64), max_val)
+        qs = np.quantile(s, np.linspace(0.0, 1.0, num_buckets + 1)[1:])
+        buckets = np.ceil(qs).astype(np.int64)
+    else:
+        buckets = np.ceil(np.geomspace(min_val, max_val, num_buckets)).astype(
+            np.int64
+        )
+        buckets[-1] = max_val
+    buckets = np.maximum(buckets, 1)
+    buckets = np.minimum(((buckets + 7) // 8) * 8, max_val)
+    return np.unique(buckets)
 
 
 def bucketize(values: np.ndarray, buckets: np.ndarray) -> np.ndarray:

@@ -80,9 +80,12 @@ class Task:
         # sample counts) declare their own cap; everything else uses the
         # config's frame semantics
         frame_cap = getattr(dataset, "frame_cap", None) or ds_cfg.max_source_positions
-        frame_buckets = make_buckets(frame_cap, ds_cfg.num_buckets)
+        frame_buckets = make_buckets(
+            frame_cap, ds_cfg.num_buckets, sizes=dataset.n_frames
+        )
         token_buckets = make_buckets(
-            ds_cfg.max_target_positions, max(ds_cfg.num_buckets // 2, 4), min_val=8
+            ds_cfg.max_target_positions, max(ds_cfg.num_buckets // 2, 4), min_val=8,
+            sizes=getattr(dataset, "n_tokens", None),
         )
 
         keep = filter_by_size(

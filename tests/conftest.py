@@ -37,8 +37,44 @@ try:
 except Exception:  # option renamed/absent in some jax versions
     pass
 
+import faulthandler  # noqa: E402
+import signal  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Per-test runtime ceiling: a compile/dispatch stall must be a FAILURE, not a
+# suite that never terminates.  SIGALRM raises TimeoutError in the test; if
+# the main thread is wedged inside a C call that never returns to the
+# interpreter, the faulthandler backstop dumps all stacks and exits the
+# process a grace period later.  Override with S2T_TEST_TIMEOUT=0 to disable
+# (e.g. when debugging under pdb).
+DEFAULT_TEST_TIMEOUT = int(os.environ.get("S2T_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    timeout = DEFAULT_TEST_TIMEOUT
+    marker = item.get_closest_marker("timeout")
+    if marker and marker.args:
+        timeout = int(marker.args[0])
+    if timeout <= 0 or not hasattr(signal, "SIGALRM"):
+        return (yield)
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {timeout}s per-test timeout"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    faulthandler.dump_traceback_later(timeout + 120, exit=True)
+    signal.alarm(timeout)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        faulthandler.cancel_dump_traceback_later()
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture
