@@ -135,6 +135,20 @@ def infer_config_from_args(
         macaron_style="encoder.layers.0.macaron_norm.weight" in state
         or "encoder.layers.0.macaron_fc1.weight" in state,
         use_cnn_module=any("conv_module" in k for k in state),
+        cnn_module_kernel=(
+            state["encoder.layers.0.conv_module.depthwise_conv.weight"].shape[2]
+            if "encoder.layers.0.conv_module.depthwise_conv.weight" in state
+            else 31
+        ),
+        cnn_module_norm=(
+            "batch_norm"
+            if "encoder.layers.0.conv_module.norm.running_mean" in state
+            else "layer_norm"
+        ),
+        conv_module_bias=(
+            "encoder.layers.0.conv_module.pointwise_conv1.bias" in state
+        ),
+        encoder_activation_fn=_get(args, "encoder_activation_fn", ""),
         decoder_embed_dim=dec_dim,
         decoder_ffn_embed_dim=dec_ffn,
         decoder_layers=dec_layers,
@@ -179,19 +193,54 @@ def _norm(state, prefix) -> Dict[str, np.ndarray]:
 
 def _conv1d(state, prefix) -> Dict[str, np.ndarray]:
     # torch (out, in, k) → flax (k, in, out)
-    return {
+    out = {
         "kernel": np.ascontiguousarray(state[prefix + ".weight"].transpose(2, 1, 0)),
-        "bias": state[prefix + ".bias"],
     }
+    if prefix + ".bias" in state:
+        out["bias"] = state[prefix + ".bias"]
+    return out
 
 
 def _attn(state, prefix) -> Dict[str, Any]:
-    return {
-        "q_proj": _dense(state, prefix + ".q_proj"),
-        "k_proj": _dense(state, prefix + ".k_proj"),
-        "v_proj": _dense(state, prefix + ".v_proj"),
-        "out_proj": _dense(state, prefix + ".out_proj"),
+    # ESPnet-family modules (abs/rel_pos/rope, espnet_multihead_attention.py)
+    # name their projections linear_{q,k,v,out}; fairseq MultiheadAttention
+    # uses {q,k,v,out}_proj — detect per-layer from the keys present
+    if prefix + ".linear_q.weight" in state:
+        out = {
+            "q_proj": _dense(state, prefix + ".linear_q"),
+            "k_proj": _dense(state, prefix + ".linear_k"),
+            "v_proj": _dense(state, prefix + ".linear_v"),
+            "out_proj": _dense(state, prefix + ".linear_out"),
+        }
+    else:
+        out = {
+            "q_proj": _dense(state, prefix + ".q_proj"),
+            "k_proj": _dense(state, prefix + ".k_proj"),
+            "v_proj": _dense(state, prefix + ".v_proj"),
+            "out_proj": _dense(state, prefix + ".out_proj"),
+        }
+    return out
+
+
+def _conv_module(state, cm, norm_type: str) -> Dict[str, Any]:
+    """Conformer conv module; BatchNorm running stats fold into the frozen
+    affine (scale = γ/√(var+ε), bias = β − mean·scale, ε = torch's 1e-5)."""
+    out: Dict[str, Any] = {
+        "pointwise_conv1": _conv1d_as_dense(state, cm + ".pointwise_conv1"),
+        "depthwise_conv": _depthwise(state, cm + ".depthwise_conv"),
+        "pointwise_conv2": _conv1d_as_dense(state, cm + ".pointwise_conv2"),
     }
+    if norm_type == "batch_norm":
+        gamma = state[cm + ".norm.weight"]
+        beta = state[cm + ".norm.bias"]
+        mean = state[cm + ".norm.running_mean"]
+        var = state[cm + ".norm.running_var"]
+        scale = gamma / np.sqrt(var + 1e-5)
+        out["norm_scale"] = scale.astype(np.float32)
+        out["norm_bias"] = (beta - mean * scale).astype(np.float32)
+    else:
+        out["norm"] = _norm(state, cm + ".norm")
+    return out
 
 
 def convert_s2t_transformer(
@@ -231,15 +280,11 @@ def convert_s2t_transformer(
                 "fc2": _dense(state, p + ".macaron_ffn.w_2"),
             }
         if cfg.use_cnn_module:
-            layer["conv_norm"] = _norm(state, p + ".norm_conv")
-            layer["final_norm"] = _norm(state, p + ".norm_final")
-            cm = p + ".conv_module"
-            layer["conv_module"] = {
-                "pointwise_conv1": _conv1d_as_dense(state, cm + ".pointwise_conv1"),
-                "depthwise_conv": _depthwise(state, cm + ".depthwise_conv"),
-                "norm": _norm(state, cm + ".norm"),
-                "pointwise_conv2": _conv1d_as_dense(state, cm + ".pointwise_conv2"),
-            }
+            layer["conv_norm"] = _norm(state, p + ".conv_norm")
+            layer["final_norm"] = _norm(state, p + ".final_norm")
+            layer["conv_module"] = _conv_module(
+                state, p + ".conv_module", cfg.cnn_module_norm
+            )
         if cfg.encoder_attention_type == "rel_pos":
             layer["self_attn"]["pos_proj"] = {
                 "kernel": np.ascontiguousarray(
@@ -286,19 +331,19 @@ def convert_s2t_transformer(
 def _conv1d_as_dense(state, prefix) -> Dict[str, np.ndarray]:
     # torch pointwise Conv1d (out, in, 1) used where we use Dense
     w = state[prefix + ".weight"]
-    return {
-        "kernel": np.ascontiguousarray(w[:, :, 0].T),
-        "bias": state[prefix + ".bias"],
-    }
+    out = {"kernel": np.ascontiguousarray(w[:, :, 0].T)}
+    if prefix + ".bias" in state:
+        out["bias"] = state[prefix + ".bias"]
+    return out
 
 
 def _depthwise(state, prefix) -> Dict[str, np.ndarray]:
     # torch depthwise Conv1d (ch, 1, k) → flax grouped Conv kernel (k, 1, ch)
     w = state[prefix + ".weight"]
-    return {
-        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
-        "bias": state[prefix + ".bias"],
-    }
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if prefix + ".bias" in state:
+        out["bias"] = state[prefix + ".bias"]
+    return out
 
 
 def import_fairseq_s2t(path: str, **overrides):

@@ -92,6 +92,15 @@ class S2TTransformerConfig:
     macaron_style: bool = False
     use_cnn_module: bool = False
     cnn_module_kernel: int = 31
+    # conv-module norm: "layer_norm" is the TPU-native default (stateless);
+    # "batch_norm" matches the reference default as a frozen per-channel
+    # affine — exact at inference once running stats are folded in by the
+    # importer (reference: modules/convolution.py norm_type,
+    # s2t_transformer.py:2326 cnn_module_norm default batch_norm)
+    cnn_module_norm: str = "layer_norm"
+    # reference conv modules are built with bias=False
+    # (modules/convolution.py ConvolutionModule bias arg)
+    conv_module_bias: bool = False
     # DLCL (reference: modules/dlcl.py, use_enc_dlcl flag)
     use_enc_dlcl: bool = False
     # sequence parallelism: shard encoder activations (and run ring
@@ -275,6 +284,9 @@ class PipeStageBlock(nn.Module):
                     if cfg.encoder_lconv_kernels else 15
                 ),
                 max_relative_length=cfg.max_encoder_relative_length,
+                conv_activation=cfg.activation_fn,
+                conv_norm_type=cfg.cnn_module_norm,
+                conv_bias=cfg.conv_module_bias,
                 name=f"layer{j}",
             )(x, valid, bias, pos_emb, deterministic)
         return x
@@ -391,6 +403,9 @@ class S2TTransformerEncoder(nn.Module):
                     dt, cfg.seq_parallel, cfg.encoder_attention_stride,
                     lconv_kernel=lconv_kernel(i),
                     max_relative_length=cfg.max_encoder_relative_length,
+                    conv_activation=cfg.activation_fn,
+                    conv_norm_type=cfg.cnn_module_norm,
+                    conv_bias=cfg.conv_module_bias,
                     name=f"layer{i}",
                 )
                 for i in range(cfg.encoder_layers)

@@ -45,38 +45,64 @@ class FeedForward(nn.Module):
 
 class ConformerConvModule(nn.Module):
     """Conformer convolution module: pointwise → GLU → depthwise → norm →
-    swish → pointwise (reference: fairseq/modules/convolution.py:8-120).
+    act → pointwise (reference: fairseq/modules/convolution.py:8-120).
 
-    Uses LayerNorm in place of the reference's BatchNorm1d: functionally
-    stateless (no running stats to thread through pjit) and standard in
-    recent Conformer implementations.
+    ``norm_type="layer_norm"`` (default) is the TPU-native choice: stateless,
+    nothing to thread through pjit.  ``norm_type="batch_norm"`` matches the
+    reference's BatchNorm1d as a *frozen* per-channel affine — the importer
+    folds the running statistics into (scale, bias), which is exact at
+    inference and equals fine-tuning with frozen BN statistics in training.
+
+    ``out_dim``/``stride`` support the reference's expand_embed_dim /
+    strided depthwise conv (EffecientConformer stages; reference:
+    modules/convolution.py stride arg, pds_layer.py conv_stride) — with
+    stride > 1 the output is T' = (T-1)//stride + 1 frames and the caller
+    must downsample masks/lengths the same way.
     """
 
     dim: int
     kernel_size: int = 31
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    out_dim: int = 0  # 0 → dim (reference expand_embed_dim)
+    stride: int = 1
+    norm_type: str = "layer_norm"  # "layer_norm" | "batch_norm" (frozen)
+    use_bias: bool = True  # reference conv layers default to bias=False
+    activation: str = "swish"
 
     @nn.compact
     def __call__(self, x, valid_mask, deterministic: bool = True):
         # x: (B, T, D); valid_mask: (B, T) — padded frames zeroed so the
         # depthwise conv never mixes padding into valid frames.
+        D = self.out_dim or self.dim
         x = jnp.where(valid_mask[..., None], x, 0.0)
-        h = nn.Dense(2 * self.dim, dtype=self.dtype, name="pointwise_conv1")(x)
+        h = nn.Dense(2 * D, use_bias=self.use_bias, dtype=self.dtype,
+                     name="pointwise_conv1")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)
         h = jnp.where(valid_mask[..., None], h, 0.0)
         h = nn.Conv(
-            features=self.dim,
+            features=D,
             kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
             padding=[((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)],
-            feature_group_count=self.dim,
+            feature_group_count=D,
+            use_bias=self.use_bias,
             dtype=self.dtype,
             name="depthwise_conv",
         )(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
-        h = nn.swish(h)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="pointwise_conv2")(h)
+        if self.norm_type == "batch_norm":
+            scale = self.param("norm_scale", nn.initializers.ones, (D,))
+            shift = self.param("norm_bias", nn.initializers.zeros, (D,))
+            h = h * scale.astype(h.dtype) + shift.astype(h.dtype)
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = get_activation(self.activation)(h)
+        h = nn.Dense(D, use_bias=self.use_bias, dtype=self.dtype,
+                     name="pointwise_conv2")(h)
+        if self.stride > 1:
+            valid_mask = valid_mask[:, :: self.stride]
+            h = jnp.where(valid_mask[..., None], h, 0.0)
         h = _FastDropout(self.dropout)(h, deterministic=deterministic)
         return h
 
@@ -109,6 +135,14 @@ class S2TEncoderLayer(nn.Module):
     # squeeze-excitation channel gate after the FFN (reference:
     # modules/squeeze_excitation.py SEAttention, --squeeze-excitation)
     use_se: bool = False
+    # conv-module knobs matching the reference layer exactly
+    # (reference: modules/convolution.py ConvolutionModule args,
+    # modules/pds_layer.py conv_stride/expand_embed_dim)
+    conv_activation: str = "swish"
+    conv_norm_type: str = "layer_norm"  # "batch_norm" = frozen affine
+    conv_bias: bool = True
+    conv_expand_dim: int = 0  # 0 → dim; EffecientConformer stage growth
+    conv_stride: int = 1  # strided depthwise conv downsampling in-layer
 
     @nn.compact
     def __call__(
@@ -170,6 +204,7 @@ class S2TEncoderLayer(nn.Module):
             x = norm_attn_norm(x)
 
         if self.use_cnn_module:
+            expand = self.conv_expand_dim or self.dim
             res = x
             norm_conv = nn.LayerNorm(dtype=self.dtype, name="conv_norm")
             h = norm_conv(x) if self.normalize_before else x
@@ -184,19 +219,38 @@ class S2TEncoderLayer(nn.Module):
 
                 h = conv_grad_guard(h)
             h = ConformerConvModule(
-                self.dim, self.cnn_kernel, self.dropout, self.dtype, name="conv_module"
+                self.dim, self.cnn_kernel, self.dropout, self.dtype,
+                out_dim=expand, stride=self.conv_stride,
+                norm_type=self.conv_norm_type, use_bias=self.conv_bias,
+                activation=self.conv_activation, name="conv_module",
             )(h, valid_mask, deterministic)
             if self.seq_parallel and seq_parallel_enabled():
                 h = constrain(h, "data", "seq", None)
-            x = res + drop(h, deterministic=deterministic)
+            # conv residual (reference: pds_layer.py conv_res — 1×1 strided
+            # conv when the layer expands dims, plain stride-slice otherwise;
+            # the reference adds the conv output with no extra dropout: the
+            # module's internal dropout is the only one on this path)
+            if expand != self.dim:
+                res = nn.Dense(expand, dtype=self.dtype, name="conv_res")(
+                    res[:, :: self.conv_stride]
+                )
+            elif self.conv_stride > 1:
+                res = res[:, :: self.conv_stride]
+            if self.conv_stride > 1:
+                valid_mask = valid_mask[:, :: self.conv_stride]
+            x = res + h
             if not self.normalize_before:
                 x = norm_conv(x)
 
+        # after an expanding conv module the trailing FFN/norms run at the
+        # expanded width (reference: pds_layer.py ffn/ffn_norm/final_norm
+        # at expand_embed_dim)
+        out_dim = (self.conv_expand_dim or self.dim) if self.use_cnn_module else self.dim
         res = x
         norm_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
         h = norm_ffn_norm(x) if self.normalize_before else x
         h = FeedForward(
-            self.dim, self.ffn_dim, self.activation, self.dropout,
+            out_dim, self.ffn_dim, self.activation, self.dropout,
             self.activation_dropout, self.dtype, name="ffn",
         )(h, deterministic)
         x = res + ffn_scale * drop(h, deterministic=deterministic)

@@ -127,6 +127,32 @@ class TestS2TTransformerParity:
         )
         assert cfg.share_decoder_input_output_embed
 
+    def test_conformer_rel_pos(self, tmp_path):
+        """Conformer layers: macaron FFN + conv module (frozen BatchNorm
+        fold) + ESPnet rel_pos attention (reference:
+        modules/s2t_transformer_layer.py:103-126, espnet_multihead_attention.py
+        RelPositionMultiHeadedAttention, conf: egs/mustc/st/conf/conformer.yaml)."""
+        cfg = self._roundtrip(
+            tmp_path, encoder_layers=2, decoder_layers=1,
+            encoder_ffn_embed_dim=256, decoder_ffn_embed_dim=256,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=15,
+            encoder_attention_type="rel_pos", encoder_activation_fn="swish",
+            ctc_weight=0.3,
+        )
+        assert cfg.macaron_style and cfg.use_cnn_module
+        assert cfg.cnn_module_norm == "batch_norm"
+        assert not cfg.conv_module_bias
+
+    def test_conformer_abs_attention(self, tmp_path):
+        """ESPnet absolute-attention conformer (encoder_attention_type=abs →
+        linear_{q,k,v,out} naming; reference espnet_multihead_attention.py:23)."""
+        self._roundtrip(
+            tmp_path, encoder_layers=2, decoder_layers=1,
+            encoder_ffn_embed_dim=256, decoder_ffn_embed_dim=256,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+            encoder_attention_type="abs", encoder_activation_fn="swish",
+        )
+
 
 class TestMTTransformerParity:
     """MT transformer checkpoint import parity (reference:
