@@ -148,7 +148,12 @@ class CTCCriterion:
         inter = model_out.get("inter_ctc_logits") or ()
         if cfg.inter_ctc_weight > 0 and len(inter) > 0:
             il = jnp.asarray(0.0, jnp.float32)
-            for i, (_, logits) in enumerate(inter):
+            for i, entry in enumerate(inter):
+                # taps are (layer_idx, logits) or, when they sit at a
+                # different time scale than the final output (PDS stages),
+                # (layer_idx, logits, lengths)
+                logits = entry[1]
+                tap_lengths = entry[2] if len(entry) > 2 else enc_lengths
                 tk, tl = transcript, transcript_lengths
                 if cfg.inter_ctc_mlo and i < len(cfg.inter_ctc_mlo):
                     # MLO: inter head i scores transcript level k
@@ -157,7 +162,7 @@ class CTCCriterion:
                     if f"transcript{k}" in batch:
                         tk = batch[f"transcript{k}"]
                         tl = batch[f"transcript{k}_lengths"]
-                il = il + self._one_ctc(logits, enc_lengths, tk, tl, mixup)
+                il = il + self._one_ctc(logits, tap_lengths, tk, tl, mixup)
             il = il / len(inter)
             logs["inter_ctc_loss"] = il
             total = total + cfg.inter_ctc_weight * il
@@ -179,9 +184,10 @@ class CTCCriterion:
             tgt_ctc = jnp.where((tgt == cfg.eos_id), cfg.pad_id, tgt)
             tgt_lengths = jnp.sum((tgt_ctc != cfg.pad_id).astype(jnp.int32), axis=1)
             il = jnp.asarray(0.0, jnp.float32)
-            for _, logits in inter_x:
+            for entry in inter_x:
                 il = il + self._one_ctc(
-                    logits, enc_lengths, tgt_ctc, tgt_lengths, mixup
+                    entry[1], entry[2] if len(entry) > 2 else enc_lengths,
+                    tgt_ctc, tgt_lengths, mixup,
                 )
             il = il / len(inter_x)
             logs["inter_xctc_loss"] = il
@@ -210,9 +216,10 @@ class CTCCriterion:
             ) or ()
             if cfg.inter_axctc_weight > 0 and len(inter_ax) > 0:
                 il = jnp.asarray(0.0, jnp.float32)
-                for _, logits in inter_ax:
+                for entry in inter_ax:
                     il = il + self._one_ctc(
-                        logits, enc_lengths, atgt_ctc, alen, mixup
+                        entry[1], entry[2] if len(entry) > 2 else enc_lengths,
+                        atgt_ctc, alen, mixup,
                     )
                 il = il / len(inter_ax)
                 logs["inter_axctc_loss"] = il

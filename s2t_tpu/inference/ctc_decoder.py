@@ -46,8 +46,12 @@ class CTCDecoder:
             logits = inter[self.intermediate_logit - 1][1]
         if self.self_ensemble and len(inter) > 0:
             lps = [jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)]
-            for _, l in inter:
-                lps.append(jax.nn.log_softmax(l.astype(jnp.float32), axis=-1))
+            for entry in inter:
+                l = entry[1]
+                # PDS stage taps live at coarser time scales — the ensemble
+                # can only average distributions on the final scale
+                if l.shape[1] == logits.shape[1] and l.shape[-1] == logits.shape[-1]:
+                    lps.append(jax.nn.log_softmax(l.astype(jnp.float32), axis=-1))
             return sum(lps) / len(lps)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 

@@ -384,10 +384,18 @@ class SequenceGenerator:
         """
         features = batch[self.input_keys[0]]
         T = features.shape[1]
-        # conservative encoder length (subsampling ratio from model config)
+        # conservative encoder length (subsampling ratio from model config;
+        # staged encoders like PDS expose their exact product as
+        # downsample_ratio)
         enc_T = T
-        for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
-            enc_T = (enc_T - 1) // getattr(self.model.cfg, "subsampling_stride", 2) + 1
+        ratio = getattr(self.model.cfg, "downsample_ratio", 0)
+        if ratio > 1:
+            # staged encoders pad T up to a stage-ratio multiple first
+            mult = getattr(self.model.cfg, "pad_multiple", 1)
+            enc_T = -(-(-(-T // mult) * mult) // ratio)
+        else:
+            for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
+                enc_T = (enc_T - 1) // getattr(self.model.cfg, "subsampling_stride", 2) + 1
         max_len = self._max_len_for(enc_T)
         if len(extra_params or ()) != len(self.extra_models):
             raise ValueError(

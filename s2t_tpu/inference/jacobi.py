@@ -216,10 +216,15 @@ class JacobiGenerator:
         # same horizon as SequenceGenerator: max_len_a scales the SUBSAMPLED
         # encoder length, not the raw frame count
         enc_T = feats.shape[1]
-        for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
-            enc_T = (enc_T - 1) // getattr(
-                self.model.cfg, "subsampling_stride", 2
-            ) + 1
+        ratio = getattr(self.model.cfg, "downsample_ratio", 0)
+        if ratio > 1:
+            mult = getattr(self.model.cfg, "pad_multiple", 1)
+            enc_T = -(-(-(-enc_T // mult) * mult) // ratio)
+        else:
+            for _ in range(getattr(self.model.cfg, "subsampling_layers", 2)):
+                enc_T = (enc_T - 1) // getattr(
+                    self.model.cfg, "subsampling_stride", 2
+                ) + 1
         max_len = int(min(
             self.max_len_a * enc_T + self.max_len_b,
             self.max_target_positions - 1,

@@ -354,6 +354,286 @@ def import_fairseq_s2t(path: str, **overrides):
 
 
 # --------------------------------------------------------------------------- #
+# PDS checkpoints (reference: pdss2t_transformer.py layout —
+# downsampling{i+1}.conv.0 / .norm, stage{i+1}.{j}.*, ctc{i+1} / ctc_norm{i+1}
+# / ctc_pae{i+1}, fusion_{pre,post}_layer_norm{i+1} + fusion_downsampling{i+1},
+# ctc.ctc_projection, layer_norm, plus the s2t decoder).
+# --------------------------------------------------------------------------- #
+
+def _ints(v) -> Tuple[int, ...]:
+    if v is None or v == "":
+        return ()
+    return tuple(int(x) for x in str(v).split("_"))
+
+
+def _adapter_tree(state, p) -> Dict[str, Any]:
+    """Reference Adapter → this framework's Adapter pytree
+    (reference: modules/speech_to_text/adapter.py:95-160)."""
+    out: Dict[str, Any] = {}
+    if p + ".embed_adapter.weight" in state:
+        out["embed_adapter"] = state[p + ".embed_adapter.weight"]  # (V, D)
+    if p + ".linear_adapter.0.weight" in state:
+        out["linear_fc1"] = _dense(state, p + ".linear_adapter.0")
+        out["linear_fc2"] = _dense(state, p + ".linear_adapter.2")
+        out["linear_norm"] = _norm(state, p + ".linear_adapter.3")
+    if p + ".gate_linear.weight" in state:
+        out["gate"] = _dense(state, p + ".gate_linear")
+    if p + ".embed_ln.weight" in state:
+        out["embed_ln"] = _norm(state, p + ".embed_ln")
+    if p + ".out_ln.weight" in state:
+        out["out_ln"] = _norm(state, p + ".out_ln")
+    return out
+
+
+def _pds_enc_layer(state, p, cfg) -> Dict[str, Any]:
+    layer = {
+        "self_attn": _attn(state, p + ".self_attn"),
+        "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+        "ffn": {
+            "fc1": _dense(state, p + ".ffn.w_1"),
+            "fc2": _dense(state, p + ".ffn.w_2"),
+        },
+        "ffn_norm": _norm(state, p + ".ffn_norm"),
+    }
+    if p + ".macaron_norm.weight" in state:
+        layer["macaron_norm"] = _norm(state, p + ".macaron_norm")
+        layer["macaron_ffn"] = {
+            "fc1": _dense(state, p + ".macaron_ffn.w_1"),
+            "fc2": _dense(state, p + ".macaron_ffn.w_2"),
+        }
+    if p + ".conv_norm.weight" in state:
+        layer["conv_norm"] = _norm(state, p + ".conv_norm")
+        layer["final_norm"] = _norm(state, p + ".final_norm")
+        layer["conv_module"] = _conv_module(
+            state, p + ".conv_module", cfg.cnn_module_norm
+        )
+        # expanding conv residual: 1x1 strided Conv1d (pds_layer.py conv_res)
+        if p + ".conv_res.1.weight" in state:
+            layer["conv_res"] = _conv1d_as_dense(state, p + ".conv_res.1")
+    if p + ".self_attn.linear_pos.weight" in state:
+        layer["self_attn"]["pos_proj"] = {
+            "kernel": np.ascontiguousarray(
+                state[p + ".self_attn.linear_pos.weight"].T
+            )
+        }
+        layer["self_attn"]["pos_bias_u"] = state[p + ".self_attn.pos_bias_u"]
+        layer["self_attn"]["pos_bias_v"] = state[p + ".self_attn.pos_bias_v"]
+    return layer
+
+
+def infer_pds_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                               **overrides):
+    from s2t_tpu.models.pds import PDSConfig
+
+    vocab, dec_dim = state["decoder.embed_tokens.weight"].shape
+    stages = int(_get(args, "pds_stages", 4))
+    dims = _ints(_get(args, "pds_embed_dims", None))
+    dec_layers = 1 + max(
+        int(m.group(1)) for k in state
+        if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+    )
+    src_vocab = -1
+    for key in ("encoder.ctc.ctc_projection.weight",
+                "encoder.ctc1.ctc_projection.weight"):
+        if key in state:
+            src_vocab = state[key].shape[0]
+            break
+    ctc_flags = _ints(_get(args, "pds_ctc", None))
+    use_ctc = (
+        "encoder.ctc.ctc_projection.weight" in state
+        or float(_get(args, "ctc_weight", 0)) > 0
+    )
+    macaron = "encoder.stage1.0.macaron_norm.weight" in state
+    use_cnn = "encoder.stage1.0.conv_module.pointwise_conv1.weight" in state
+    cnn_kernel = 31
+    if use_cnn:
+        cnn_kernel = state[
+            "encoder.stage1.0.conv_module.depthwise_conv.weight"
+        ].shape[2]
+    attn_map = {"selfattn": "abs", "abs": "abs", "rel_pos": "rel_pos",
+                "rope": "rope"}
+    cfg = PDSConfig(
+        input_feat_per_channel=int(_get(args, "input_feat_per_channel", 80)),
+        pds_stages=stages,
+        pds_ratios=_ints(_get(args, "pds_ratios", None)),
+        pds_layers=_ints(_get(args, "pds_layers", None)),
+        pds_kernel_sizes=_ints(_get(args, "pds_kernel_sizes", None)),
+        pds_embed_dims=dims,
+        pds_attn_heads=_ints(_get(args, "pds_attn_heads", None)),
+        pds_ffn_ratios=_ints(_get(args, "pds_ffn_ratios", None)),
+        pds_position_embed=_ints(_get(args, "pds_position_embed", None)),
+        pds_ctc=ctc_flags,
+        pds_embed_norm=bool(_get(args, "pds_embed_norm", False)),
+        pds_conv_strides=_ints(_get(args, "pds_conv_strides", None)),
+        pds_cnn_kernel_sizes=_ints(_get(args, "pds_cnn_kernel_sizes", None)),
+        pds_fusion=bool(_get(args, "pds_fusion", False)),
+        pds_fusion_method=_get(args, "pds_fusion_method", "all_conv"),
+        pds_fusion_layers=_ints(_get(args, "pds_fusion_layers", None)),
+        pds_final_layers=int(_get(args, "pds_final_layers", 0)),
+        subsampling_type=_get(args, "subsampling_type", "conv1d"),
+        subsampling_layers=int(_get(args, "subsampling_layers", 2)),
+        subsampling_filter=int(_get(args, "subsampling_filter", 1024)),
+        subsampling_kernel=int(_get(args, "subsampling_kernel", 5)),
+        subsampling_stride=int(_get(args, "subsampling_stride", 2)),
+        subsampling_norm=_get(args, "subsampling_norm", "none"),
+        subsampling_activation=_get(args, "subsampling_activation", "glu"),
+        encoder_embed_dim=int(
+            _get(args, "encoder_embed_dim", dims[-1] if dims else 256)
+        ),
+        encoder_attention_type=attn_map.get(
+            _get(args, "encoder_attention_type", "selfattn"), "abs"
+        ),
+        encoder_normalize_before="encoder.layer_norm.weight" in state,
+        activation_fn=_get(args, "activation_fn", "relu"),
+        encoder_activation_fn=_get(args, "encoder_activation_fn", ""),
+        dropout=float(_get(args, "dropout", 0.1)),
+        macaron_style=macaron,
+        use_cnn_module=use_cnn,
+        cnn_module_kernel=cnn_kernel,
+        cnn_module_norm=(
+            "batch_norm"
+            if "encoder.stage1.0.conv_module.norm.running_mean" in state
+            else "layer_norm"
+        ),
+        conv_module_bias=(
+            "encoder.stage1.0.conv_module.pointwise_conv1.bias" in state
+        ),
+        use_ctc=use_ctc,
+        ctc_layer=int(_get(args, "ctc_layer", 0)),
+        ctc_pae=_get(args, "ctc_pae", "none"),
+        pae_ctc_temperature=float(_get(args, "pae_ctc_temperature", 1.0)),
+        pae_unnorm_input=bool(_get(args, "pae_unnorm_input", False)),
+        pae_embed_norm=bool(_get(args, "pae_embed_norm", False)),
+        pae_out_norm=bool(_get(args, "pae_out_norm", False)),
+        share_inter_ctc=bool(_get(args, "share_inter_ctc", False)),
+        decoder_embed_dim=dec_dim,
+        decoder_ffn_embed_dim=state["decoder.layers.0.fc1.weight"].shape[0],
+        decoder_layers=dec_layers,
+        decoder_attention_heads=int(_get(args, "decoder_attention_heads", 4)),
+        decoder_normalize_before="decoder.layer_norm.weight" in state,
+        share_decoder_input_output_embed=(
+            "decoder.output_projection.weight" not in state
+            or np.array_equal(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+        ),
+        vocab_size=vocab,
+        src_vocab_size=src_vocab,
+        max_source_positions=int(_get(args, "max_source_positions", 6000)),
+        max_target_positions=int(_get(args, "max_target_positions", 1024)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def convert_pds(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a reference pdss2t_transformer state dict to this framework."""
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    enc = params["encoder"]
+
+    ctc_flags = cfg.pds_ctc or tuple(0 for _ in range(cfg.pds_stages))
+    tapped = [i for i in range(cfg.pds_stages)
+              if i < len(ctc_flags) and ctc_flags[i]]
+    share = cfg.share_inter_ctc and len(
+        {cfg.stage_expand_dim(i) for i in tapped} | {cfg.encoder_embed_dim}
+    ) == 1
+
+    for i in range(cfg.pds_stages):
+        rp = f"encoder.downsampling{i + 1}"
+        if cfg.pds_ratios[i] == -1:
+            # shared conv subsampler in stage 0 (reference :534-536): reuse
+            # the s2t key scheme downsampling1.layers.{k}.0
+            sub = {}
+            for k in range(cfg.subsampling_layers):
+                sub[f"conv{k}"] = _conv1d(state, f"{rp}.layers.{k}.0")
+                if cfg.subsampling_norm == "layer":
+                    sub[f"norm{k}"] = _norm(state, f"{rp}.layers.{k}.1")
+            enc[f"ds{i}"] = sub
+        elif cfg.pds_ratios[i] != 0:
+            ds = {"conv": _conv1d(state, rp + ".conv.0")}
+            if cfg.pds_embed_norm:
+                ds["norm"] = _norm(state, rp + ".norm")
+            enc[f"ds{i}"] = ds
+        for j in range(cfg.pds_layers[i]):
+            enc[f"stage{i}_layer{j}"] = _pds_enc_layer(
+                state, f"encoder.stage{i + 1}.{j}", cfg
+            )
+        if cfg.use_ctc and i in tapped:
+            enc[f"ctc_norm{i}"] = _norm(state, f"encoder.ctc_norm{i + 1}")
+            head = {"proj": _dense(state, f"encoder.ctc{i + 1}.ctc_projection")}
+            if share:
+                enc.setdefault("inter_ctc_head", head)
+            else:
+                enc[f"ctc{i}"] = head
+            pae = _adapter_tree(state, f"encoder.ctc_pae{i + 1}")
+            if pae and i != cfg.pds_stages - 1 and cfg.ctc_pae != "none":
+                enc["pae" if share else f"pae{i}"] = pae
+
+    for i in cfg.fusion_stages:
+        rp = f"encoder.fusion_downsampling{i + 1}"
+        block = {
+            "pre_norm": _norm(state, f"encoder.fusion_pre_layer_norm{i + 1}"),
+            "conv": _conv1d(state, rp + ".1"),
+            "post_norm": _norm(state, f"encoder.fusion_post_layer_norm{i + 1}"),
+        }
+        gamma = state[rp + ".2.weight"]
+        beta = state[rp + ".2.bias"]
+        mean = state[rp + ".2.running_mean"]
+        var = state[rp + ".2.running_var"]
+        scale = gamma / np.sqrt(var + 1e-5)
+        block["norm_scale"] = scale.astype(np.float32)
+        block["norm_bias"] = (beta - mean * scale).astype(np.float32)
+        enc[f"fusion{i}"] = block
+    if cfg.fusion_stages and "encoder.fusion_weight" in state:
+        enc["fusion_weight"] = state["encoder.fusion_weight"]
+
+    if cfg.encoder_normalize_before:
+        enc["final_norm"] = _norm(state, "encoder.layer_norm")
+    if cfg.use_ctc and not (share and tapped and cfg.ctc_layer == 0):
+        head = {"proj": _dense(state, "encoder.ctc.ctc_projection")}
+        if "encoder.ctc.LayerNorm.weight" in state:
+            head["norm"] = _norm(state, "encoder.ctc.LayerNorm")
+        enc["ctc_head"] = head
+
+    params["decoder"] = _s2t_decoder_tree(state, cfg)
+    return params
+
+
+def _s2t_decoder_tree(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    dec: Dict[str, Any] = {}
+    dec["embed_tokens"] = {"embedding": state["decoder.embed_tokens.weight"]}
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "self_attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "cross_attn": _attn(state, p + ".encoder_attn"),
+            "cross_attn_norm": _norm(state, p + ".encoder_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if cfg.decoder_normalize_before:
+        dec["final_norm"] = _norm(state, "decoder.layer_norm")
+    if not cfg.share_decoder_input_output_embed:
+        dec["output_proj"] = {
+            "kernel": np.ascontiguousarray(
+                state["decoder.output_projection.weight"].T
+            )
+        }
+    return dec
+
+
+def import_fairseq_pds(path: str, **overrides):
+    """One-call PDS import: path → (params pytree, PDSConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_pds_config_from_args(args, state, **overrides)
+    return convert_pds(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
 # MT transformer checkpoints (reference: fairseq/models/transformer.py layout:
 # encoder/decoder.layers.{i}.{self_attn,encoder_attn,fc1,fc2,
 # *_layer_norm,final_layer_norm}; learned positions carry fairseq's pad+1

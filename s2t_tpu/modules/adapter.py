@@ -70,16 +70,24 @@ class Adapter(nn.Module):
             if self.embed_norm:
                 context = nn.LayerNorm(dtype=self.dtype, name="embed_ln")(context)
 
+        def linear_adapter(h):
+            # reference linear_adapter: Linear(d→2d) → ReLU → Linear(2d→d)
+            # → LayerNorm (adapter.py:117-123)
+            h = nn.Dense(2 * self.dim, dtype=self.dtype, name="linear_fc1")(h)
+            h = nn.relu(h)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="linear_fc2")(h)
+            return nn.LayerNorm(dtype=self.dtype, name="linear_norm")(h)
+
         if t == "linear":
-            out = nn.Dense(self.dim, dtype=self.dtype, name="linear")(x)
+            out = linear_adapter(x)
         elif t == "context":
             out = context
         elif t == "league":
-            out = nn.Dense(self.dim, dtype=self.dtype, name="linear")(x) + context
+            out = linear_adapter(x) + context
         elif t == "inter_league":
             out = x + context
         elif t == "gated_league":
-            lin = nn.Dense(self.dim, dtype=self.dtype, name="linear")(x)
+            lin = linear_adapter(x)
             gate = nn.sigmoid(
                 nn.Dense(self.dim, dtype=self.dtype, name="gate")(
                     jnp.concatenate([lin, context], axis=-1)

@@ -143,6 +143,10 @@ class S2TEncoderLayer(nn.Module):
     conv_bias: bool = True
     conv_expand_dim: int = 0  # 0 → dim; EffecientConformer stage growth
     conv_stride: int = 1  # strided depthwise conv downsampling in-layer
+    # macaron FFN hidden width when it differs from ffn_dim (expanding
+    # layers: macaron runs at the input dim, the final FFN at the expanded
+    # dim — reference pds_layer.py:82-87 vs :125-131); 0 → ffn_dim
+    macaron_ffn_dim: int = 0
 
     @nn.compact
     def __call__(
@@ -161,7 +165,8 @@ class S2TEncoderLayer(nn.Module):
             norm_macaron = nn.LayerNorm(dtype=self.dtype, name="macaron_norm")
             h = norm_macaron(x) if self.normalize_before else x
             h = FeedForward(
-                self.dim, self.ffn_dim, self.activation, self.dropout,
+                self.dim, self.macaron_ffn_dim or self.ffn_dim,
+                self.activation, self.dropout,
                 self.activation_dropout, self.dtype, name="macaron_ffn",
             )(h, deterministic)
             x = res + ffn_scale * drop(h, deterministic=deterministic)

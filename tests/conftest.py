@@ -28,7 +28,25 @@ if not os.environ.get("S2T_TEST_TPU"):
 # the disk cache, the second `pytest` run skips nearly all compiles.
 import jax as _jax  # noqa: E402
 
-_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/s2t_xla_cache")
+# key the cache by CPU feature set: XLA:CPU AOT entries compiled on another
+# machine type fail to load (and can SIGILL) when the host lacks ISA
+# extensions the compiling box had
+def _cpu_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
+
+
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/s2t_xla_cache_{_cpu_tag()}"
+)
 _jax.config.update("jax_compilation_cache_dir", _cache_dir)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -154,6 +154,130 @@ class TestS2TTransformerParity:
         )
 
 
+class TestPDSParity:
+    """PDS encoder checkpoint-import parity against the reference
+    (reference: fairseq/models/speech_to_text/pdss2t_transformer.py:147-1232)."""
+
+    def _roundtrip(self, tmp_path, arch="pdss2t_transformer_s_8", T=48,
+                   check_inter=False, **overrides):
+        import torch
+
+        from build_reference import build_pds_model, save_fairseq_checkpoint
+        from s2t_tpu.interop.fairseq_import import import_fairseq_pds
+
+        model, args, d = build_pds_model(arch=arch, **overrides)
+        ckpt = tmp_path / "ref_pds.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_pds(str(ckpt))
+
+        feats, lens, prev = _rand_batch(T=T, vocab=len(d))
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_enc = enc["encoder_out"][0].transpose(0, 1).numpy()
+            r_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+            r_ctc = None
+            if len(enc["ctc_logit"]) > 0:
+                r_ctc = enc["ctc_logit"][0].transpose(0, 1).numpy()
+            r_inter = [
+                (lg.transpose(0, 1).numpy(), (~pm).sum(-1).numpy())
+                for lg, pm in enc["inter_ctc_logits"]
+            ]
+
+        from s2t_tpu.models.pds import PDSS2TTransformerModel
+
+        m = PDSS2TTransformerModel(cfg)
+        out = m.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True,
+        )
+        j_lens = np.asarray(out["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_enc, np.asarray(out["encoder_out"], np.float32),
+                      j_lens, "encoder_out", atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["decoder_logits"], np.float32), r_logits,
+            atol=5e-4, rtol=1e-4,
+        )
+        if r_ctc is not None:
+            _assert_close(r_ctc, np.asarray(out["ctc_logits"], np.float32),
+                          j_lens, "ctc_logits", atol=5e-4)
+        if check_inter:
+            j_inter = out["inter_ctc_logits"]
+            assert len(j_inter) == len(r_inter), (
+                f"{len(j_inter)} inter taps vs reference {len(r_inter)}"
+            )
+            for (ref_lg, ref_ln), entry in zip(r_inter, j_inter):
+                tap_lens = np.asarray(entry[2])
+                np.testing.assert_array_equal(tap_lens, ref_ln)
+                _assert_close(ref_lg, np.asarray(entry[1], np.float32),
+                              tap_lens, "inter_ctc", atol=5e-4)
+        return cfg
+
+    def _small(self):
+        return dict(
+            pds_embed_dims="48_48_48_48", pds_attn_heads="2_2_2_2",
+            pds_ffn_ratios="2_2_2_2", pds_layers="1_1_1_1",
+            encoder_embed_dim=48, decoder_embed_dim=48,
+            decoder_ffn_embed_dim=96, decoder_layers=1,
+            decoder_attention_heads=2, dropout=0.0,
+            attention_dropout=0.0, activation_dropout=0.0,
+        )
+
+    def test_pds_base_8(self, tmp_path):
+        """Vanilla pds_base_8 stage plan with a top CTC head
+        (conf: egs/librispeech/asr/conf/pds_base_8.yaml)."""
+        cfg = self._roundtrip(tmp_path, ctc_weight=0.3, **self._small())
+        assert cfg.pds_ratios == (2, 2, 1, 2)
+
+    def test_pds_inter_ctc_pae(self, tmp_path):
+        """Per-stage CTC taps + inter_league PAE re-injection with a shared
+        head (reference :645-680, :1160-1172)."""
+        cfg = self._roundtrip(
+            tmp_path, T=56, check_inter=True,
+            ctc_weight=0.3, pds_ctc="0_1_1_0", ctc_pae="inter_league",
+            share_inter_ctc=True, inter_ctc_weight=0.2, **self._small(),
+        )
+        assert cfg.pds_ctc == (0, 1, 1, 0)
+        assert cfg.share_inter_ctc
+
+    def test_pds_growth_fusion(self, tmp_path):
+        """Stage-growth dims + multi-scale all_conv fusion
+        (conf: pds_base_8_growth_fusion256.yaml shape; fusion semantics
+        reference :585-622, :1186-1232 with pds_fusion_mask)."""
+        kw = self._small()
+        kw.update(
+            pds_embed_dims="32_48_48_64", encoder_embed_dim=64,
+            decoder_embed_dim=64, pds_fusion=True,
+            pds_fusion_method="all_conv", pds_fusion_mask=True,
+            ctc_weight=0.3,
+        )
+        cfg = self._roundtrip(tmp_path, **kw)
+        assert cfg.pds_fusion and cfg.fusion_stages == (0, 1, 2, 3)
+
+    def test_pds_conv_strides_conformer(self, tmp_path):
+        """EffecientConformer-style in-stage strided conv modules with dim
+        growth + rel_pos conformer layers
+        (conf: egs/librispeech/asr/conf/EffecientConformerCTCSmall.yaml;
+        reference pds_layer.py conv_stride/expand_embed_dim)."""
+        kw = self._small()
+        kw.update(
+            pds_stages=3, pds_ratios="2_0_0", pds_layers="1_1_1",
+            pds_kernel_sizes="3_3_3", pds_embed_dims="24_32_48",
+            pds_attn_heads="2_2_2", pds_ffn_ratios="2_2_2",
+            pds_position_embed="1_1_1", pds_conv_strides="2_2_1",
+            encoder_embed_dim=48, decoder_embed_dim=48,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+            encoder_attention_type="rel_pos", encoder_activation_fn="swish",
+            ctc_weight=0.3,
+        )
+        cfg = self._roundtrip(tmp_path, T=48, **kw)
+        assert cfg.pds_conv_strides == (2, 2, 1)
+        assert cfg.cnn_module_norm == "batch_norm"
+
+
 class TestMTTransformerParity:
     """MT transformer checkpoint import parity (reference:
     fairseq/models/transformer.py state-dict layout)."""
