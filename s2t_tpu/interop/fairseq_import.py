@@ -634,6 +634,153 @@ def import_fairseq_pds(path: str, **overrides):
 
 
 # --------------------------------------------------------------------------- #
+# SATE checkpoints (reference: s2t_sate.py layout —
+# encoder.acoustic_encoder.* (a full s2t/pds encoder), encoder.adapter.*,
+# encoder.textual_encoder.{embed_ln,layers.N,layer_norm,xctc,xctc_norm*,
+# xctc_pae}, plus the s2t decoder).
+# --------------------------------------------------------------------------- #
+
+def _acoustic_substate(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Re-key encoder.acoustic_encoder.* → encoder.* (and keep decoder.*) so
+    the existing s2t/pds converters apply unchanged."""
+    out = {}
+    for k, v in state.items():
+        if k.startswith("encoder.acoustic_encoder."):
+            out["encoder." + k[len("encoder.acoustic_encoder."):]] = v
+        elif k.startswith("decoder."):
+            out[k] = v
+    return out
+
+
+def infer_sate_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                                **overrides):
+    from s2t_tpu.models.sate import SATEConfig
+
+    ac_state = _acoustic_substate(state)
+    family = _get(args, "acoustic_encoder", "transformer")
+    pds_cfg = None
+    if family == "pds":
+        pds_cfg = infer_pds_config_from_args(args, ac_state)
+        # the s2t inference path needs encoder.layers.*/subsample.* keys the
+        # PDS layout lacks; synthesize shape-only stand-ins (the layer plan
+        # is unused for a pds acoustic encoder, but the textual/decoder dims
+        # and normalize-before flags are read off this config)
+        ac_cfg = infer_config_from_args(args, {
+            **ac_state,
+            "encoder.layers.0.ffn.w_1.weight": np.zeros(
+                (pds_cfg.encoder_embed_dim * pds_cfg.pds_ffn_ratios[-1],
+                 pds_cfg.encoder_embed_dim), np.float32),
+            "encoder.subsample.layers.0.0.weight": np.zeros(
+                (8, pds_cfg.input_feat_per_channel, 5), np.float32),
+        })
+    else:
+        ac_cfg = infer_config_from_args(args, ac_state)
+    tp = "encoder.textual_encoder"
+    inter_raw = _get(args, "inter_xctc_layers", None)
+    text_layers = int(_get(args, "text_encoder_layers", 6))
+    inter_layers = ()
+    if inter_raw and str(inter_raw) != "none" and float(
+        _get(args, "inter_xctc_weight", 0)
+    ) > 0:
+        inter_layers = tuple(
+            int(x) if int(x) > 0 else int(x) + text_layers
+            for x in str(inter_raw).split(",")
+        )
+    attn_map = {"selfattn": "abs", "abs": "abs", "rel_pos": "rel_pos",
+                "rope": "rope"}
+    cfg = SATEConfig(
+        acoustic=ac_cfg,
+        acoustic_encoder=family,
+        pds=pds_cfg,
+        adapter_type=_get(args, "adapter", "league"),
+        adapter_temperature=float(_get(args, "adapter_temperature", 1.0)),
+        text_encoder_layers=text_layers,
+        text_attention_heads=ac_cfg.encoder_attention_heads,
+        text_ffn_embed_dim=ac_cfg.encoder_ffn_embed_dim,
+        text_attention_type=attn_map.get(
+            _get(args, "text_attention_type", "selfattn"), "abs"
+        ),
+        text_no_pos_emb=bool(_get(args, "text_no_pos_emb", False)),
+        textual_encoder_embed_norm=tp + ".embed_ln.weight" in state,
+        textual_encoder_no_scale_embedding=bool(
+            _get(args, "textual_encoder_no_scale_embedding", False)
+        ),
+        text_use_xctc=(
+            tp + ".xctc.ctc_projection.weight" in state
+            and float(_get(args, "xctc_weight", 0)) > 0
+        ),
+        inter_xctc_layers=inter_layers,
+        share_inter_xctc_norm=bool(_get(args, "share_inter_xctc_norm", False)),
+        xctc_pae=_get(args, "xctc_pae", "none"),
+        pae_unnorm_input=bool(_get(args, "pae_unnorm_input", False)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def convert_sate(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    ac_state = _acoustic_substate(state)
+    if cfg.acoustic_encoder == "pds":
+        acoustic = convert_pds(ac_state, cfg.pds)["encoder"]
+    else:
+        acoustic = convert_s2t_transformer(ac_state, cfg.acoustic)["encoder"]
+    params: Dict[str, Any] = {"encoder": {"acoustic": acoustic}}
+    enc = params["encoder"]
+
+    adapter = _adapter_tree(state, "encoder.adapter")
+    if adapter and cfg.adapter_type not in ("none", "shrink"):
+        enc["adapter"] = adapter
+
+    tp = "encoder.textual_encoder"
+    tx: Dict[str, Any] = {}
+    if tp + ".embed_ln.weight" in state:
+        tx["embed_norm"] = _norm(state, tp + ".embed_ln")
+    for i in range(cfg.text_encoder_layers):
+        p = f"{tp}.layers.{i}"
+        layer = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+        }
+        if p + ".fc1.weight" in state:  # fairseq MT TransformerEncoderLayer
+            layer["ffn"] = {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            }
+            layer["ffn_norm"] = _norm(state, p + ".final_layer_norm")
+        else:  # text_use_s2t_layer naming
+            layer["ffn"] = {
+                "fc1": _dense(state, p + ".ffn.w_1"),
+                "fc2": _dense(state, p + ".ffn.w_2"),
+            }
+            layer["ffn_norm"] = _norm(state, p + ".ffn_norm")
+        if p + ".s2_attn.q_proj.weight" in state:
+            layer["s2_attn"] = _attn(state, p + ".s2_attn")
+            if p + ".s2_norm.weight" in state:
+                layer["cross_norm"] = _norm(state, p + ".s2_norm")
+        tx[f"layer{i}"] = layer
+    if tp + ".layer_norm.weight" in state:
+        tx["final_norm"] = _norm(state, tp + ".layer_norm")
+    if tp + ".xctc.ctc_projection.weight" in state:
+        tx["xctc_head"] = {"proj": _dense(state, tp + ".xctc.ctc_projection")}
+    for l in cfg.inter_xctc_layers:
+        if not cfg.share_inter_xctc_norm and f"{tp}.xctc_norm{l}.weight" in state:
+            tx[f"inter_xctc_norm{l}"] = _norm(state, f"{tp}.xctc_norm{l}")
+    xpae = _adapter_tree(state, tp + ".xctc_pae")
+    if xpae and cfg.xctc_pae != "none":
+        tx["xpae"] = xpae
+    enc["textual"] = tx
+
+    params["decoder"] = _s2t_decoder_tree(state, cfg.acoustic)
+    return params
+
+
+def import_fairseq_sate(path: str, **overrides):
+    """One-call SATE import: path → (params pytree, SATEConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_sate_config_from_args(args, state, **overrides)
+    return convert_sate(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
 # MT transformer checkpoints (reference: fairseq/models/transformer.py layout:
 # encoder/decoder.layers.{i}.{self_attn,encoder_attn,fc1,fc2,
 # *_layer_norm,final_layer_norm}; learned positions carry fairseq's pad+1

@@ -30,7 +30,10 @@ from s2t_tpu.modules.adapter import Adapter, ctc_shrink_matrix
 from s2t_tpu.modules.attention import padding_bias
 from s2t_tpu.modules.ctc_head import CTCHead
 from s2t_tpu.modules.layers import S2TEncoderLayer
-from s2t_tpu.modules.positional import relative_encoding, sinusoidal_encoding
+from s2t_tpu.modules.positional import (
+    fairseq_sinusoidal_encoding,
+    relative_encoding,
+)
 from s2t_tpu.models.s2t_transformer import (
     S2TTransformerConfig,
     S2TTransformerEncoder,
@@ -294,7 +297,11 @@ class TextualEncoder(nn.Module):
             if cfg.text_attention_type == "rel_pos":
                 pos_emb = relative_encoding(T, a.encoder_embed_dim, x.dtype)
             else:
-                x = x + sinusoidal_encoding(T, a.encoder_embed_dim, x.dtype)[None]
+                # fairseq pad-aware table (valid frame i → position pad+1+i;
+                # reference: s2t_sate.py:375-377 PositionalEmbedding)
+                x = x + fairseq_sinusoidal_encoding(
+                    T, a.encoder_embed_dim, a.pad_id, x.dtype
+                )[None]
             x = self.drop(x, deterministic=deterministic)
         valid = lengths_to_mask(lengths, T)
         bias = padding_bias(valid, x.dtype)

@@ -278,6 +278,114 @@ class TestPDSParity:
         assert cfg.cnn_module_norm == "batch_norm"
 
 
+class TestSATEParity:
+    """SATE checkpoint-import parity against the reference
+    (reference: fairseq/models/speech_to_text/s2t_sate.py:38-1100)."""
+
+    def _roundtrip(self, tmp_path, T=50, check_xctc=False, **overrides):
+        import torch
+
+        from build_reference import build_sate_model, save_fairseq_checkpoint
+        from s2t_tpu.interop.fairseq_import import import_fairseq_sate
+
+        kw = dict(
+            encoder_layers=2, text_encoder_layers=2, decoder_layers=1,
+            encoder_embed_dim=48, encoder_ffn_embed_dim=96,
+            decoder_embed_dim=48, decoder_ffn_embed_dim=96,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            subsampling_filter=48,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            ctc_weight=0.3,
+        )
+        kw.update(overrides)
+        model, args, d = build_sate_model(**kw)
+        ckpt = tmp_path / "ref_sate.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_sate(str(ckpt))
+
+        feats, lens, prev = _rand_batch(T=T, vocab=len(d))
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_enc = enc["encoder_out"][0].transpose(0, 1).numpy()
+            r_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+            r_ctc = None
+            if len(enc["ctc_logit"]) > 0:
+                r_ctc = enc["ctc_logit"][0].transpose(0, 1).numpy()
+            r_xctc = None
+            if check_xctc and len(enc["xctc_logit"]) > 0:
+                r_xctc = enc["xctc_logit"][0].transpose(0, 1).numpy()
+
+        from s2t_tpu.models.sate import S2TSATEModel
+
+        m = S2TSATEModel(cfg)
+        out = m.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True,
+        )
+        j_lens = np.asarray(out["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_enc, np.asarray(out["encoder_out"], np.float32),
+                      j_lens, "encoder_out", atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["decoder_logits"], np.float32), r_logits,
+            atol=5e-4, rtol=1e-4,
+        )
+        if r_ctc is not None:
+            # the acoustic CTC tap lives at the acoustic time scale, which
+            # equals the final scale for non-shrink adapters
+            _assert_close(r_ctc, np.asarray(out["ctc_logits"], np.float32),
+                          j_lens, "ctc_logits", atol=5e-4)
+        if r_xctc is not None:
+            _assert_close(r_xctc, np.asarray(out["xctc_logits"], np.float32),
+                          j_lens, "xctc_logits", atol=5e-4)
+        return cfg
+
+    def test_sate_inter_league(self, tmp_path):
+        """Default SATE recipe shape: acoustic transformer + inter_league
+        adapter + embed norms (conf: egs/mustc/st/conf/sate.yaml)."""
+        cfg = self._roundtrip(
+            tmp_path,
+            adapter="inter_league",
+            encoder_embed_norm=True, encoder_no_scale_embedding=True,
+            textual_encoder_embed_norm=True,
+            textual_encoder_no_scale_embedding=True,
+        )
+        assert cfg.adapter_type == "inter_league"
+        assert cfg.textual_encoder_embed_norm
+
+    def test_sate_league_scaled_embed(self, tmp_path):
+        """League adapter (linear MLP + context) with the reference's
+        default scaled textual embedding."""
+        cfg = self._roundtrip(tmp_path, adapter="league")
+        assert cfg.adapter_type == "league"
+        assert not cfg.textual_encoder_no_scale_embedding
+
+    def test_sate_xctc(self, tmp_path):
+        """Textual-encoder XCTC head (reference s2t_sate.py:394-417)."""
+        cfg = self._roundtrip(
+            tmp_path, check_xctc=True,
+            adapter="inter_league", xctc_weight=0.3,
+        )
+        assert cfg.text_use_xctc
+
+    def test_sate_pds_acoustic(self, tmp_path):
+        """PDS acoustic encoder under the textual stack
+        (conf: egs/mustc/st/conf/sate_pds_8.yaml; reference :845-854)."""
+        cfg = self._roundtrip(
+            tmp_path, T=48,
+            adapter="inter_league", acoustic_encoder="pds",
+            pds_stages=4, pds_ratios="2_2_1_2", pds_layers="1_1_1_1",
+            pds_kernel_sizes="5_5_5_5", pds_embed_dims="48_48_48_48",
+            pds_attn_heads="2_2_2_2", pds_ffn_ratios="2_2_2_2",
+            pds_position_embed="1_1_1_1", pds_embed_norm=True,
+        )
+        assert cfg.acoustic_encoder == "pds"
+        assert cfg.pds is not None
+
+
 class TestMTTransformerParity:
     """MT transformer checkpoint import parity (reference:
     fairseq/models/transformer.py state-dict layout)."""

@@ -109,6 +109,45 @@ def build_pds_model(arch="pdss2t_transformer_s_8", dictionary=None,
     return model, args, d
 
 
+def build_sate_model(arch="s2t_sate_s", dictionary=None, **arg_overrides):
+    """Construct a reference S2TSATEModel
+    (reference: fairseq/models/speech_to_text/s2t_sate.py:38).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import s2t_sate as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+        @staticmethod
+        def get_source_dictionary(i):
+            return d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.S2TSATEModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 6000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.S2TSATEModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
                    **arg_overrides):
     """Construct a reference MT TransformerModel (fairseq/models/transformer.py).
