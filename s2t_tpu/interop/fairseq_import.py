@@ -172,6 +172,17 @@ def infer_config_from_args(
         share_inter_ctc=bool(_get(args, "share_inter_ctc", False)),
         share_inter_ctc_norm=bool(_get(args, "share_inter_ctc_norm", False)),
         ctc_pae=_get(args, "ctc_pae", "none"),
+        use_xctc=(
+            "encoder.xctc.ctc_projection.weight" in state
+            and float(_get(args, "xctc_weight", 0)) > 0
+        ),
+        inter_xctc_layers=tuple(
+            int(x) if int(x) > 0 else int(x) + enc_layers
+            for x in str(_get(args, "inter_xctc_layers", "") or "").split(",")
+            if x.strip()
+        ) if float(_get(args, "inter_xctc_weight", 0)) > 0 else (),
+        share_inter_xctc_norm=bool(_get(args, "share_inter_xctc_norm", False)),
+        xctc_pae=_get(args, "xctc_pae", "none"),
         vocab_size=vocab,
         src_vocab_size=src_vocab,
         max_source_positions=int(_get(args, "max_source_positions", 6000)),
@@ -301,6 +312,29 @@ def convert_s2t_transformer(
         for l in cfg.inter_ctc_layers:
             if not cfg.share_inter_ctc_norm and f"encoder.ctc_norm{l}.weight" in state:
                 enc[f"inter_ctc_norm{l}"] = _norm(state, f"encoder.ctc_norm{l}")
+            # non-shared taps carry their own heads
+            # (reference: s2t_transformer.py:1016-1032 inter_ctc{l})
+            if f"encoder.inter_ctc{l}.ctc_projection.weight" in state:
+                enc[f"inter_ctc_head{l}"] = {
+                    "proj": _dense(state, f"encoder.inter_ctc{l}.ctc_projection")
+                }
+        if cfg.inter_ctc_layers and cfg.ctc_pae != "none":
+            pae = _adapter_tree(state, "encoder.ctc_pae")
+            if pae:
+                enc["pae"] = pae
+    if cfg.use_xctc or cfg.inter_xctc_layers:
+        if "encoder.xctc.ctc_projection.weight" in state:
+            enc["xctc_head"] = {
+                "proj": _dense(state, "encoder.xctc.ctc_projection")
+            }
+        for l in cfg.inter_xctc_layers:
+            if (not cfg.share_inter_xctc_norm
+                    and f"encoder.xctc_norm{l}.weight" in state):
+                enc[f"inter_xctc_norm{l}"] = _norm(state, f"encoder.xctc_norm{l}")
+        if cfg.inter_xctc_layers and cfg.xctc_pae != "none":
+            xpae = _adapter_tree(state, "encoder.xctc_pae")
+            if xpae:
+                enc["xpae"] = xpae
 
     # --- decoder ----------------------------------------------------------- #
     dec["embed_tokens"] = {"embedding": state["decoder.embed_tokens.weight"]}
@@ -778,6 +812,47 @@ def import_fairseq_sate(path: str, **overrides):
     state, args = load_fairseq_checkpoint(path)
     cfg = infer_sate_config_from_args(args, state, **overrides)
     return convert_sate(state, cfg), cfg
+
+
+def import_fairseq_s2t_ctc(path: str, **overrides):
+    """Encoder-only (NAST) import: path → (params pytree, config).
+
+    The reference s2t_ctc model wraps one of the s2t encoder families
+    selected by --encoder-type (reference: s2t_ctc.py:62-71); the returned
+    config type follows it (S2TTransformerConfig / PDSConfig / SATEConfig),
+    which is also how s2t_tpu's S2TCTCModel picks its encoder.
+    """
+    state, args = load_fairseq_checkpoint(path)
+    family = _get(args, "encoder_type", "transformer")
+    # the encoder-only model has no decoder; synthesize the decoder keys the
+    # shared config-inference paths read dims from
+    dim = int(_get(args, "encoder_embed_dim", 256))
+    vocab = state["encoder.ctc.ctc_projection.weight"].shape[0] if (
+        "encoder.ctc.ctc_projection.weight" in state
+    ) else int(_get(args, "vocab_size", 1000))
+    fake_dec = {
+        "decoder.embed_tokens.weight": np.zeros((vocab, dim), np.float32),
+        "decoder.layers.0.fc1.weight": np.zeros(
+            (int(_get(args, "decoder_ffn_embed_dim", dim * 8)), dim),
+            np.float32,
+        ),
+    }
+    full = {**state, **{k: v for k, v in fake_dec.items() if k not in state}}
+    if family == "pds":
+        cfg = infer_pds_config_from_args(args, full)
+        cfg = cfg.replace(decoder_layers=0, **overrides)
+        params = {"encoder": convert_pds(full, cfg)["encoder"]}
+    elif family == "sate":
+        cfg = infer_sate_config_from_args(args, full)
+        cfg = cfg.replace(
+            acoustic=cfg.acoustic.replace(decoder_layers=0), **overrides
+        )
+        params = {"encoder": convert_sate(full, cfg)["encoder"]}
+    else:
+        cfg = infer_config_from_args(args, full)
+        cfg = cfg.replace(decoder_layers=0, **overrides)
+        params = {"encoder": convert_s2t_transformer(full, cfg)["encoder"]}
+    return params, cfg
 
 
 # --------------------------------------------------------------------------- #

@@ -35,10 +35,15 @@ class S2TCTCModel(nn.Module):
     cfg: Any
 
     def setup(self):
+        from s2t_tpu.models.pds import PDSConfig, PDSEncoder
         from s2t_tpu.models.sate import S2TSATEEncoder, SATEConfig
 
         if isinstance(self.cfg, SATEConfig):
             self.encoder = S2TSATEEncoder(self.cfg, name="encoder")
+        elif isinstance(self.cfg, PDSConfig):
+            # encoder-type pds (reference: s2t_ctc.py:66 — the
+            # EffecientConformer / purectc_pds_* recipes)
+            self.encoder = PDSEncoder(self.cfg, name="encoder")
         else:
             self.encoder = S2TTransformerEncoder(self.cfg, name="encoder")
 

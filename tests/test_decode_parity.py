@@ -149,6 +149,261 @@ class TestBeamDecodeParity:
             )
 
 
+class TestCTCJointRescoringParity:
+    """Beam decode with joint CTC prefix rescoring (--infer-ctc-weight):
+    reference SequenceGenerator blends espnet CTCPrefixScore deltas into the
+    decoder lprobs per step (reference: sequence_generator.py:255-269,
+    355-386).  The reference path is bsz=1-only and hard-codes CUDA in the
+    blend; the harness runs it through refshim's device-patched loader with
+    a faithful espnet CTCPrefixScore implementation."""
+
+    def test_joint_ctc_hypothesis_parity(self, tmp_path):
+        import torch
+
+        from build_reference import load_cpu_sequence_generator
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t
+        from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+        model, args, d = build_s2t_model(
+            arch="s2t_transformer_s",
+            encoder_layers=2, decoder_layers=2, encoder_embed_dim=64,
+            decoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            decoder_ffn_embed_dim=128, encoder_attention_heads=2,
+            decoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, ctc_weight=0.3,
+        )
+        feats, lens, tgts, tr_loss = _train_decisive(model, d)
+        assert tr_loss < 0.2, f"toy training did not converge: {tr_loss}"
+        ckpt = tmp_path / "ref_ctc.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t(str(ckpt))
+
+        RefGen = load_cpu_sequence_generator()
+        w = 0.3
+        beam = 4
+        gen = RefGen([model], d, beam_size=beam, max_len_a=0,
+                     max_len_b=MAX_LEN, len_penalty=1.0, ctc_weight=w)
+
+        import jax.numpy as jnp
+
+        my_model = S2TTransformerModel(cfg)
+        mygen = MyGen(
+            my_model, beam_size=beam, max_len_a=0.0, max_len_b=MAX_LEN,
+            lenpen=1.0, max_target_positions=64, infer_ctc_weight=w,
+            ctc_prune_k=8,
+        )
+        # the reference joint-CTC path only supports bsz=1 (its prefix-score
+        # cache is built from batch row 0) — drive one utterance at a time
+        for b in range(3):
+            fb, lb = feats[b:b + 1], lens[b:b + 1].astype(np.int32)
+            sample = {"net_input": {
+                "src_tokens": torch.tensor(fb),
+                "src_lengths": torch.tensor(lb),
+            }}
+            with torch.no_grad():
+                ref = gen.forward(sample)
+            toks, scores, _ = mygen.generate(
+                params,
+                {"features": jnp.asarray(fb), "feat_lengths": jnp.asarray(lb)},
+            )
+            toks = np.asarray(toks)
+            ref_toks = ref[0][0]["tokens"].numpy()
+            mine = [int(t) for t in toks[0, 0]]
+            assert 2 in mine, f"b={b}: no EOS in {mine}"
+            mine = mine[: mine.index(2) + 1]
+            np.testing.assert_array_equal(
+                mine, ref_toks,
+                err_msg=f"joint-CTC hypothesis differs at b={b}",
+            )
+
+
+class TestNASTDecodeParity:
+    """Encoder-only (s2t_ctc / NAST) parity: forward CTC logits AND decoded
+    tokens against the reference CTCDecoder (reference: s2t_ctc.py:174-346 —
+    greedy collapse via unique_consecutive + blank strip, intermediate-logit
+    decode, xctc-preferred decoding for NAST ST)."""
+
+    def _ref_ctc_decode(self, model, d, feats, lens, beam=0,
+                        ctc_inter_logit=0):
+        import argparse
+
+        import torch
+
+        setup_paths()
+        from fairseq.models.speech_to_text.s2t_ctc import CTCDecoder
+
+        args = argparse.Namespace(
+            beam=beam, ctc_self_ensemble=False,
+            ctc_inter_logit=ctc_inter_logit, kenlm_model=None, lm_weight=0,
+            cal_flops=False,
+        )
+        dec = CTCDecoder([model], args, d, blank_idx=0)
+        sample = {"net_input": {
+            "src_tokens": torch.tensor(feats),
+            "src_lengths": torch.tensor(lens),
+        }}
+        with torch.no_grad():
+            return dec.generate([model], sample)
+
+    def _train_ctc_decisive(self, model, d, steps=120, use_xctc=False):
+        """Overfit with torch CTC loss so greedy argmax is decisive (random
+        weights leave near-ties where float noise legitimately flips
+        tokens)."""
+        import torch
+
+        rng = np.random.default_rng(0)
+        n = 4
+        feats = np.zeros((n, T, D), np.float32)
+        tgts = []
+        for i in range(n):
+            toks = [4 + (i + j) % (len(d) - 4) for j in range(3)]
+            tgts.append(toks)
+            for j, tk in enumerate(toks):
+                feats[i, j * (T // 3):(j + 1) * (T // 3),
+                      (tk - 4) * 7:(tk - 3) * 7] += 2.0
+        feats += rng.normal(scale=0.05, size=feats.shape).astype(np.float32)
+        lens = torch.full((n,), T, dtype=torch.long)
+        targets = torch.tensor(tgts, dtype=torch.long)
+        tgt_lens = torch.full((n,), 3, dtype=torch.long)
+
+        model.train()
+        opt = torch.optim.Adam(model.parameters(), lr=3e-3)
+        for _ in range(steps):
+            opt.zero_grad()
+            out = model.encoder(torch.tensor(feats), lens)
+            key = "xctc_logit" if use_xctc and len(out.get("xctc_logit", [])) \
+                else "ctc_logit"
+            logit = out[key][0]  # (T', B, V)
+            lp = torch.nn.functional.log_softmax(logit.float(), dim=-1)
+            out_lens = (~out["encoder_padding_mask"][0]).sum(-1)
+            loss = torch.nn.functional.ctc_loss(
+                lp, targets, out_lens, tgt_lens, blank=0, zero_infinity=True
+            )
+            loss.backward()
+            opt.step()
+        model.eval()
+        return feats, np.asarray(lens), tgts, float(loss)
+
+    def test_greedy_and_inter_logit_decode(self, tmp_path):
+        import torch
+
+        from build_reference import build_s2t_ctc_model, save_fairseq_checkpoint
+        from s2t_tpu.inference.ctc_decoder import CTCDecoder as MyCTC
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t_ctc
+        from s2t_tpu.models.s2t_ctc import S2TCTCModel
+
+        model, args, d = build_s2t_ctc_model(
+            encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            encoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, ctc_weight=1.0,
+            inter_ctc_weight=0.2, inter_ctc_layers="1",
+        )
+        feats, lens, tgts, loss = self._train_ctc_decisive(model, d)
+        assert loss < 0.3, f"toy CTC training did not converge: {loss}"
+        ckpt = tmp_path / "nast.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t_ctc(str(ckpt))
+        assert cfg.inter_ctc_layers == (1,)
+
+        import jax.numpy as jnp
+
+        my = S2TCTCModel(cfg)
+        enc = my.apply({"params": params}, jnp.asarray(feats),
+                       jnp.asarray(lens.astype(np.int32)),
+                       method=my.encode)
+
+        # forward CTC-logit parity
+        with torch.no_grad():
+            r_out = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_ctc = r_out["ctc_logit"][0].transpose(0, 1).numpy()
+            r_lens = (~r_out["encoder_padding_mask"][0]).sum(-1).numpy()
+        j_lens = np.asarray(enc["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        j_ctc = np.asarray(enc["ctc_logits"], np.float32)
+        for b in range(len(j_lens)):
+            L = int(j_lens[b])
+            np.testing.assert_allclose(j_ctc[b, :L], r_ctc[b, :L], atol=5e-4,
+                                       rtol=1e-4)
+
+        # greedy decode token parity (reference: unique_consecutive + strip)
+        ref_hypos = self._ref_ctc_decode(model, d, feats, lens)
+        toks, out_lens = MyCTC().decode_greedy(enc)
+        toks, out_lens = np.asarray(toks), np.asarray(out_lens)
+        for b in range(len(j_lens)):
+            mine = [int(t) for t in toks[b, :out_lens[b]]]
+            ref = [int(t) for t in ref_hypos[b][0]["tokens"]]
+            assert mine == ref, f"greedy tokens differ at b={b}: {mine} {ref}"
+            assert mine == tgts[b], f"decode missed the target at b={b}"
+
+        # intermediate-logit decode (reference: s2t_ctc.py:276-286).  The
+        # reference CTCDecoder's own selector is dead code on CTC-only
+        # models (its inter_logits chain at :269-275 only populates when
+        # inter_XCTC logits exist, so --ctc-inter-logit silently decodes the
+        # final logit); verify against the documented semantics instead:
+        # greedy-collapse the reference's OWN tap logits.
+        with torch.no_grad():
+            item = r_out["inter_ctc_logits"][0]
+            tap = (item[0] if isinstance(item, list) else item)
+            tap = tap.transpose(0, 1).float()  # (B, T', V)
+        toks, out_lens = MyCTC(intermediate_logit=1).decode_greedy(enc)
+        toks, out_lens = np.asarray(toks), np.asarray(out_lens)
+        for b in range(len(j_lens)):
+            L = int(j_lens[b])
+            ids = tap[b, :L].argmax(-1).numpy()
+            ref = [int(t) for t, _ in __import__("itertools").groupby(ids)
+                   if t != 0]
+            mine = [int(t) for t in toks[b, :out_lens[b]]]
+            assert mine == ref, f"inter-logit tokens differ at b={b}"
+
+    def test_pds_purectc_forward_parity(self, tmp_path):
+        """purectc_pds_* shape: encoder-type pds + top CTC
+        (conf: egs/librispeech/asr/conf/purectc_pds_base_8.yaml)."""
+        import torch
+
+        from build_reference import build_s2t_ctc_model, save_fairseq_checkpoint
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t_ctc
+        from s2t_tpu.models.s2t_ctc import S2TCTCModel
+
+        model, args, d = build_s2t_ctc_model(
+            encoder_type="pds", ctc_weight=1.0,
+            encoder_embed_dim=48, pds_stages=4, pds_ratios="2_2_1_2",
+            pds_layers="1_1_1_1", pds_kernel_sizes="5_5_5_5",
+            pds_embed_dims="48_48_48_48", pds_attn_heads="2_2_2_2",
+            pds_ffn_ratios="2_2_2_2", pds_position_embed="1_1_1_1",
+            pds_embed_norm=True, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        ckpt = tmp_path / "pds_ctc.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t_ctc(str(ckpt))
+        from s2t_tpu.models.pds import PDSConfig
+
+        assert isinstance(cfg, PDSConfig)
+
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(2, 48, 80)).astype(np.float32)
+        lens = np.array([48, 41], np.int32)
+        feats[1, 41:] = 0.0
+
+        import jax.numpy as jnp
+
+        my = S2TCTCModel(cfg)
+        enc = my.apply({"params": params}, jnp.asarray(feats),
+                       jnp.asarray(lens), method=my.encode)
+        with torch.no_grad():
+            r_out = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_ctc = r_out["ctc_logit"][0].transpose(0, 1).numpy()
+            r_lens = (~r_out["encoder_padding_mask"][0]).sum(-1).numpy()
+        j_lens = np.asarray(enc["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        j_ctc = np.asarray(enc["ctc_logits"], np.float32)
+        for b in range(2):
+            L = int(j_lens[b])
+            np.testing.assert_allclose(j_ctc[b, :L], r_ctc[b, :L], atol=5e-4,
+                                       rtol=1e-4)
+
+
 class TestMTBeamDecodeParity:
     def test_same_hypothesis_tokens(self, tmp_path):
         """Same contract for the MT transformer: the reference torch beam and

@@ -148,6 +148,48 @@ def build_sate_model(arch="s2t_sate_s", dictionary=None, **arg_overrides):
     return model, args, d
 
 
+def build_s2t_ctc_model(arch="s2t_ctc", dictionary=None, **arg_overrides):
+    """Construct a reference encoder-only S2TCTCModel (NAST family;
+    reference: fairseq/models/speech_to_text/s2t_ctc.py:28).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import s2t_ctc as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+        @staticmethod
+        def get_source_dictionary(i):
+            return d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.S2TCTCModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 6000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch, None)
+    if arch_fn is None:
+        from fairseq.models.speech_to_text.s2t_ctc import base_architecture
+        arch_fn = base_architecture
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.S2TCTCModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
                    **arg_overrides):
     """Construct a reference MT TransformerModel (fairseq/models/transformer.py).
@@ -179,6 +221,32 @@ def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
     model = ref_mt.TransformerModel.build_model(args, _Task())
     model.eval()
     return model, args, d
+
+
+def load_cpu_sequence_generator():
+    """Import the reference SequenceGenerator with its joint-CTC device bug
+    patched: sequence_generator.py:379-381 hard-codes ``device="cuda"`` in
+    the CTC blending (the upstream repo only ever ran that path on GPU).
+    Everything else is the reference's own code, exec'd verbatim."""
+    import importlib.util
+    import sys as _sys
+
+    setup_paths()
+    # make sure dependency modules are importable first
+    import fairseq  # noqa: F401
+
+    src_path = REFERENCE + "/fairseq/sequence_generator.py"
+    with open(src_path) as f:
+        src = f.read()
+    patched = src.replace('.to(device="cuda")', ".to(device=lprobs.device)")
+    assert patched != src, "device patch no longer applies"
+    spec = importlib.util.spec_from_loader("fairseq_seqgen_cpu", loader=None,
+                                           origin=src_path)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__dict__["__file__"] = src_path
+    exec(compile(patched, src_path, "exec"), mod.__dict__)
+    _sys.modules["fairseq_seqgen_cpu"] = mod
+    return mod.SequenceGenerator
 
 
 def save_fairseq_checkpoint(model, args, path):
