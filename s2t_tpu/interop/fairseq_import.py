@@ -814,6 +814,167 @@ def import_fairseq_sate(path: str, **overrides):
     return convert_sate(state, cfg), cfg
 
 
+# --------------------------------------------------------------------------- #
+# wav2vec 2.0 checkpoints (reference: fairseq/models/wav2vec/wav2vec2.py
+# layout — feature_extractor.conv_layers.{i}.0 (+ .2 norms), quantizer
+# {weight_proj, vars}, encoder.pos_conv.0 (weight-normed grouped conv),
+# encoder.layers.{i}.{self_attn,fc1,fc2,*_layer_norm}; fine-tuning wrapper
+# wav2vec2_asr.py Wav2VecCtc = w2v_encoder.w2v_model.* + w2v_encoder.proj).
+# --------------------------------------------------------------------------- #
+
+def _weight_norm_conv(state, prefix) -> Dict[str, np.ndarray]:
+    """Reconstruct a torch weight_norm'ed Conv1d: w = g · v/‖v‖ with the
+    norm over (out, in) per kernel position (torch dim=2)."""
+    g = state[prefix + ".weight_g"]  # (1, 1, k)
+    v = state[prefix + ".weight_v"]  # (out, in/groups, k)
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=(0, 1), keepdims=True))
+    w = (g * v / np.maximum(norm, 1e-12)).astype(v.dtype)
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+        "bias": state[prefix + ".bias"],
+    }
+
+
+def infer_w2v2_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                                prefix: str = "", **overrides):
+    import ast
+
+    from s2t_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    conv_layers = _get(args, "conv_feature_layers",
+                       "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2")
+    if isinstance(conv_layers, str):
+        conv_layers = eval(conv_layers, {"__builtins__": {}})  # noqa: S307
+    conv_layers = tuple(tuple(l) for l in conv_layers)
+    enc_layers = 1 + max(
+        int(m.group(1)) for k in state
+        if (m := re.match(re.escape(prefix) + r"encoder\.layers\.(\d+)\.", k))
+    )
+    embed_dim = state[prefix + "encoder.layers.0.fc1.weight"].shape[1]
+    latent_dim = 0
+    n_vars = 320
+    groups = int(_get(args, "latent_groups", 2))
+    if prefix + "quantizer.vars" in state:
+        _, gv, vd = state[prefix + "quantizer.vars"].shape
+        n_vars = gv // groups
+        latent_dim = vd * groups
+    final_dim = int(_get(args, "final_dim", 256))
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=conv_layers,
+        extractor_mode=_get(args, "extractor_mode", "default"),
+        conv_bias=prefix + "feature_extractor.conv_layers.0.0.bias" in state,
+        feature_grad_mult=float(_get(args, "feature_grad_mult", 0.1)),
+        encoder_embed_dim=embed_dim,
+        encoder_ffn_embed_dim=state[prefix + "encoder.layers.0.fc1.weight"].shape[0],
+        encoder_layers=enc_layers,
+        encoder_attention_heads=int(_get(args, "encoder_attention_heads", 12)),
+        activation_fn=_get(args, "activation_fn", "gelu"),
+        layer_norm_first=bool(_get(args, "layer_norm_first", False)),
+        conv_pos=state[prefix + "encoder.pos_conv.0.weight_v"].shape[2]
+        if prefix + "encoder.pos_conv.0.weight_v" in state
+        else int(_get(args, "conv_pos", 128)),
+        conv_pos_groups=int(_get(args, "conv_pos_groups", 16)),
+        dropout=float(_get(args, "dropout", 0.1)),
+        mask_prob=float(_get(args, "mask_prob", 0.65)),
+        mask_length=int(_get(args, "mask_length", 10)),
+        quantize_targets=prefix + "quantizer.vars" in state,
+        latent_vars=n_vars,
+        latent_groups=groups,
+        latent_dim=latent_dim if latent_dim != final_dim else 0,
+        final_dim=final_dim,
+        num_negatives=int(_get(args, "num_negatives", 100)),
+        logit_temp=float(_get(args, "logit_temp", 0.1)),
+        normalize=bool(_get(args, "normalize", False)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def convert_wav2vec2(state: Dict[str, np.ndarray], cfg,
+                     prefix: str = "") -> Dict[str, Any]:
+    """Map a reference wav2vec2 state dict to this framework's pytree.
+
+    ``prefix`` lets the same converter read nested layouts (the fine-tuning
+    wrapper stores the model under w2v_encoder.w2v_model.)."""
+    p = prefix
+    fe: Dict[str, Any] = {}
+    for i in range(len(cfg.conv_feature_layers)):
+        fe[f"conv{i}"] = _conv1d(state, f"{p}feature_extractor.conv_layers.{i}.0")
+        if cfg.extractor_mode == "layer_norm":
+            # Sequential(conv, dropout, Seq(Transpose, LayerNorm, Transpose))
+            fe[f"norm{i}"] = _norm(
+                state, f"{p}feature_extractor.conv_layers.{i}.2.1"
+            )
+        elif i == 0:
+            fe["group_norm"] = _norm(
+                state, f"{p}feature_extractor.conv_layers.0.2"
+            )
+    out: Dict[str, Any] = {
+        "feature_extractor": fe,
+        "layer_norm": _norm(state, p + "layer_norm"),
+        "mask_emb": state[p + "mask_emb"],
+        "pos_conv": {"conv": _weight_norm_conv(state, p + "encoder.pos_conv.0")},
+        "encoder_norm": _norm(state, p + "encoder.layer_norm"),
+        "final_proj": _dense(state, p + "final_proj"),
+        "project_q": _dense(state, p + "project_q"),
+    }
+    if p + "post_extract_proj.weight" in state:
+        out["post_extract_proj"] = _dense(state, p + "post_extract_proj")
+    if cfg.quantize_targets and p + "quantizer.vars" in state:
+        v = state[p + "quantizer.vars"]  # (1, G*V, d)
+        out["quantizer"] = {
+            "weight_proj": _dense(state, p + "quantizer.weight_proj"),
+            "vars": np.ascontiguousarray(
+                v.reshape(cfg.latent_groups, cfg.latent_vars, v.shape[-1])
+            ),
+        }
+    for i in range(cfg.encoder_layers):
+        lp = f"{p}encoder.layers.{i}"
+        out[f"layer{i}"] = {
+            "self_attn": _attn(state, lp + ".self_attn"),
+            "attn_norm": _norm(state, lp + ".self_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, lp + ".fc1"),
+                "fc2": _dense(state, lp + ".fc2"),
+            },
+            "ffn_norm": _norm(state, lp + ".final_layer_norm"),
+        }
+    return out
+
+
+def import_fairseq_w2v2(path: str, **overrides):
+    """Pretrained wav2vec2 import: path → (params pytree, Wav2Vec2Config).
+
+    Feeds Wav2Vec2Model directly, or s2t_w2v2_transformer / Wav2VecCtc
+    front-ends via component transplant (reference workflow:
+    s2t_w2v2_transformer.py:98-108 loads a w2v checkpoint as the front-end)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_w2v2_config_from_args(args, state, **overrides)
+    return convert_wav2vec2(state, cfg), cfg
+
+
+def import_fairseq_w2v2_ctc(path: str, **overrides):
+    """Fine-tuned Wav2VecCtc import (reference: wav2vec2_asr.py:133 —
+    w2v_encoder.w2v_model.* + w2v_encoder.proj)."""
+    from s2t_tpu.models.wav2vec2 import Wav2VecCtcConfig
+
+    state, args = load_fairseq_checkpoint(path)
+    p = "w2v_encoder.w2v_model."
+    base = infer_w2v2_config_from_args(args, state, prefix=p)
+    vocab = state["w2v_encoder.proj.weight"].shape[0]
+    cfg = Wav2VecCtcConfig(
+        **{k.name: getattr(base, k.name)
+           for k in __import__("dataclasses").fields(base)},
+        vocab_size=vocab,
+        final_dropout=float(_get(args, "final_dropout", 0.0)),
+    )
+    cfg = cfg.replace(**overrides) if overrides else cfg
+    params = {
+        "w2v": convert_wav2vec2(state, cfg, prefix=p),
+        "proj": _dense(state, "w2v_encoder.proj"),
+    }
+    return params, cfg
+
+
 def import_fairseq_s2t_ctc(path: str, **overrides):
     """Encoder-only (NAST) import: path → (params pytree, config).
 

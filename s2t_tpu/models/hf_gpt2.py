@@ -57,7 +57,7 @@ class HFGPT2Model(nn.Module):
             ffn_dim=cfg.decoder_ffn_embed_dim, num_layers=cfg.decoder_layers,
             num_heads=cfg.decoder_attention_heads, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, activation_dropout=0.0,
-            activation="gelu",  # flax tanh-approx == HF "gelu_new"
+            activation="gelu_tanh",  # HF "gelu_new" (tanh approximation)
             normalize_before=True, share_input_output_embed=True,
             no_scale_embedding=True, learned_pos=True,
             max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,

@@ -164,6 +164,11 @@ class S2TW2V2TransformerModel(nn.Module):
     def encode(self, features, feat_lengths, deterministic: bool = True):
         return self.encoder(features, feat_lengths, deterministic)
 
+    def extract_w2v_features(self, source, lengths, deterministic: bool = True):
+        """Front-end features only — the transplant-parity probe point
+        (reference loads the pretrained w2v here, s2t_w2v2_transformer.py:98)."""
+        return self.encoder.w2v.extract_features(source, lengths, deterministic)
+
     def decode_step(self, tokens, cache, index, encoder_out, encoder_valid_mask,
                     cross_kv=None):
         return self.decoder.step(tokens, cache, index, encoder_out,

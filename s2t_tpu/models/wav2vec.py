@@ -94,7 +94,8 @@ class Wav2VecConfig:
 
 
 def _act(name: str):
-    return nn.relu if name == "relu" else nn.gelu
+    return nn.relu if name == "relu" else (
+        lambda x: nn.gelu(x, approximate=False))
 
 
 class GroupNormBlock(nn.Module):

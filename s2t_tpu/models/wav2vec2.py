@@ -136,7 +136,7 @@ class ConvFeatureExtractor(nn.Module):
                 h = nn.GroupNorm(
                     num_groups=dim, dtype=self.cfg.dtype, name="group_norm"
                 )(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         return h
 
 
@@ -159,7 +159,7 @@ class ConvPositionalEmbedding(nn.Module):
         )(x)
         if self.kernel % 2 == 0:  # SamePad: drop the trailing frame
             h = h[:, : x.shape[1]]
-        return nn.gelu(h)
+        return nn.gelu(h, approximate=False)
 
 
 class GumbelVectorQuantizer(nn.Module):

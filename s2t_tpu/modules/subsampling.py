@@ -24,7 +24,12 @@ def get_activation(name: str):
     if name == "relu":
         return nn.relu
     if name == "gelu":
-        return nn.gelu
+        # exact (erf) form: torch nn.GELU default — required for
+        # reference-checkpoint parity; jax's default is the tanh approx
+        return lambda x: nn.gelu(x, approximate=False)
+    if name in ("gelu_tanh", "gelu_accurate"):
+        # tanh approximation (HF "gelu_new" / fairseq gelu_accurate)
+        return lambda x: nn.gelu(x, approximate=True)
     if name == "swish":
         return nn.swish
     if name in ("none", None):

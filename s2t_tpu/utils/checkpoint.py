@@ -206,6 +206,7 @@ def transplant_component(
     source_params: Dict[str, Any],
     component: str,
     strict: bool = True,
+    source_component: str = None,
 ) -> Dict[str, Any]:
     """Copy ``component`` subtree (e.g. "encoder", "decoder", "encoder/acoustic")
     from a source param tree into a copy of ``target_params``.
@@ -214,6 +215,11 @@ def transplant_component(
     --load-pretrained-{encoder,decoder}-from (reference:
     checkpoint_utils.load_pretrained_component_from_model:676-756).
     Raises KeyError if shapes mismatch or the path is missing.
+
+    ``source_component`` names the subtree in the source when it differs
+    from the target path (SATE: source "encoder" → target
+    "encoder/acoustic"; reference: s2t_sate.py:268-296
+    --load-pretrained-acoustic-encoder-from).
 
     ``strict=False`` tolerates *extra* keys in the source (the reference's
     remove_pretraining_modules flow: a wav2vec2 pretraining checkpoint carries
@@ -225,6 +231,7 @@ def transplant_component(
 
     out = copy.deepcopy(target_params)
     parts = component.split("/")
+    src_parts = (source_component or component).split("/")
 
     def get_node(tree, parts):
         node = tree
@@ -234,7 +241,7 @@ def transplant_component(
             node = node[p]
         return node
 
-    src = get_node(source_params, parts)
+    src = get_node(source_params, src_parts)
     dst_parent = out
     for p in parts[:-1]:
         dst_parent = dst_parent[p]

@@ -386,6 +386,104 @@ class TestSATEParity:
         assert cfg.pds is not None
 
 
+class TestSATETransplantParity:
+    """The SATE pretraining WORKFLOW: assemble SATE from an imported ASR
+    encoder + an imported MT encoder and match the reference model built with
+    --load-pretrained-{acoustic,text}-encoder-from (reference:
+    s2t_sate.py:268-296 via checkpoint_utils.load_pretrained_component:676)."""
+
+    def test_assembled_equals_reference(self, tmp_path):
+        import torch
+
+        from build_reference import (
+            build_mt_model, build_s2t_model, build_sate_model,
+            save_fairseq_checkpoint,
+        )
+        from s2t_tpu.interop.fairseq_import import (
+            import_fairseq_mt, import_fairseq_s2t, import_fairseq_sate,
+        )
+        from s2t_tpu.utils.checkpoint import transplant_component
+
+        small = dict(
+            encoder_layers=2, decoder_layers=1,
+            encoder_embed_dim=48, encoder_ffn_embed_dim=96,
+            decoder_embed_dim=48, decoder_ffn_embed_dim=96,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        )
+        # pretrained part A: ASR s2t encoder (with CTC, as SATE requires)
+        asr, asr_args, d = build_s2t_model(
+            subsampling_filter=48, ctc_weight=0.3, **small
+        )
+        asr_ckpt = str(tmp_path / "asr.pt")
+        save_fairseq_checkpoint(asr, asr_args, asr_ckpt)
+        # pretrained part B: MT encoder at the same width
+        mt, mt_args, _ = build_mt_model(
+            "transformer_iwslt_de_en", dictionary=d,
+            encoder_normalize_before=True, decoder_normalize_before=True,
+            **small,
+        )
+        mt_ckpt = str(tmp_path / "mt.pt")
+        save_fairseq_checkpoint(mt, mt_args, mt_ckpt)
+
+        sate_kw = dict(
+            adapter="inter_league", text_encoder_layers=2,
+            subsampling_filter=48, ctc_weight=0.3, **small,
+        )
+        # reference SATE assembled from the pretrained parts (the arg-driven
+        # load happens inside build_model) — and a plain twin for the
+        # non-transplanted random parts (same torch seed → identical init)
+        loaded, loaded_args, _ = build_sate_model(
+            dictionary=d,
+            load_pretrained_acoustic_encoder_from=asr_ckpt,
+            load_pretrained_text_encoder_from=mt_ckpt,
+            **sate_kw,
+        )
+        plain, plain_args, _ = build_sate_model(dictionary=d, **sate_kw)
+
+        plain_ckpt = str(tmp_path / "sate_plain.pt")
+        save_fairseq_checkpoint(plain, plain_args, plain_ckpt)
+        base_params, cfg = import_fairseq_sate(plain_ckpt)
+
+        # my workflow: import both parts, transplant the subtrees
+        asr_params, _ = import_fairseq_s2t(asr_ckpt)
+        mt_params, _ = import_fairseq_mt(mt_ckpt)
+        params = transplant_component(
+            base_params, asr_params, "encoder/acoustic",
+            source_component="encoder",
+        )
+        params = transplant_component(
+            params, mt_params, "encoder/textual",
+            source_component="encoder", strict=False,
+        )
+
+        # forward parity against the reference-assembled model
+        feats, lens, prev = _rand_batch(T=50, vocab=len(d))
+        with torch.no_grad():
+            enc = loaded.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_enc = enc["encoder_out"][0].transpose(0, 1).numpy()
+            r_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+            r_logits = loaded.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        from s2t_tpu.models.sate import S2TSATEModel
+
+        m = S2TSATEModel(cfg)
+        out = m.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True,
+        )
+        j_lens = np.asarray(out["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_enc, np.asarray(out["encoder_out"], np.float32),
+                      j_lens, "assembled encoder_out", atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["decoder_logits"], np.float32), r_logits,
+            atol=5e-4, rtol=1e-4,
+        )
+
+
 class TestMTTransformerParity:
     """MT transformer checkpoint import parity (reference:
     fairseq/models/transformer.py state-dict layout)."""

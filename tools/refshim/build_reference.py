@@ -22,6 +22,16 @@ def setup_paths():
         sys.path.insert(1, REFERENCE)
     import refcompat  # noqa: F401
 
+    # checkpoint_utils._upgrade_state_dict always converts args→omegaconf
+    # (checkpoint_utils.py:553), which needs real hydra; the harness only
+    # reads state["model"]/state["args"], so stub the conversion out
+    try:
+        from fairseq import checkpoint_utils as _cu
+
+        _cu.convert_namespace_to_omegaconf = lambda args: None
+    except Exception:
+        pass
+
 
 def make_dictionary(symbols=("aa", "bb", "cc", "dd")):
     setup_paths()
@@ -223,6 +233,24 @@ def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
     return model, args, d
 
 
+def build_w2v2_model(**overrides):
+    """Construct a reference Wav2Vec2Model from its dataclass config
+    (reference: fairseq/models/wav2vec/wav2vec2.py:222).
+
+    Returns (model.eval(), cfg)."""
+    setup_paths()
+    import torch
+    from fairseq.models.wav2vec.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+    cfg = Wav2Vec2Config()
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(cfg)
+    model.eval()
+    return model, cfg
+
+
 def load_cpu_sequence_generator():
     """Import the reference SequenceGenerator with its joint-CTC device bug
     patched: sequence_generator.py:379-381 hard-codes ``device="cuda"`` in
@@ -250,7 +278,30 @@ def load_cpu_sequence_generator():
 
 
 def save_fairseq_checkpoint(model, args, path):
-    """Write a reference-layout checkpoint (fairseq/checkpoint_utils.py:244)."""
+    """Write a reference-layout checkpoint (fairseq/checkpoint_utils.py:244).
+
+    Carries the optimizer_history/extra_state stubs the reference's
+    _upgrade_state_dict (:453) expects when the checkpoint is re-loaded
+    through checkpoint_utils (the pretrained-component path)."""
     import torch
 
-    torch.save({"model": model.state_dict(), "args": args}, path)
+    torch.save(
+        {
+            "model": model.state_dict(),
+            "args": args,
+            # explicit None skips _upgrade_state_dict's namespace→omegaconf
+            # conversion (needs hydra, which the shim doesn't provide)
+            "cfg": None,
+            "optimizer_history": [
+                {
+                    "criterion_name": "LabelSmoothedCrossEntropyCriterion",
+                    "optimizer_name": "adam",
+                    "lr_scheduler_state": {"best": None},
+                    "num_updates": 0,
+                }
+            ],
+            "extra_state": {"train_iterator": {"epoch": 1}},
+            "last_optimizer_state": {},
+        },
+        path,
+    )

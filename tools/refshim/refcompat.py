@@ -24,3 +24,19 @@ def _get_field(cls, a_name, a_type, default_kw_only):
 
 
 dataclasses._get_field = _get_field
+
+# torch>=2.6 flipped torch.load's weights_only default to True; the
+# reference's checkpoint_utils loads argparse.Namespace metadata, which the
+# weights-only unpickler rejects.  Restore the old default for the parity
+# harness (we only ever load checkpoints the harness itself just wrote).
+import torch as _torch  # noqa: E402
+
+_orig_load = _torch.load
+
+
+def _load_compat(*args, **kwargs):
+    kwargs.setdefault("weights_only", False)
+    return _orig_load(*args, **kwargs)
+
+
+_torch.load = _load_compat
