@@ -119,7 +119,12 @@ class CTCCriterion:
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Compose all CTC branches (reference: criterions/ctc.py:542-1103)."""
         cfg = self.cfg
-        enc_lengths = model_out["encoder_lengths"]
+        # ctc_lengths diverges from encoder_lengths when the encoder pools
+        # its output back after CTC-upsampling (transformer_ctc
+        # out-downsampling: CTC logits stay at the upsampled rate)
+        enc_lengths = model_out.get("ctc_lengths")
+        if enc_lengths is None:
+            enc_lengths = model_out["encoder_lengths"]
         mixup = model_out.get("mixup")
         logs: Dict[str, jnp.ndarray] = {}
         total = jnp.asarray(0.0, jnp.float32)

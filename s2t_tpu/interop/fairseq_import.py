@@ -78,6 +78,7 @@ def infer_config_from_args(
     vocab, dec_dim = state["decoder.embed_tokens.weight"].shape
     attn_map = {
         "selfattn": "abs", "abs": "abs", "rel_pos": "rel_pos", "rope": "rope",
+        "local": "local",
     }
     enc_layers = 1 + max(
         int(m.group(1))
@@ -128,6 +129,9 @@ def infer_config_from_args(
         encoder_attention_type=attn_map.get(
             _get(args, "encoder_attention_type", "selfattn"), "abs"
         ),
+        hard_mask_window=float(_get(args, "hard_mask_window", 0.0)),
+        gauss_mask_sigma=float(_get(args, "gauss_mask_sigma", 0.0)),
+        init_mask_weight=float(_get(args, "init_mask_weight", 0.5)),
         encoder_normalize_before="encoder.layer_norm.weight" in state,
         encoder_no_scale_embedding=bool(_get(args, "encoder_no_scale_embedding", False)),
         encoder_embed_linear="encoder.linear.weight" in state,
@@ -230,6 +234,11 @@ def _attn(state, prefix) -> Dict[str, Any]:
             "v_proj": _dense(state, prefix + ".v_proj"),
             "out_proj": _dense(state, prefix + ".out_proj"),
         }
+    # Gaussian local attention (reference:
+    # local_multihead_attention.py:100,105 — per-head (H,1,1) sigma + gate)
+    if prefix + ".multihead_gauss_mask_sigma" in state:
+        out["gauss_sigma"] = state[prefix + ".multihead_gauss_mask_sigma"]
+        out["gauss_mask_weight"] = state[prefix + ".multihead_mask_weight"]
     return out
 
 

@@ -83,6 +83,18 @@ def s2t_nast(**kw) -> S2TTransformerConfig:
     return cfg.replace(**kw)
 
 
+@register_model_architecture("s2t_ctc", "s2t_ctc_pds")
+def s2t_ctc_pds(**kw):
+    """Encoder-only CTC over a PDS encoder (reference: s2t_ctc.py:66
+    --encoder-type pds — the purectc_pds_* and EffecientConformerCTC
+    recipes, e.g. egs/librispeech/asr/conf/EffecientConformerCTCSmall.yaml)."""
+    from s2t_tpu.models.pds import pdss2t_transformer_s_8
+
+    kw.setdefault("decoder_layers", 0)
+    kw.setdefault("use_ctc", True)
+    return pdss2t_transformer_s_8(**kw)
+
+
 @register_model_architecture("s2t_ctc", "s2t_ctc_sate")
 def s2t_ctc_sate(**kw):
     """Encoder-only NAST over the SATE encoder (acoustic transformer or PDS

@@ -68,6 +68,13 @@ class S2TTransformerConfig:
     # local/windowed self-attention: hide keys farther than this many frames
     # (reference: modules/local_multihead_attention.py); 0 = global
     encoder_attention_window: int = 0
+    # encoder_attention_type == "local" (reference local_attn.yaml knobs,
+    # modules/local_multihead_attention.py): hard window (0<w<=1 = fraction
+    # of T), learnable per-head Gaussian-mixture mask with init sigma /
+    # sigmoid-gate init
+    hard_mask_window: float = 0.0
+    gauss_mask_sigma: float = 0.0
+    init_mask_weight: float = 0.5
     # reduced attention: subsample K/V by this stride (reference:
     # modules/reduced_multihead_attention.py); 1 = full
     encoder_attention_stride: int = 1
@@ -284,6 +291,8 @@ class PipeStageBlock(nn.Module):
                     if cfg.encoder_lconv_kernels else 15
                 ),
                 max_relative_length=cfg.max_encoder_relative_length,
+                gauss_mask_sigma=cfg.gauss_mask_sigma,
+                init_mask_weight=cfg.init_mask_weight,
                 conv_activation=cfg.activation_fn,
                 conv_norm_type=cfg.cnn_module_norm,
                 conv_bias=cfg.conv_module_bias,
@@ -403,6 +412,8 @@ class S2TTransformerEncoder(nn.Module):
                     dt, cfg.seq_parallel, cfg.encoder_attention_stride,
                     lconv_kernel=lconv_kernel(i),
                     max_relative_length=cfg.max_encoder_relative_length,
+                    gauss_mask_sigma=cfg.gauss_mask_sigma,
+                    init_mask_weight=cfg.init_mask_weight,
                     conv_activation=cfg.activation_fn,
                     conv_norm_type=cfg.cnn_module_norm,
                     conv_bias=cfg.conv_module_bias,
@@ -689,7 +700,8 @@ class S2TTransformerEncoder(nn.Module):
             x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
         T = x.shape[1]
         pos_emb = None
-        if cfg.encoder_attention_type in ("abs", "relative", "light", "dynamic"):
+        if cfg.encoder_attention_type in ("abs", "relative", "light", "dynamic",
+                                          "local"):
             # fairseq table: valid frame i gets absolute position pad+1+i
             pe = fairseq_sinusoidal_encoding(T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype)
             x = x + pe[None]
@@ -709,11 +721,17 @@ class S2TTransformerEncoder(nn.Module):
         # the fused VMEM attention kernel (it rebuilds the dense padding
         # bias itself when the kernel doesn't apply)
         bias = None
-        if cfg.encoder_attention_window > 0:
+        window = cfg.encoder_attention_window
+        if cfg.encoder_attention_type == "local" and cfg.hard_mask_window:
+            # fractional windows are a share of the (static) trace-time T
+            # (reference: local_multihead_attention.py:315-316)
+            hw = cfg.hard_mask_window
+            window = int(T * hw) if 0 < hw <= 1 else int(hw)
+        if window > 0:
             from s2t_tpu.modules.attention import local_window_bias
 
             bias = padding_bias(valid, x.dtype) + local_window_bias(
-                T, cfg.encoder_attention_window, x.dtype)
+                T, window, x.dtype)
         if cfg.seq_parallel:
             # activations sharded over ("data" batch, "seq" time): elementwise
             # and FFN work is fully local, attention goes through the ring
@@ -795,11 +813,11 @@ class S2TTransformerEncoder(nn.Module):
                     x, lengths = self._compress(x, logits, lengths, layer_idx)
                     valid = lengths_to_mask(lengths, T)
                     bias = None
-                    if cfg.encoder_attention_window > 0:
+                    if window > 0:
                         from s2t_tpu.modules.attention import local_window_bias
 
                         bias = padding_bias(valid, x.dtype) + local_window_bias(
-                            T, cfg.encoder_attention_window, x.dtype
+                            T, window, x.dtype
                         )
             if (
                 cfg.use_xctc

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from s2t_tpu.modules.attention import padding_bias
@@ -48,6 +49,14 @@ class TransformerMTConfig:
     layernorm_embedding: bool = False
     # SE channel gate in encoder layers (reference: --squeeze-excitation)
     squeeze_excitation: bool = False
+    # encoder DLCL (reference: modules/dlcl.py via --use-enc-dlcl; decoder
+    # DLCL is not ported — same policy as the speech model)
+    use_enc_dlcl: bool = False
+    # Shaw clipped relative-key attention (reference:
+    # relative_multihead_attention.py, wmt16 rpr.yaml: encoder/decoder
+    # attention-type relative with max length 20)
+    max_encoder_relative_length: int = 0
+    max_decoder_relative_length: int = 0
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
@@ -55,6 +64,14 @@ class TransformerMTConfig:
     # CTC variant (reference: transformer_ctc.py)
     use_ctc: bool = False
     inter_ctc_layers: Tuple[int, ...] = ()
+    # token-level upsampling so CTC input length >= target length
+    # (reference: transformer_ctc.py:328,723-760,823-860 — token ids are
+    # repeated x ratio before embedding whenever CTC is on; the encoder
+    # runs at the upsampled rate and the output is optionally pooled back
+    # to the original length for the decoder)
+    ctc_upsampling_ratio: int = 3
+    ctc_out_downsampling: bool = False
+    ctc_out_downsampling_method: str = "maxpooling"
     # sizes
     vocab_size: int = 1000
     src_vocab_size: int = -1
@@ -108,10 +125,16 @@ class TransformerTextEncoder(nn.Module):
                 cfg.activation_dropout, cfg.activation_fn,
                 cfg.encoder_normalize_before, cfg.encoder_attention_type,
                 use_se=cfg.squeeze_excitation,
+                max_relative_length=cfg.max_encoder_relative_length,
                 dtype=dt, name=f"layer{i}",
             )
             for i in range(cfg.encoder_layers)
         ]
+        if cfg.use_enc_dlcl:
+            from s2t_tpu.modules.dlcl import DLCL
+
+            self.dlcl = DLCL(cfg.encoder_layers, cfg.encoder_embed_dim,
+                             dtype=dt, name="dlcl")
         if cfg.encoder_normalize_before:
             self.final_norm = nn.LayerNorm(dtype=dt, name="final_norm")
         if cfg.use_ctc:
@@ -124,6 +147,13 @@ class TransformerTextEncoder(nn.Module):
         cfg = self.cfg
         if src_lengths is None:
             src_lengths = jnp.sum((src_tokens != cfg.pad_id).astype(jnp.int32), axis=1)
+        org_lengths = src_lengths
+        upsampled = cfg.use_ctc and cfg.ctc_upsampling_ratio > 1
+        if upsampled:
+            # repeat each token id x ratio (reference: transformer_ctc.py:835
+            # 2-D branch); pads repeat into pads so the mask stays consistent
+            src_tokens = jnp.repeat(src_tokens, cfg.ctc_upsampling_ratio, axis=1)
+            src_lengths = src_lengths * cfg.ctc_upsampling_ratio
         x = self.embed_tokens(src_tokens)
         if not cfg.no_scale_embedding:
             x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
@@ -147,17 +177,41 @@ class TransformerTextEncoder(nn.Module):
         bias = padding_bias(valid, x.dtype)
 
         inter_ctc_logits = []
+        history = [x] if cfg.use_enc_dlcl else None
         for i, layer in enumerate(self.layers):
+            if cfg.use_enc_dlcl:
+                x = self.dlcl.combine(history, i)
             x = layer(x, valid, bias, pos_emb, deterministic)
+            if cfg.use_enc_dlcl:
+                history.append(x)
             if cfg.use_ctc and (i + 1) in cfg.inter_ctc_layers:
                 logits = self.ctc_head(self.inter_ctc_norm(x), deterministic)
                 inter_ctc_logits.append((i + 1, logits))
+        if cfg.use_enc_dlcl:
+            x = self.dlcl.combine(history, cfg.encoder_layers)
         if cfg.encoder_normalize_before:
             x = self.final_norm(x)
         ctc_logits = self.ctc_head(x, deterministic) if cfg.use_ctc else None
+        ctc_lengths = src_lengths
+        if upsampled and cfg.ctc_out_downsampling:
+            # pool the encoder output back to the original rate for the
+            # decoder; CTC logits stay at the upsampled rate (reference:
+            # transformer_ctc.py:1006-1016 restores org padding mask)
+            r = cfg.ctc_upsampling_ratio
+            B, Tr, C = x.shape
+            xr = x.reshape(B, Tr // r, r, C)
+            m = cfg.ctc_out_downsampling_method
+            if m == "maxpooling":
+                x = jnp.max(xr, axis=2)
+            elif m == "avgpooling":
+                x = jnp.mean(xr, axis=2)
+            else:  # "upsampling" / "interpolate": linear resize
+                x = jax.image.resize(x, (B, Tr // r, C), method="linear")
+            src_lengths = org_lengths
         return {
             "encoder_out": x,
             "encoder_lengths": src_lengths,
+            "ctc_lengths": ctc_lengths,
             "ctc_logits": ctc_logits,
             "inter_ctc_logits": tuple(inter_ctc_logits),
             "xctc_logits": None,
@@ -184,6 +238,10 @@ class TransformerModel(nn.Module):
             learned_pos=cfg.decoder_learned_pos,
             layernorm_embedding=cfg.layernorm_embedding,
             max_positions=cfg.max_target_positions, pad_id=cfg.pad_id,
+            self_attn_type=(
+                "relative" if cfg.max_decoder_relative_length > 0 else "abs"
+            ),
+            max_relative_length=cfg.max_decoder_relative_length,
             dtype=cfg.dtype, name="decoder",
         )
 
@@ -232,6 +290,16 @@ def transformer_big(**kw) -> TransformerMTConfig:
         encoder_attention_heads=16, decoder_embed_dim=1024,
         decoder_ffn_embed_dim=4096, decoder_attention_heads=16,
         dropout=0.3,
+    ).replace(**kw)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big_t2t")
+def transformer_big_t2t(**kw) -> TransformerMTConfig:
+    """tensor2tensor variant: pre-norm + attention/relu dropout
+    (reference: models/transformer.py transformer_wmt_en_de_big_t2t)."""
+    return transformer_big(
+        encoder_normalize_before=True, decoder_normalize_before=True,
+        attention_dropout=0.1, activation_dropout=0.1,
     ).replace(**kw)
 
 

@@ -91,6 +91,14 @@ class MultiHeadAttention(nn.Module):
     # (reference: fairseq/modules/relative_multihead_attention.py:16-57,
     # preset s2t_transformer_s_relative max_encoder_relative_length=100)
     max_relative_length: int = 0
+    # Gaussian local attention (attention_type == "local"): per-head
+    # learnable sigma and gate mixing a distance-Gaussian attention
+    # distribution into the content distribution (reference:
+    # modules/local_multihead_attention.py:99-106,326-380 —
+    # probs = ((1-σ(w))·softmax(scores) + σ(w)·softmax(-d²/2σ²)) / 2,
+    # padded keys zeroed after the mix, no renormalisation)
+    gauss_mask_sigma: float = 0.0
+    init_mask_weight: float = 0.5
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -106,6 +114,17 @@ class MultiHeadAttention(nn.Module):
                 "relative_position_keys",
                 nn.initializers.xavier_uniform(),
                 (2 * self.max_relative_length + 1, self.head_dim),
+            )
+        if self.attention_type == "local" and self.gauss_mask_sigma != 0:
+            self.gauss_sigma = self.param(
+                "gauss_sigma",
+                nn.initializers.constant(self.gauss_mask_sigma),
+                (self.num_heads, 1, 1),
+            )
+            self.gauss_mask_weight = self.param(
+                "gauss_mask_weight",
+                nn.initializers.constant(self.init_mask_weight),
+                (self.num_heads, 1, 1),
             )
         self.drop = _FastDropout(self.dropout)
 
@@ -372,6 +391,28 @@ class MultiHeadAttention(nn.Module):
             bias = rel if bias is None else bias + rel
 
         w = dot_attention_weights(q, k, bias, q.dtype, self.attention_std_scale)
+        if self.attention_type == "local" and self.gauss_mask_sigma != 0 \
+                and cache is None:
+            # Gaussian mixture attention (reference:
+            # local_multihead_attention.py:326-380): the Gaussian term sees
+            # neither padding nor the hard window — padded keys are zeroed
+            # AFTER mixing, unrenormalised, and the mix carries the
+            # reference's literal /2
+            Tq, Tk = q.shape[1], k.shape[1]
+            d = jnp.arange(Tk, dtype=jnp.float32)
+            dis2 = -((d[None, :] - d[:Tq, None]) ** 2) / 2.0  # (Tq, Tk)
+            inv_sig2 = 1.0 / jnp.square(self.gauss_sigma.astype(jnp.float32))
+            gauss = dis2[None] * inv_sig2  # (H, Tq, Tk)
+            p_gauss = jax.nn.softmax(gauss, axis=-1)[None].astype(w.dtype)
+            mw = jax.nn.sigmoid(
+                self.gauss_mask_weight.astype(jnp.float32)
+            )[None].astype(w.dtype)
+            w = ((1.0 - mw) * w + mw * p_gauss) / 2.0
+            if valid_mask is not None:
+                vm = valid_mask
+                if self.kv_stride > 1:
+                    vm = valid_mask[:, :: self.kv_stride]
+                w = w * vm[:, None, None, :].astype(w.dtype)
         # capture for alignment supervision / latency training when the
         # caller applies with mutable=["intermediates"] (no-op otherwise);
         # only modules with sow_attn (decoder cross-attention) participate —

@@ -129,6 +129,10 @@ class S2TEncoderLayer(nn.Module):
     attention_stride: int = 1  # reduced-KV attention stride
     # Shaw relative attention clip distance when attention_type=="relative"
     max_relative_length: int = 0
+    # Gaussian local attention knobs when attention_type=="local"
+    # (reference: modules/local_multihead_attention.py)
+    gauss_mask_sigma: float = 0.0
+    init_mask_weight: float = 0.5
     # kernel width when attention_type is "light"/"dynamic" (reference:
     # s2t_dynamic_transformer.py — conv layers replace self-attention)
     lconv_kernel: int = 15
@@ -201,7 +205,9 @@ class S2TEncoderLayer(nn.Module):
                 attention_type=self.attention_type,
                 seq_parallel=self.seq_parallel,
                 kv_stride=self.attention_stride,
-                max_relative_length=self.max_relative_length, dtype=self.dtype,
+                max_relative_length=self.max_relative_length,
+                gauss_mask_sigma=self.gauss_mask_sigma,
+                init_mask_weight=self.init_mask_weight, dtype=self.dtype,
                 name="self_attn",
             )(h, h, h, attn_bias, deterministic, valid_mask=valid_mask)
         x = res + drop(h, deterministic=deterministic)
