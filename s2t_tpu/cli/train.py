@@ -46,9 +46,11 @@ def build_cfg(args):
 
 
 def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    # nested dicts: round-robin zip batches carry {"pairs": {pair: batch}}
     drop = {"ids", "nsentences"}
     return {
-        k: jnp.asarray(v) for k, v in batch.items() if k not in drop
+        k: to_device_batch(v) if isinstance(v, dict) else jnp.asarray(v)
+        for k, v in batch.items() if k not in drop
     }
 
 

@@ -14,6 +14,77 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 
+class RoundRobinZipDataset:
+    """Zip per-language-pair datasets; shorter ones repeat round-robin.
+
+    (reference: fairseq/data/round_robin_zip_datasets.py:17-110 — one zip
+    item carries one sample from EVERY pair, so a batch is a dict of
+    per-pair sub-batches and a single train step updates all pairs, which
+    is the multilingual_translation task's per-update round-robin.)
+
+    A zip row's token cost is the SUM of its per-pair costs (all pairs ride
+    in the same device batch), so ``n_frames`` is recomputed whenever
+    ``ordered_indices`` re-deals the per-pair orders for a new epoch.
+    """
+
+    def __init__(self, datasets: Dict[str, Any]):
+        assert datasets, "no datasets to zip"
+        self.datasets = dict(datasets)
+        self.longest_key = max(self.datasets, key=lambda k: len(self.datasets[k]))
+        self._orders = {k: np.arange(len(d)) for k, d in self.datasets.items()}
+        self._recompute_frames()
+
+    def _recompute_frames(self):
+        n = len(self)
+        total = np.zeros(n, dtype=np.int64)
+        for k, d in self.datasets.items():
+            o = self._orders[k]
+            total += d.n_frames[o[np.arange(n) % len(o)]]
+        self.n_frames = total
+
+    def __len__(self):
+        return len(self.datasets[self.longest_key])
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return {
+            k: d[int(self._orders[k][index % len(self._orders[k])])]
+            for k, d in self.datasets.items()
+        }
+
+    def collater(self, samples, **kw):
+        if not samples:
+            return None
+        batch = {
+            "pairs": {
+                k: d.collater([s[k] for s in samples], **kw)
+                for k, d in self.datasets.items()
+            }
+        }
+        batch["ntokens"] = sum(
+            b["ntokens"] for b in batch["pairs"].values() if "ntokens" in b
+        )
+        return batch
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets.values():
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
+    def ordered_indices(self, shuffle: bool = True, seed: int = 1,
+                        epoch: int = 1):
+        """Deal a fresh per-pair order, then sort zip rows by total cost so
+        bucketed batching stays tight."""
+        rng = np.random.default_rng(seed + epoch)
+        for k, d in self.datasets.items():
+            base = np.arange(len(d))
+            self._orders[k] = rng.permutation(base) if shuffle else base
+        self._recompute_frames()
+        order = np.arange(len(self))
+        if shuffle:
+            order = rng.permutation(order)
+        return order[np.argsort(self.n_frames[order], kind="stable")[::-1]]
+
+
 def get_size_ratios(sizes: Sequence[int], alpha: float = 1.0) -> np.ndarray:
     """Per-dataset upsampling ratios (reference: _get_size_ratios :576)."""
     sizes = np.asarray(sizes, np.float64)

@@ -9,6 +9,7 @@ from s2t_tpu.models import insertion_transformer  # noqa: F401
 from s2t_tpu.models import levenshtein_transformer  # noqa: F401
 from s2t_tpu.models import lightconv  # noqa: F401
 from s2t_tpu.models import lstm  # noqa: F401
+from s2t_tpu.models import multilingual_transformer  # noqa: F401
 from s2t_tpu.models import pds  # noqa: F401
 from s2t_tpu.models import roberta  # noqa: F401
 from s2t_tpu.models import s2t_ctc  # noqa: F401

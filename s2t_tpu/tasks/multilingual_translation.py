@@ -1,21 +1,29 @@
 """Many-to-many multilingual MT.
 
 (reference: fairseq/tasks/translation_multi_simple_epoch.py +
-multilingual_translation.py — language pairs trained jointly with
-temperature-resampled sampling and target-language tags.)
+multilingual_translation.py — two regimes:
+
+* shared model: language pairs concatenated with temperature-resampled
+  sampling and target-language tags (translation_multi_simple_epoch);
+* per-pair models: the multilingual_transformer model keyed by lang pair,
+  trained round-robin — every update sees one sub-batch from EVERY pair
+  (multilingual_translation.py:299-330 + data/round_robin_zip_datasets.py).
+
+The regime follows the arch: ``multilingual_transformer*`` archs get the
+round-robin zip pipeline, anything else gets the shared-model concat.)
 
 Config: ``task_cfg.lang_pairs: ["en-de", "en-fr", ...]``; data files
 ``{split}.{src}-{tgt}.{src|tgt}``; the shared dict must contain
-``<lang:xx>`` symbols for every target language.
+``<lang:xx>`` symbols for every target language (shared-model regime only).
 """
 
 from __future__ import annotations
 
 from pathlib import Path
 
-from s2t_tpu.data.multilingual import MultilingualS2TDataset
+from s2t_tpu.data.multilingual import MultilingualS2TDataset, RoundRobinZipDataset
 from s2t_tpu.data.text_dataset import TranslationDataset
-from s2t_tpu.registry import register_task
+from s2t_tpu.registry import ARCHS, register_task
 from s2t_tpu.tasks.translation import TranslationTask
 
 
@@ -29,15 +37,28 @@ class MultilingualTranslationTask(TranslationTask):
             pairs = [f"{self.data_cfg.src_lang}-{self.data_cfg.tgt_lang}"]
         return pairs
 
-    def load_dataset(self, split: str, is_train: bool = False):
+    @property
+    def per_pair_models(self) -> bool:
+        """True when the arch is a per-pair multilingual_transformer."""
+        if not self.cfg.arch:
+            return False
+        import s2t_tpu.models  # noqa: F401 — populate the arch registry
+
+        try:
+            model_name, _ = ARCHS.get(self.cfg.arch)
+        except KeyError:
+            return False
+        return model_name == "multilingual_transformer"
+
+    def _pair_dataset(self, split: str, pair: str, tagged: bool):
         root = Path(self.cfg.dataset.data)
-        parts = []
-        for pair in self.lang_pairs:
-            sl, tl = pair.split("-")
-            src = root / f"{split}.{sl}-{tl}.{sl}"
-            tgt = root / f"{split}.{sl}-{tl}.{tl}"
-            if not src.exists():
-                continue
+        sl, tl = pair.split("-")
+        src = root / f"{split}.{sl}-{tl}.{sl}"
+        tgt = root / f"{split}.{sl}-{tl}.{tl}"
+        if not src.exists():
+            return None
+        tag = None
+        if tagged:
             tag = self.tgt_dict.index(f"<lang:{tl}>")
             if tag == self.tgt_dict.unk():
                 # Dictionary.index silently maps OOV to <unk>; conditioning
@@ -46,15 +67,65 @@ class MultilingualTranslationTask(TranslationTask):
                     f"dictionary is missing the language tag <lang:{tl}> "
                     "(add it to dict.txt for multilingual training)"
                 )
-            parts.append(TranslationDataset(
-                src, tgt if tgt.exists() else None, self.src_dict,
-                self.tgt_dict, self.src_bpe, self.bpe, tgt_lang_tag=tag,
-            ))
-        assert parts, f"no data for split {split!r} and pairs {self.lang_pairs}"
-        alpha = (self.cfg.task_cfg or {}).get("sampling_alpha", 1.0)
-        ds = (
-            parts[0] if len(parts) == 1 else
-            MultilingualS2TDataset(parts, alpha=alpha, resample=is_train)
+        return TranslationDataset(
+            src, tgt if tgt.exists() else None, self.src_dict,
+            self.tgt_dict, self.src_bpe, self.bpe, tgt_lang_tag=tag,
         )
+
+    def load_dataset(self, split: str, is_train: bool = False):
+        per_pair = self.per_pair_models
+        parts = {}
+        for pair in self.lang_pairs:
+            ds = self._pair_dataset(split, pair, tagged=not per_pair)
+            if ds is not None:
+                parts[pair] = ds
+        assert parts, f"no data for split {split!r} and pairs {self.lang_pairs}"
+        if per_pair:
+            # per-pair models: one zip row per update carries every pair
+            ds = RoundRobinZipDataset(parts)
+        else:
+            alpha = (self.cfg.task_cfg or {}).get("sampling_alpha", 1.0)
+            items = [parts[p] for p in self.lang_pairs if p in parts]
+            ds = (
+                items[0] if len(items) == 1 else
+                MultilingualS2TDataset(items, alpha=alpha, resample=is_train)
+            )
         self.datasets[split] = ds
         return ds
+
+    def build_model(self):
+        if not self.per_pair_models:
+            return super().build_model()
+        from s2t_tpu.models import build_model
+
+        return build_model(
+            self.cfg.arch, self.cfg.model,
+            vocab_size=len(self.tgt_dict),
+            src_vocab_size=len(self.src_dict),
+            lang_pairs=tuple(self.lang_pairs),
+            max_source_positions=self.cfg.dataset.max_source_positions,
+            max_target_positions=self.cfg.dataset.max_target_positions,
+        )
+
+    def build_criterion(self):
+        base = super().build_criterion()
+        if not self.per_pair_models:
+            return base
+        from s2t_tpu.criterions.multilingual import MultilingualCriterion
+
+        return MultilingualCriterion(base)
+
+    def forward_fn(self):
+        if not self.per_pair_models:
+            return super().forward_fn()
+
+        def fwd(model, params, batch, deterministic, rngs=None):
+            if params is None:  # init mode covers every pair's modules
+                return model.init(rngs["params"], batch["pairs"],
+                                  deterministic=True)
+            return model.apply(
+                {"params": params}, batch["pairs"],
+                deterministic=deterministic, rngs=rngs,
+            )
+
+        return fwd

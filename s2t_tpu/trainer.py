@@ -496,7 +496,10 @@ class Trainer:
 
     @staticmethod
     def _batch_key(batch: Dict[str, Any]) -> Any:
-        return tuple(sorted((k, jnp.ndim(v)) for k, v in batch.items()))
+        return tuple(sorted(
+            (k, Trainer._batch_key(v) if isinstance(v, dict) else jnp.ndim(v))
+            for k, v in batch.items()
+        ))
 
     def train_step(
         self, state: TrainState, batch: Dict[str, Any]
