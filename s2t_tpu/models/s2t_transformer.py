@@ -692,6 +692,15 @@ class S2TTransformerEncoder(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.cfg
         x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
+        # Pin the subsampler output to batch-only sharding: without an
+        # explicit seam the partitioner propagates whatever layout the
+        # encoder stack wants (e.g. [data,1,model,pipe]-tiled) into the
+        # subsampler's conv backward and then reshards the grads with an
+        # "Involuntary full rematerialization" (VERDICT r3 weak#4).  The
+        # constraint is a no-op when no mesh is registered.
+        from s2t_tpu.parallel.context import constrain
+
+        x = constrain(x, "data")
         # reference order (s2t_transformer.py:1767-1795): embed_norm → scale →
         # positions → embed_linear → dropout
         if cfg.encoder_embed_norm:
