@@ -18,6 +18,15 @@ def main(cfg, params) -> dict:
 
     task = setup_task(cfg)
     ds = task.load_dataset(cfg.dataset.gen_subset)
+    if cfg.eval.context_window > 0:
+        # carry the previous block's tail as unscored context (reference:
+        # fairseq_cli/eval_lm.py --context-window)
+        from s2t_tpu.data.wrappers import LMContextWindowDataset
+
+        ds = LMContextWindowDataset(
+            ds, cfg.eval.context_window,
+            pad_id=task.tgt_dict.pad(), eos_id=task.tgt_dict.eos(),
+        )
     model = task.build_model()
     itr = task.get_batch_iterator(ds, shuffle=False).next_epoch_itr()
 

@@ -369,6 +369,10 @@ class EvalConfig:
     # CTC greedy WER/CER on every validation pass — how the reference
     # catches CTC regressions (criterions/ctc.py:1104+ logs wer/cer)
     eval_ctc_wer: bool = False
+    # eval_lm: carry this many tokens of the previous block as unscored
+    # context (reference: fairseq_cli/eval_lm.py --context-window +
+    # data/lm_context_window_dataset.py)
+    context_window: int = 0
 
 
 @dataclass

@@ -216,7 +216,24 @@ class SemisupervisedTranslationTask(TranslationTask):
             mono, self.tgt_dict, make_backtranslator(rev, params, gen),
             tgt_bpe=self.bpe,
         )
-        ds = ConcatHomogeneous([bitext, bt])
+        parts = [bitext, bt]
+        if float(t.get("lambda_denoising", 0.0)) > 0:
+            # DAE stream (reference: semisupervised_translation.py
+            # --lambda-denoising + data/noising.py UnsupervisedMTNoising):
+            # noised monolingual target text -> clean text
+            from s2t_tpu.data.wrappers import NoisingDataset
+
+            dae = NoisingDataset(
+                TranslationDataset(mono, mono, self.tgt_dict, self.tgt_dict,
+                                   self.bpe, self.bpe),
+                self.tgt_dict, seed=self.cfg.common.seed,
+                max_word_shuffle_distance=float(
+                    t.get("word_shuffle", 3)),
+                word_dropout_prob=float(t.get("word_dropout_prob", 0.1)),
+                word_blanking_prob=float(t.get("word_blanking_prob", 0.1)),
+            )
+            parts.append(dae)
+        ds = ConcatHomogeneous(parts)
         self.datasets[split] = ds
         return ds
 

@@ -298,7 +298,8 @@ class TestSemisupervisedTranslation:
             "task": "semisupervised_translation", "arch": "transformer",
             "criterion": "label_smoothed_cross_entropy",
             "task_cfg": {"bt_checkpoint": str(tmp_path / "rev.pt"),
-                         "bt_arch": "transformer", "bt_model": model_kw},
+                         "bt_arch": "transformer", "bt_model": model_kw,
+                         "lambda_denoising": 1.0},
             "model": model_kw,
             "criterion_cfg": {"label_smoothing": 0.0},
             "dataset": {"data": str(data), "max_tokens": 128,
@@ -328,8 +329,9 @@ class TestSemisupervisedTranslation:
         # every batch is a full translation batch (synthetic or real)
         for b in batches:
             assert "src_tokens" in b and "target" in b and "prev_tokens" in b
-        # the combined dataset is larger than the bitext alone
-        assert len(ds) == 32 + 4
+        # bitext + BT + DAE streams (reference: --lambda-denoising adds a
+        # noised-mono -> clean-mono objective, data/noising.py)
+        assert len(ds) == 32 + 4 + 4
 
         model = task.build_model()
         criterion = task.build_criterion()
