@@ -149,6 +149,82 @@ class TestBeamDecodeParity:
             )
 
 
+class TestEnsembleDecodeParity:
+    def test_two_model_ensemble_tokens(self, tmp_path):
+        """Ensemble decoding vs the reference EnsembleModel: both engines
+        average member probabilities per step (reference:
+        sequence_generator.py:860-900 avg_probs), so two independently
+        trained members must yield identical hypothesis tokens."""
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t
+        from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+        kw = dict(
+            arch="s2t_transformer_s",
+            encoder_layers=2, decoder_layers=2, encoder_embed_dim=64,
+            decoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            decoder_ffn_embed_dim=128, encoder_attention_heads=2,
+            decoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        m1, args1, d = build_s2t_model(seed=0, **kw)
+        m2, args2, _ = build_s2t_model(seed=1, **kw)
+        feats, lens, tgts, l1 = _train_decisive(m1, d, seed=0)
+        _, _, _, l2 = _train_decisive(m2, d, seed=0)  # same mapping
+        assert l1 < 0.2 and l2 < 0.2, (l1, l2)
+        feats, lens = feats[:B], lens[:B].astype(np.int32)
+
+        import torch
+
+        setup_paths()
+        from fairseq.sequence_generator import SequenceGenerator
+
+        gen = SequenceGenerator(
+            [m1, m2], d, beam_size=BEAM, max_len_a=0, max_len_b=MAX_LEN,
+            len_penalty=1.0,
+        )
+        with torch.no_grad():
+            ref = gen.forward({
+                "net_input": {
+                    "src_tokens": torch.tensor(feats),
+                    "src_lengths": torch.tensor(lens),
+                }
+            })
+
+        save_fairseq_checkpoint(m1, args1, str(tmp_path / "m1.pt"))
+        save_fairseq_checkpoint(m2, args2, str(tmp_path / "m2.pt"))
+        p1, cfg1 = import_fairseq_s2t(str(tmp_path / "m1.pt"))
+        p2, cfg2 = import_fairseq_s2t(str(tmp_path / "m2.pt"))
+
+        import jax.numpy as jnp
+
+        my1 = S2TTransformerModel(cfg1)
+        my2 = S2TTransformerModel(cfg2)
+        mygen = MyGen(
+            my1, beam_size=BEAM, max_len_a=0.0, max_len_b=MAX_LEN,
+            lenpen=1.0, max_target_positions=64, extra_models=[my2],
+        )
+        tokens, scores, _ = mygen.generate(
+            p1,
+            {"features": jnp.asarray(feats), "feat_lengths": jnp.asarray(lens)},
+            extra_params=[p2],
+        )
+        tokens = np.asarray(tokens)
+        for b in range(B):
+            ref_toks = ref[b][0]["tokens"].numpy()
+            mine = [int(t) for t in tokens[b, 0]]
+            assert 2 in mine, f"b={b}: no EOS in {mine}"
+            mine = mine[: mine.index(2) + 1]
+            np.testing.assert_array_equal(
+                mine, ref_toks,
+                err_msg=f"ensemble hypothesis differs at b={b}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(scores)[b, 0], float(ref[b][0]["score"]),
+                atol=5e-3,
+            )
+
+
 class TestCTCJointRescoringParity:
     """Beam decode with joint CTC prefix rescoring (--infer-ctc-weight):
     reference SequenceGenerator blends espnet CTCPrefixScore deltas into the

@@ -43,7 +43,8 @@ def make_dictionary(symbols=("aa", "bb", "cc", "dd")):
     return d
 
 
-def build_s2t_model(arch="s2t_transformer_s", dictionary=None, **arg_overrides):
+def build_s2t_model(arch="s2t_transformer_s", dictionary=None, seed=0,
+                    **arg_overrides):
     """Construct a reference S2TTransformerModel with given arch preset.
 
     Returns (model.eval(), args, dictionary).
@@ -73,7 +74,7 @@ def build_s2t_model(arch="s2t_transformer_s", dictionary=None, **arg_overrides):
     # arch presets only set absent attrs; force explicit overrides to win
     for k, v in arg_overrides.items():
         setattr(args, k, v)
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = ref_mod.S2TTransformerModel.build_model(args, _Task())
     model.eval()
     return model, args, d
