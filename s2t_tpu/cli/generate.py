@@ -65,7 +65,13 @@ def main(cfg, params, task=None) -> Dict[str, Any]:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(name)s | %(message)s")
     task = task or setup_task(cfg)
     subset = cfg.dataset.gen_subset
-    ds = task.load_dataset(subset)
+    eval_pair = getattr(task, "eval_lang_pair", None)
+    if eval_pair:
+        # per-pair multilingual models decode one pair (reference:
+        # multilingual_translation.py eval via source/target lang)
+        ds = task.load_pair_dataset(subset, eval_pair)
+    else:
+        ds = task.load_dataset(subset)
     model = task.build_model()
     generator = task.build_generator(model)
 

@@ -115,6 +115,29 @@ class MultilingualTranslationTask(TranslationTask):
 
         return MultilingualCriterion(base)
 
+    @property
+    def eval_lang_pair(self):
+        """Pair decoded at generation time (reference:
+        multilingual_translation.py --source-lang/--target-lang select the
+        eval pair; defaults to the first training pair)."""
+        if not self.per_pair_models:
+            return None
+        return (self.cfg.task_cfg or {}).get(
+            "eval_lang_pair", self.lang_pairs[0]
+        )
+
+    def load_pair_dataset(self, split: str, pair: str):
+        """Pair-pure dataset for the generate CLI (per-pair models decode
+        one pair; training/validation use the round-robin zip)."""
+        ds = self._pair_dataset(split, pair, tagged=False)
+        assert ds is not None, f"no data for split {split!r} pair {pair!r}"
+        return ds
+
+    def build_generator(self, model, gen_cfg=None):
+        if self.per_pair_models and hasattr(model, "pair_view"):
+            model = model.pair_view(self.eval_lang_pair)
+        return super().build_generator(model, gen_cfg)
+
     def forward_fn(self):
         if not self.per_pair_models:
             return super().forward_fn()

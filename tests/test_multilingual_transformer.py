@@ -167,6 +167,16 @@ class TestRoundRobinTraining:
         assert any(k.startswith("en-de:") for k in hist[-1])
         assert any(k.startswith("en-fr:") for k in hist[-1])
 
+        # generation decodes ONE pair through pair_view against the full
+        # checkpoint params (reference: eval lang pair selection)
+        from s2t_tpu.cli.generate import main as generate_main
+
+        cfg.dataset.gen_subset = "dev"
+        cfg.generation.results_path = str(tmp_path / "gen")
+        gen = generate_main(cfg, out["state"].params, task=out["task"])
+        assert gen["n_utts"] > 0
+        assert all(r["hyp"] is not None for r in gen["results"].values())
+
 
 class TestZipDataset:
     def test_round_robin_wraps_shorter(self, tmp_path):
