@@ -44,18 +44,22 @@ class SPMTokenizer:
     ) -> "SPMTokenizer":
         from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
 
+        # real SPM always has <unk> (id 0): OOV input must degrade to the
+        # unk piece, never raise (Dictionary maps "<unk>" to its unk index).
+        # Bites in practice when ST source text hits a target-language model.
         if cls.kind == "unigram":
             tok = Tokenizer(models.Unigram())
             trainer = trainers.UnigramTrainer(
                 vocab_size=vocab_size,
-                special_tokens=special_tokens or [],
-                unk_token=None,
+                special_tokens=["<unk>"] + (special_tokens or []),
+                unk_token="<unk>",
                 shrinking_factor=0.75,
             )
         else:
-            tok = Tokenizer(models.BPE())
+            tok = Tokenizer(models.BPE(unk_token="<unk>"))
             trainer = trainers.BpeTrainer(
-                vocab_size=vocab_size, special_tokens=special_tokens or []
+                vocab_size=vocab_size,
+                special_tokens=["<unk>"] + (special_tokens or []),
             )
         tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
         tok.decoder = decoders.Metaspace(replacement="▁")
@@ -64,7 +68,18 @@ class SPMTokenizer:
         return cls(tok=tok)
 
     def encode(self, text: str) -> List[str]:
-        return self.tok.encode(text).tokens
+        try:
+            return self.tok.encode(text).tokens
+        except Exception:
+            # model saved without an unk id (pre-fix files): encode word by
+            # word so only the genuinely uncoverable spans degrade to <unk>
+            out: List[str] = []
+            for w in text.strip().split():
+                try:
+                    out.extend(self.tok.encode(w).tokens)
+                except Exception:
+                    out.append("<unk>")
+            return out
 
     def encode_line(self, text: str) -> str:
         return " ".join(self.encode(text))
@@ -72,7 +87,8 @@ class SPMTokenizer:
     def decode(self, pieces: List[str] | str) -> str:
         if isinstance(pieces, str):
             pieces = pieces.split()
-        return "".join(pieces).replace("▁", " ").strip()
+        return "".join(p for p in pieces if p != "<unk>").replace(
+            "▁", " ").strip()
 
     def vocab(self) -> List[str]:
         v = self.tok.get_vocab()

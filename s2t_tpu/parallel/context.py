@@ -8,11 +8,31 @@ static per process — this is configuration, not traced state.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 from jax.sharding import Mesh
 
 _CURRENT_MESH: Optional[Mesh] = None
+_SUPPRESSED_AXES: frozenset = frozenset()
+
+
+@contextmanager
+def suppress_constraint_axes(*axes: str):
+    """Drop the given mesh axes from any ``constrain`` spec traced inside.
+
+    Needed when model code is traced under ``jax.vmap(..., spmd_axis_name=ax)``
+    (BMUF's per-replica local steps): JAX forbids a with_sharding_constraint
+    spec from naming the vmap's spmd axis, and the vmap already pins that
+    dimension's sharding anyway.
+    """
+    global _SUPPRESSED_AXES
+    old = _SUPPRESSED_AXES
+    _SUPPRESSED_AXES = old | frozenset(axes)
+    try:
+        yield
+    finally:
+        _SUPPRESSED_AXES = old
 
 
 def set_mesh(mesh: Optional[Mesh]) -> None:
@@ -57,4 +77,14 @@ def constrain(x, *spec_dims):
     m = _CURRENT_MESH
     if m is None:
         return x
+    if _SUPPRESSED_AXES:
+        def scrub(d):
+            if isinstance(d, tuple):
+                kept = tuple(a for a in d if a not in _SUPPRESSED_AXES)
+                return kept or None
+            return None if d in _SUPPRESSED_AXES else d
+
+        spec_dims = tuple(scrub(d) for d in spec_dims)
+        if all(d is None for d in spec_dims):
+            return x  # nothing left to pin; don't force full replication
     return jax.lax.with_sharding_constraint(x, NamedSharding(m, P(*spec_dims)))

@@ -28,6 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from s2t_tpu.config import DistributedConfig, OptimizationConfig
 from s2t_tpu.optim import build_lr_schedule, build_optimizer
+from s2t_tpu.parallel import context as parallel_context
 from s2t_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from s2t_tpu.parallel.tp_rules import param_sharding_tree
 
@@ -422,7 +423,15 @@ class Trainer:
             rngs = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
                 base_rng, jnp.arange(R)
             )
-            new_sub, m = jax.vmap(inner, spmd_axis_name="data")(sub, batch, rngs)
+            def inner_local(s, b, r):
+                # the vmap below pins the replica dim's sharding; model-side
+                # "data" constraints are illegal (and redundant) inside it
+                with parallel_context.suppress_constraint_axes("data"):
+                    return inner(s, b, r)
+
+            new_sub, m = jax.vmap(inner_local, spmd_axis_name="data")(
+                sub, batch, rngs
+            )
 
             step_after = state.step + 1
             in_warmup = step_after <= cfg.warmup_iterations
