@@ -93,18 +93,25 @@ class Trainer:
         self.criterion = criterion
         self.opt_cfg = opt_cfg
         self.mesh = mesh if mesh is not None else make_mesh(dist_cfg)
-        from s2t_tpu.parallel.context import set_mesh
-
-        set_mesh(self.mesh)  # sequence-parallel attention reads this
+        # The mesh is NOT registered process-globally here: every traced
+        # entry point wraps itself in ``use_mesh(self.mesh)`` (see
+        # parallel/context.use_mesh), so building a Trainer leaves traces
+        # performed outside it — a second model evaluated later in the same
+        # process, other tests — completely unaffected.
         self.tp = int(self.mesh.shape.get("model", 1)) > 1
         self.fsdp = bool(dist_cfg.fsdp) if dist_cfg is not None else False
         self.bmuf = bmuf_cfg if (bmuf_cfg is not None and bmuf_cfg.active) else None
         if self.bmuf is not None:
-            if self.tp or self.fsdp or int(self.mesh.shape.get("pipe", 1)) > 1:
+            if (
+                self.tp
+                or self.fsdp
+                or int(self.mesh.shape.get("pipe", 1)) > 1
+                or int(self.mesh.shape.get("seq", 1)) > 1
+            ):
                 raise ValueError(
                     "bmuf.active requires pure data parallelism (replicas "
                     "own full model copies); disable model_parallel/fsdp/"
-                    "pipeline_parallel"
+                    "pipeline_parallel/seq_parallel"
                 )
             self.n_replicas = int(self.mesh.shape["data"])
         self.forward_fn = forward_fn
@@ -151,6 +158,12 @@ class Trainer:
     # state
     # --------------------------------------------------------------------- #
     def init_state(self, example_batch: Dict[str, Any]) -> TrainState:
+        from s2t_tpu.parallel.context import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._init_state(example_batch)
+
+    def _init_state(self, example_batch: Dict[str, Any]) -> TrainState:
         ex = jax.tree.map(lambda x: jnp.asarray(x), example_batch)
 
         # materialise params replicated on the mesh (forward adapter in init
@@ -513,6 +526,14 @@ class Trainer:
     def train_step(
         self, state: TrainState, batch: Dict[str, Any]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        from s2t_tpu.parallel.context import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._train_step(state, batch)
+
+    def _train_step(
+        self, state: TrainState, batch: Dict[str, Any]
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         accum = self.opt_cfg.update_freq
         if self.bmuf is not None:
             return self._bmuf_train_step(state, batch, accum)
@@ -563,6 +584,14 @@ class Trainer:
         return step(state, batch, self.base_rng)
 
     def train_many(
+        self, state: TrainState, batches: list
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        from s2t_tpu.parallel.context import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._train_many(state, batches)
+
+    def _train_many(
         self, state: TrainState, batches: list
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Run K optimizer updates in ONE compiled dispatch (lax.scan over a
@@ -622,6 +651,14 @@ class Trainer:
         return step_fn
 
     def valid_step(self, state: TrainState, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        from s2t_tpu.parallel.context import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._valid_step_entry(state, batch)
+
+    def _valid_step_entry(
+        self, state: TrainState, batch: Dict[str, Any]
+    ) -> Dict[str, jnp.ndarray]:
         if isinstance(state, BMUFTrainState):
             # validate the replica-averaged model (the reference validates
             # the synced global model between blocks)

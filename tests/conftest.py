@@ -44,6 +44,44 @@ def _cpu_tag() -> str:
     return "generic"
 
 
+# XLA 0.9's cpu_aot_loader cross-checks the cached executable's compile-time
+# target features against host cpuid and logs an ERROR for
+# `+prefer-no-scatter` / `+prefer-no-gather` — which are XLA-synthesized
+# LLVM tuning *hints*, not ISA features, so cpuid can never report them and
+# the check false-positives on EVERY cache hit, including entries compiled
+# seconds earlier by the same process on the same machine (verified by
+# probe).  No cache tag can fix a check that fails same-machine reloads;
+# real cross-machine safety is what the cpuinfo-keyed directory above
+# provides.  Filter exactly this known-false-positive line out of stderr so
+# genuine XLA errors stay visible.
+def _install_aot_noise_filter() -> None:
+    import threading
+
+    real_fd = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        buf = b""
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if b"cpu_aot_loader" not in line:
+                    os.write(real_fd, line + b"\n")
+        if buf and b"cpu_aot_loader" not in buf:
+            os.write(real_fd, buf)
+
+    threading.Thread(target=pump, daemon=True, name="aot-noise-filter").start()
+
+
+_install_aot_noise_filter()
+
+
 _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR", f"/tmp/s2t_xla_cache_{_cpu_tag()}"
 )

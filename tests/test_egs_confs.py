@@ -36,7 +36,8 @@ CONFS = sorted(
 SPEECH_ZOOS = ("librispeech/asr/conf", "aishell/asr/conf", "mustc/asr/conf")
 SPEECH_CONFS = [c for c in CONFS if str(Path(c).parent) in SPEECH_ZOOS
                 and Path(c).name != "basis.yaml"]
-MT_CONFS = [c for c in CONFS if str(Path(c).parent) == "wmt16/mt/conf"
+MT_CONFS = [c for c in CONFS
+            if str(Path(c).parent) in ("wmt16/mt/conf", "mustc/mt/conf")
             and Path(c).name != "basis.yaml"]
 
 B, T, NMEL, V = 2, 48, 80, 24
