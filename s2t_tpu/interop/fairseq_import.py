@@ -1160,3 +1160,219 @@ def import_fairseq_mt(path: str, **overrides):
     state, args = load_fairseq_checkpoint(path)
     cfg = infer_mt_config_from_args(args, state, **overrides)
     return convert_mt_transformer(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# ConvTransformer checkpoints (reference: convtransformer.py:25 — ESPnet-ST
+# front-end: encoder.conv.{0,2} 2-D convs (k=3, s=2, pad=1) → encoder.out
+# linear → sinusoidal positions → fairseq TransformerEncoderLayers at
+# encoder.transformer_layers.{i}; standard TransformerDecoder).
+# --------------------------------------------------------------------------- #
+def infer_convtransformer_config_from_args(
+    args: Any, state: Dict[str, np.ndarray], **overrides
+):
+    from s2t_tpu.models.s2t_transformer import S2TTransformerConfig
+
+    vocab, dec_dim = state["decoder.embed_tokens.weight"].shape
+    enc_layers = 1 + max(
+        int(m.group(1))
+        for k in state
+        if (m := re.match(r"encoder\.transformer_layers\.(\d+)\.", k))
+    )
+    dec_layers = 1 + max(
+        int(m.group(1))
+        for k in state
+        if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+    )
+    conv_w = state["encoder.conv.0.weight"]  # (C, 1, k, k)
+    heads = int(_get(args, "encoder_attention_heads", 8))
+    cfg = S2TTransformerConfig(
+        input_feat_per_channel=int(_get(args, "input_feat_per_channel", 80)),
+        subsampling_type="conv2d",
+        subsampling_layers=2,
+        subsampling_filter=conv_w.shape[0],
+        subsampling_kernel=conv_w.shape[2],
+        subsampling_stride=2,
+        subsampling_norm="none",
+        subsampling_activation="relu",
+        subsampling_padding="same",
+        subsampling_ref_pad_semantics=True,  # torch un-masked conv tails
+        encoder_embed_dim=state["encoder.out.weight"].shape[0],
+        encoder_ffn_embed_dim=state["encoder.transformer_layers.0.fc1.weight"].shape[0],
+        encoder_layers=enc_layers,
+        encoder_attention_heads=heads,
+        encoder_attention_type="abs",
+        encoder_normalize_before="encoder.layer_norm.weight" in state,
+        # the reference constructs encoder.layer_norm but never applies it
+        # (convtransformer.py forward) — keep the params, skip the op
+        encoder_apply_final_norm=False,
+        encoder_no_scale_embedding=bool(_get(args, "no_scale_embedding", False)),
+        decoder_embed_dim=dec_dim,
+        decoder_ffn_embed_dim=state["decoder.layers.0.fc1.weight"].shape[0],
+        decoder_layers=dec_layers,
+        decoder_attention_heads=int(_get(args, "decoder_attention_heads", heads)),
+        decoder_normalize_before="decoder.layer_norm.weight" in state,
+        share_decoder_input_output_embed=(
+            "decoder.output_projection.weight" not in state
+            or np.array_equal(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+        ),
+        dropout=float(_get(args, "dropout", 0.1)),
+        activation_fn=_get(args, "activation_fn", "relu"),
+        use_ctc=False,
+        vocab_size=vocab,
+        max_source_positions=int(_get(args, "max_source_positions", 3000)),
+        max_target_positions=int(_get(args, "max_target_positions", 1024)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _conv2d(state, prefix) -> Dict[str, np.ndarray]:
+    # torch (out, in, kH, kW) → flax NHWC kernel (kH, kW, in, out)
+    out = {
+        "kernel": np.ascontiguousarray(
+            state[prefix + ".weight"].transpose(2, 3, 1, 0)
+        )
+    }
+    if prefix + ".bias" in state:
+        out["bias"] = state[prefix + ".bias"]
+    return out
+
+
+def convert_convtransformer(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    enc = params["encoder"]
+
+    # front-end: conv.0 / conv.2 (1 & 3 are the ReLUs) + the flatten linear.
+    # torch flattens the conv output channel-major ((B,C,T,F)→(T,B,C·F),
+    # convtransformer.py:301-303); this framework flattens freq-major
+    # ((B,T,F,C)→(B,T,F·C)) — permute the linear's input axes to absorb it.
+    sub = {
+        "conv0": _conv2d(state, "encoder.conv.0"),
+        "conv1": _conv2d(state, "encoder.conv.2"),
+    }
+    w = state["encoder.out.weight"]  # (D, C*F)
+    C = cfg.subsampling_filter
+    F = w.shape[1] // C
+    sub["out"] = {
+        "kernel": np.ascontiguousarray(
+            w.reshape(w.shape[0], C, F).transpose(2, 1, 0).reshape(F * C, -1)
+        ),
+        "bias": state["encoder.out.bias"],
+    }
+    enc["subsample"] = sub
+
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.transformer_layers.{i}"
+        enc[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if cfg.encoder_normalize_before:
+        enc["final_norm"] = _norm(state, "encoder.layer_norm")
+
+    params["decoder"] = _s2t_decoder_tree(state, cfg)
+    return params
+
+
+def import_fairseq_convtransformer(path: str, **overrides):
+    """One-call import: path → (params pytree, S2TTransformerConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_convtransformer_config_from_args(args, state, **overrides)
+    return convert_convtransformer(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# Berard checkpoints (reference: berard.py:20 — encoder.input_layers.{i}[.0]
+# linears, encoder.conv_layers.{i} 2-D convs, encoder.lstm.weight_ih_l{l}
+# [+ _reverse] stacked BiLSTM, decoder.layers.{i} LSTMCells, MLP attention,
+# deep_output_layer + output_projection).
+# --------------------------------------------------------------------------- #
+def infer_berard_config_from_args(
+    args: Any, state: Dict[str, np.ndarray], **overrides
+):
+    from s2t_tpu.models.berard import BerardConfig
+
+    import ast
+
+    input_layers = tuple(ast.literal_eval(_get(args, "input_layers", "[256, 128]")))
+    conv_layers = tuple(
+        tuple(c) for c in ast.literal_eval(
+            _get(args, "conv_layers", "[(16, 3, 2), (16, 3, 2)]")
+        )
+    )
+    vocab = state["decoder.embed_tokens.weight"].shape[0]
+    cfg = BerardConfig(
+        input_feat_per_channel=int(_get(args, "input_feat_per_channel", 80)),
+        input_layers=input_layers,
+        conv_layers=conv_layers,
+        encoder_hidden=state["encoder.lstm.weight_hh_l0"].shape[1],
+        encoder_layers=int(_get(args, "num_blstm_layers", 3)),
+        decoder_hidden=state["decoder.layers.0.weight_hh"].shape[1],
+        decoder_layers=1 + max(
+            int(m.group(1))
+            for k in state
+            if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+        ),
+        decoder_embed_dim=state["decoder.embed_tokens.weight"].shape[1],
+        attention_dim=state["decoder.attention.encoder_proj.weight"].shape[0],
+        output_layer_dim=state["decoder.deep_output_layer.weight"].shape[0],
+        dropout=float(_get(args, "dropout", 0.2)),
+        vocab_size=vocab,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _lstm_dir(state, prefix, suffix="") -> Dict[str, np.ndarray]:
+    return {
+        "kernel_ih": np.ascontiguousarray(state[prefix + "weight_ih" + suffix].T),
+        "kernel_hh": np.ascontiguousarray(state[prefix + "weight_hh" + suffix].T),
+        "bias": state[prefix + "bias_ih" + suffix]
+        + state[prefix + "bias_hh" + suffix],
+    }
+
+
+def convert_berard(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    enc: Dict[str, Any] = {}
+    for i in range(len(cfg.input_layers)):
+        # nn.Sequential(Linear, Dropout) when dropout > 0, bare Linear else
+        p = (f"encoder.input_layers.{i}.0"
+             if f"encoder.input_layers.{i}.0.weight" in state
+             else f"encoder.input_layers.{i}")
+        enc[f"input{i}"] = _dense(state, p)
+    for i in range(len(cfg.conv_layers)):
+        enc[f"conv{i}"] = _conv2d(state, f"encoder.conv_layers.{i}")
+    for l in range(cfg.encoder_layers):
+        enc[f"blstm{l}_fwd"] = _lstm_dir(state, "encoder.lstm.", f"_l{l}")
+        enc[f"blstm{l}_bwd"] = _lstm_dir(state, "encoder.lstm.", f"_l{l}_reverse")
+
+    dec: Dict[str, Any] = {
+        "embed_tokens": {"embedding": state["decoder.embed_tokens.weight"]},
+        "attention": {
+            "encoder_proj": _dense(state, "decoder.attention.encoder_proj"),
+            "decoder_proj": _dense(state, "decoder.attention.decoder_proj"),
+            "to_scores": _dense(state, "decoder.attention.to_scores"),
+        },
+        "deep_output_layer": _dense(state, "decoder.deep_output_layer"),
+        "output_projection": _dense(state, "decoder.output_projection"),
+    }
+    for i in range(cfg.decoder_layers):
+        cell = _lstm_dir(state, f"decoder.layers.{i}.")
+        dec[f"cell{i}_kernel_ih"] = cell["kernel_ih"]
+        dec[f"cell{i}_kernel_hh"] = cell["kernel_hh"]
+        dec[f"cell{i}_bias"] = cell["bias"]
+    return {"encoder": enc, "decoder": dec}
+
+
+def import_fairseq_berard(path: str, **overrides):
+    """One-call import: path → (params pytree, BerardConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_berard_config_from_args(args, state, **overrides)
+    return convert_berard(state, cfg), cfg

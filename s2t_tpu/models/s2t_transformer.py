@@ -48,6 +48,14 @@ class S2TTransformerConfig:
     # reference-exact conv padding semantics (see Conv1dSubsampling); set by
     # the fairseq checkpoint importer, off by default
     subsampling_ref_pad_semantics: bool = False
+    # conv2d spatial padding: "valid" (ESPnet subsampler) or "same" = k//2
+    # (the convtransformer front-end, reference: convtransformer.py:242-253)
+    subsampling_padding: str = "valid"
+    # apply the final encoder LayerNorm under pre-norm.  The reference
+    # convtransformer CONSTRUCTS encoder.layer_norm but never applies it in
+    # forward (convtransformer.py:270-273 vs :319-325) — the importer sets
+    # this False to reproduce that behaviour checkpoint-exactly.
+    encoder_apply_final_norm: bool = True
     # encoder
     encoder_embed_dim: int = 256
     encoder_ffn_embed_dim: int = 2048
@@ -340,6 +348,8 @@ class S2TTransformerEncoder(nn.Module):
                 cfg.subsampling_layers, cfg.subsampling_filter,
                 cfg.encoder_embed_dim, in_dim, cfg.subsampling_kernel,
                 cfg.subsampling_stride, cfg.subsampling_activation, dt,
+                padding=cfg.subsampling_padding,
+                mask_between=not cfg.subsampling_ref_pad_semantics,
                 name="subsample",
             )
         if cfg.encoder_embed_linear:
@@ -866,7 +876,7 @@ class S2TTransformerEncoder(nn.Module):
 
         if cfg.use_enc_dlcl:
             x = self.dlcl.combine(history, cfg.encoder_layers)
-        if cfg.encoder_normalize_before:
+        if cfg.encoder_normalize_before and cfg.encoder_apply_final_norm:
             x = self.final_norm(x)
 
         ctc_logits = None
@@ -1103,13 +1113,32 @@ def s2t_conformer(**kw) -> S2TTransformerConfig:
 
 
 @register_model_architecture("s2t_transformer", "convtransformer")
-@register_model_architecture("s2t_transformer", "convtransformer_espnet")
 def convtransformer(**kw) -> S2TTransformerConfig:
-    """2D-conv front-end transformer (ESPnet style; reference:
-    models/speech_to_text/convtransformer.py:25)."""
+    """2D-conv front-end transformer from ESPnet-ST (reference:
+    models/speech_to_text/convtransformer.py:25, defaults :401-441 —
+    512d/2048 6L 8H POST-norm both sides, relu, conv channels = embed dim,
+    k=3 s=2 padding k//2, no CTC)."""
+    embed = int(kw.get("encoder_embed_dim", 512))
     return s2t_transformer_s(
-        subsampling_type="conv2d", subsampling_filter=64,
-        subsampling_kernel=3, encoder_embed_dim=256,
+        subsampling_type="conv2d", subsampling_kernel=3,
+        subsampling_padding="same", subsampling_activation="relu",
+        encoder_embed_dim=512, encoder_ffn_embed_dim=2048,
+        encoder_layers=6, encoder_attention_heads=8,
+        decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
+        decoder_layers=6, decoder_attention_heads=8,
+        encoder_normalize_before=False, decoder_normalize_before=False,
+        attention_dropout=0.0, activation_dropout=0.0,
+        use_ctc=False, subsampling_filter=embed,
+    ).replace(**kw)
+
+
+@register_model_architecture("s2t_transformer", "convtransformer_espnet")
+def convtransformer_espnet(**kw) -> S2TTransformerConfig:
+    """(reference: convtransformer.py:444-449 — 256d 12L 4H variant)."""
+    embed = int(kw.get("encoder_embed_dim", 256))
+    return convtransformer(
+        encoder_embed_dim=256, encoder_layers=12, encoder_attention_heads=4,
+        decoder_attention_heads=4, subsampling_filter=embed,
     ).replace(**kw)
 
 

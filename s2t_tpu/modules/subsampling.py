@@ -98,7 +98,9 @@ class Conv1dSubsampling(nn.Module):
 
 class Conv2dSubsampling(nn.Module):
     """2-D conv subsampling (freq axis also strided), ESPnet style
-    (reference: subsampling.py:162-229)."""
+    (reference: subsampling.py:162-229 uses VALID padding; the
+    convtransformer front-end, convtransformer.py:242-253, pads k//2 on
+    both dims — select with ``padding``)."""
 
     num_layers: int = 2
     filters: int = 176
@@ -108,6 +110,13 @@ class Conv2dSubsampling(nn.Module):
     stride: int = 2
     activation: str = "glu"
     dtype: jnp.dtype = jnp.float32
+    padding: str = "valid"  # "valid" | "same" (= k//2 each side)
+    # True (default): re-zero padded frames before every conv so outputs are
+    # independent of bucket padding (TPU-clean).  False: torch reference
+    # semantics — the tail beyond each length carries conv garbage into
+    # boundary windows exactly like the un-masked torch convs do (needed for
+    # checkpoint-import parity; see convtransformer.py:294-300).
+    mask_between: bool = True
 
     @nn.compact
     def __call__(
@@ -116,17 +125,19 @@ class Conv2dSubsampling(nn.Module):
         B, T, D = x.shape
         h = x[..., None]  # (B, T, D, 1) — NHWC
         freq = self.in_dim
+        k, s = self.kernel_size, self.stride
+        pad = k // 2 if self.padding == "same" else 0
         for i in range(self.num_layers):
-            mask = lengths_to_mask(lengths, h.shape[1])[:, :, None, None]
-            h = jnp.where(mask, h, 0.0)
+            if self.mask_between or i == 0:
+                mask = lengths_to_mask(lengths, h.shape[1])[:, :, None, None]
+                h = jnp.where(mask, h, 0.0)
             glu = self.activation == "glu"
             feat = self.filters * 2 if glu else self.filters
-            # VALID padding matches the reference (no padding on conv2d)
             h = nn.Conv(
                 features=feat,
-                kernel_size=(self.kernel_size, self.kernel_size),
-                strides=(self.stride, self.stride),
-                padding="VALID",
+                kernel_size=(k, k),
+                strides=(s, s),
+                padding=[(pad, pad), (pad, pad)],
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(h)
@@ -135,8 +146,8 @@ class Conv2dSubsampling(nn.Module):
                 h = a * nn.sigmoid(b)
             else:
                 h = get_activation(self.activation)(h)
-            lengths = (lengths - self.kernel_size) // self.stride + 1
-            freq = (freq - self.kernel_size) // self.stride + 1
+            lengths = (lengths + 2 * pad - k) // s + 1
+            freq = (freq + 2 * pad - k) // s + 1
         B2, T2, F2, C2 = h.shape
         h = h.reshape(B2, T2, F2 * C2)
         out = nn.Dense(self.out_dim, dtype=self.dtype, name="out")(h)

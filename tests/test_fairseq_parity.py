@@ -564,3 +564,128 @@ class TestMTTransformerParity:
         )
         assert cfg.encoder_learned_pos and cfg.decoder_learned_pos
         assert cfg.layernorm_embedding
+
+
+class TestConvTransformerParity:
+    """(reference: convtransformer.py:25 — ESPnet-ST 2-D-conv front-end +
+    fairseq transformer layers; repo side is the convtransformer arch preset
+    of s2t_transformer with subsampling_padding='same')."""
+
+    def _roundtrip(self, tmp_path, **overrides):
+        from build_reference import build_convtransformer_model
+        from s2t_tpu.interop.fairseq_import import import_fairseq_convtransformer
+
+        small = dict(
+            encoder_layers=2, decoder_layers=2,
+            encoder_embed_dim=48, encoder_ffn_embed_dim=96,
+            decoder_embed_dim=48, decoder_ffn_embed_dim=96,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            conv_out_channels=16,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        )
+        small.update(overrides)
+        model, args, d = build_convtransformer_model(**small)
+        ckpt = tmp_path / "convt.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_convtransformer(str(ckpt))
+        assert cfg.subsampling_padding == "same"
+
+        feats, lens, prev = _rand_batch(T=52, vocab=len(d))
+        import torch
+
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_enc = enc["encoder_out"][0].transpose(0, 1).numpy()
+            if enc["encoder_padding_mask"]:
+                r_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+            else:
+                r_lens = np.full(feats.shape[0], r_enc.shape[1])
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        j_enc, j_lens, j_logits, _ = _jax_forward(params, cfg, feats, lens, prev)
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_enc, j_enc, j_lens, "encoder_out")
+        np.testing.assert_allclose(
+            j_logits, r_logits, atol=3e-4, rtol=1e-4,
+            err_msg="decoder logits mismatch",
+        )
+        return cfg
+
+    def test_postnorm_default(self, tmp_path):
+        cfg = self._roundtrip(tmp_path)
+        assert not cfg.encoder_normalize_before
+        assert cfg.subsampling_activation == "relu"
+
+    def test_prenorm(self, tmp_path):
+        cfg = self._roundtrip(
+            tmp_path, encoder_normalize_before=True,
+            decoder_normalize_before=True,
+        )
+        assert cfg.encoder_normalize_before and cfg.decoder_normalize_before
+
+
+class TestBerardParity:
+    """(reference: berard.py:20 — linear+tanh input stack, conv2d, stacked
+    BiLSTM w/ packed semantics, MLP attention, LSTM decoder with the
+    reference's layer-state wiring)."""
+
+    def _roundtrip(self, tmp_path, arch="berard_256_3_3", **overrides):
+        from build_reference import build_berard_model
+        from s2t_tpu.interop.fairseq_import import import_fairseq_berard
+
+        small = dict(
+            input_layers="[32, 24]", conv_layers="[(4, 3, 2), (4, 3, 2)]",
+            num_blstm_layers=2, lstm_size=16, decoder_embed_dim=12,
+            decoder_num_layers=2, decoder_hidden_dim=32, attention_dim=18,
+            output_layer_dim=14, dropout=0.0,
+        )
+        small.update(overrides)
+        model, args, d = build_berard_model(arch=arch, **small)
+        ckpt = tmp_path / "berard.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_berard(str(ckpt))
+        assert cfg.encoder_layers == small["num_blstm_layers"]
+
+        feats, lens, prev = _rand_batch(T=41, vocab=len(d))
+        import torch
+
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_enc = enc["encoder_out"].transpose(0, 1).numpy()  # (B,T,C)
+            r_lens = (~enc["encoder_padding_mask"].t()).sum(-1).numpy()
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        import jax
+
+        from s2t_tpu.models.berard import BerardModel
+
+        jmodel = BerardModel(cfg)
+        out = jmodel.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True,
+        )
+        j_enc = np.asarray(out["encoder_out"], np.float32)
+        j_lens = np.asarray(out["encoder_lengths"])
+        j_logits = np.asarray(out["decoder_logits"], np.float32)
+
+        np.testing.assert_array_equal(j_lens, r_lens)
+        # torch pad_packed trims to the longest VALID length; compare there
+        Tv = r_enc.shape[1]
+        _assert_close(r_enc, j_enc[:, :Tv], j_lens, "encoder_out")
+        np.testing.assert_allclose(
+            j_logits, r_logits, atol=3e-4, rtol=1e-4,
+            err_msg="decoder logits mismatch",
+        )
+        return cfg
+
+    def test_covost_arch(self, tmp_path):
+        cfg = self._roundtrip(tmp_path)
+        assert cfg.decoder_layers == 2
+
+    def test_three_decoder_layers(self, tmp_path):
+        cfg = self._roundtrip(tmp_path, decoder_num_layers=3)
+        assert cfg.decoder_layers == 3

@@ -201,6 +201,91 @@ def build_s2t_ctc_model(arch="s2t_ctc", dictionary=None, **arg_overrides):
     return model, args, d
 
 
+def build_convtransformer_model(arch="convtransformer", dictionary=None,
+                                **arg_overrides):
+    """Construct a reference ConvTransformerModel
+    (reference: fairseq/models/speech_to_text/convtransformer.py:25).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import convtransformer as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.ConvTransformerModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 3000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch, ref_mod.base_architecture)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    # S2T-fork TransformerDecoder reads fork-only args convtransformer's
+    # add_args never defines (transformer.py:878 use_dec_dlcl etc.)
+    for k, v in (
+        ("use_dec_dlcl", False), ("decoder_attention_type", "selfattn"),
+        ("max_decoder_relative_length", -1), ("decoder_concat_after", False),
+        ("cross_self_attention", False), ("checkpoint_activations", False),
+        ("offload_activations", False), ("decoder_layerdrop", 0.0),
+    ):
+        if not hasattr(args, k):
+            setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.ConvTransformerModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
+def build_berard_model(arch="berard_256_3_3", dictionary=None,
+                       **arg_overrides):
+    """Construct a reference BerardModel (LSTM ST baseline;
+    reference: fairseq/models/speech_to_text/berard.py:20).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import importlib
+
+    import torch
+
+    # `berard` in the package namespace is the registered arch FUNCTION;
+    # fetch the module itself
+    ref_mod = importlib.import_module("fairseq.models.speech_to_text.berard")
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.BerardModel.add_args(group)
+    args = parser.parse_args([])
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.BerardModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
                    **arg_overrides):
     """Construct a reference MT TransformerModel (fairseq/models/transformer.py).
