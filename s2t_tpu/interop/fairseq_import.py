@@ -1376,3 +1376,254 @@ def import_fairseq_berard(path: str, **overrides):
     state, args = load_fairseq_checkpoint(path)
     cfg = infer_berard_config_from_args(args, state, **overrides)
     return convert_berard(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# s2t_dual checkpoints (reference: s2t_dual.py:36 — encoder.asr_encoder is a
+# full s2t encoder, encoder.mt_encoder a TransformerS2Encoder whose layers
+# league-attend the speech stream, decoder a TransformerS2Decoder).  The
+# upstream composition is bit-rotted (S2TDualEncoder.forward:334 binds the
+# speech tensor to return_all_hiddens — crashes on any forward; see
+# tests/test_fairseq_parity.py::TestDualParity::test_upstream_forward_is_broken);
+# this import targets the evidently-intended set_s2 wiring, which the repo
+# model implements.
+# --------------------------------------------------------------------------- #
+def _substate(state: Dict[str, np.ndarray], old: str, new: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        if k.startswith(old):
+            out[new + k[len(old):]] = v
+    return out
+
+
+def infer_dual_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                                **overrides):
+    from s2t_tpu.models.s2t_dual import S2TDualConfig
+    from s2t_tpu.models.transformer import TransformerMTConfig
+
+    asr_state = {
+        **_substate(state, "encoder.asr_encoder.", "encoder."),
+        **{k: v for k, v in state.items() if k.startswith("decoder.")},
+    }
+    speech = infer_config_from_args(args, asr_state)
+    mt_layers = 1 + max(
+        int(m.group(1))
+        for k in state
+        if (m := re.match(r"encoder\.mt_encoder\.layers\.(\d+)\.", k))
+    )
+    text = TransformerMTConfig(
+        src_vocab_size=state["encoder.mt_encoder.embed_tokens.weight"].shape[0],
+        vocab_size=speech.vocab_size,
+        encoder_embed_dim=speech.encoder_embed_dim,
+        encoder_ffn_embed_dim=state[
+            "encoder.mt_encoder.layers.0.fc1.weight"
+        ].shape[0],
+        encoder_layers=mt_layers,
+        encoder_attention_heads=speech.encoder_attention_heads,
+        encoder_normalize_before="encoder.mt_encoder.layer_norm.weight" in state,
+        layernorm_embedding=(
+            "encoder.mt_encoder.layernorm_embedding.weight" in state
+        ),
+        no_scale_embedding=bool(_get(args, "no_scale_embedding", False)),
+        dropout=speech.dropout,
+        attention_dropout=speech.attention_dropout,
+        activation_dropout=speech.activation_dropout,
+    )
+    cfg = S2TDualConfig(
+        speech=speech, text=text,
+        encoder_collaboration_mode=_get(args, "encoder_collaboration_mode", "none"),
+        decoder_collaboration_mode=_get(args, "decoder_collaboration_mode", "none"),
+        encoder_league_s1_ratio=float(_get(args, "encoder_league_s1_ratio", 0.5)),
+        encoder_league_s2_ratio=float(_get(args, "encoder_league_s2_ratio", 0.5)),
+        decoder_league_s1_ratio=float(_get(args, "decoder_league_s1_ratio", 0.5)),
+        decoder_league_s2_ratio=float(_get(args, "decoder_league_s2_ratio", 0.5)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _s2_text_layer(state, p, mode: str) -> Dict[str, Any]:
+    """TransformerS2EncoderLayer (text naming: fc1/fc2/final_layer_norm) →
+    repo S2TEncoderLayer tree.  The reference also stores an s2_norm here;
+    on the dual path it is constructed but never applied (forward passes no
+    s2_need_norm) so it is imported only when the repo layer applies it."""
+    layer = {
+        "self_attn": _attn(state, p + ".self_attn"),
+        "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+        "ffn": {
+            "fc1": _dense(state, p + ".fc1"),
+            "fc2": _dense(state, p + ".fc2"),
+        },
+        "ffn_norm": _norm(state, p + ".final_layer_norm"),
+    }
+    if mode != "none" and p + ".s2_attn.q_proj.weight" in state:
+        layer["s2_attn"] = _attn(state, p + ".s2_attn")
+    if mode == "serial" and p + ".s2_attn_norm.weight" in state:
+        layer["s2_attn_norm"] = _norm(state, p + ".s2_attn_norm")
+    return layer
+
+
+def convert_dual(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    asr_state = {
+        **_substate(state, "encoder.asr_encoder.", "encoder."),
+        **{k: v for k, v in state.items() if k.startswith("decoder.")},
+    }
+    asr_tree = convert_s2t_transformer(asr_state, cfg.speech)
+
+    text: Dict[str, Any] = {
+        "embed_tokens": {
+            "embedding": state["encoder.mt_encoder.embed_tokens.weight"]
+        },
+    }
+    if cfg.text.layernorm_embedding:
+        text["emb_norm"] = _norm(state, "encoder.mt_encoder.layernorm_embedding")
+    for i in range(cfg.text.encoder_layers):
+        text[f"layer{i}"] = _s2_text_layer(
+            state, f"encoder.mt_encoder.layers.{i}",
+            cfg.encoder_collaboration_mode,
+        )
+    if cfg.text.encoder_normalize_before:
+        text["final_norm"] = _norm(state, "encoder.mt_encoder.layer_norm")
+
+    return {
+        "speech_encoder": asr_tree["encoder"],
+        "text_encoder": text,
+        "decoder": asr_tree["decoder"],
+    }
+
+
+def import_fairseq_dual(path: str, **overrides):
+    """One-call import: path → (params pytree, S2TDualConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_dual_config_from_args(args, state, **overrides)
+    return convert_dual(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# s2t_multibranch checkpoints (reference: s2t_multibranch.py:43 — junior s2t
+# encoder, senior acoustic branch (s2t_transformer_s2_layer naming: ffn.w_1)
+# + textual branch (transformer_s2_layer naming: fc1/fc2) collaborating via
+# league attention, TransformerS2Decoder over both streams).
+# --------------------------------------------------------------------------- #
+def infer_multibranch_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                                       **overrides):
+    from s2t_tpu.models.s2t_multibranch import S2TMultiBranchConfig
+
+    junior_state = {
+        **_substate(state, "encoder.junior_acoustic_encoder.", "encoder."),
+        **{k: v for k, v in state.items() if k.startswith("decoder.")},
+    }
+    junior = infer_config_from_args(args, junior_state)
+
+    def n_layers(prefix):
+        idx = [
+            int(m.group(1))
+            for k in state
+            if (m := re.match(rf"{prefix}\.layers\.(\d+)\.", k))
+        ]
+        return 1 + max(idx) if idx else 0
+
+    def two_ints(v, default):
+        parts = str(v).split(":")
+        if len(parts) == 2:
+            return (int(parts[0]), int(parts[1]))
+        if len(parts) == 1 and parts[0]:
+            return (int(parts[0]), int(parts[0]))
+        return default
+
+    cfg = S2TMultiBranchConfig(
+        junior=junior,
+        senior_layers=n_layers(r"encoder\.senior_acoustic_encoder"),
+        textual_layers=n_layers(r"encoder\.textual_encoder"),
+        collaboration_direction=_get(args, "collaboration_direction", "none"),
+        collaboration_start=two_ints(_get(args, "collaboration_start", "0:0"), (0, 0)),
+        collaboration_step=two_ints(_get(args, "collaboration_step", "1:1"), (1, 1)),
+        encoder_collaboration_mode=_get(args, "encoder_collaboration_mode", "none"),
+        decoder_collaboration_mode=_get(args, "decoder_collaboration_mode", "none"),
+        encoder_league_s1_ratio=float(_get(args, "encoder_league_s1_ratio", 0.5)),
+        encoder_league_s2_ratio=float(_get(args, "encoder_league_s2_ratio", 0.5)),
+        decoder_league_s1_ratio=float(_get(args, "decoder_league_s1_ratio", 0.5)),
+        decoder_league_s2_ratio=float(_get(args, "decoder_league_s2_ratio", 0.5)),
+        acoustic_adapter=_get(args, "acoustic_adapter", "none"),
+        textual_adapter=_get(args, "textual_adapter", "none"),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _s2_speech_layer(state, p, mode: str) -> Dict[str, Any]:
+    """S2TTransformerS2EncoderLayer (speech naming: ffn.w_1/w_2, ffn_norm,
+    self_attn_layer_norm, s2_norm) → repo S2TEncoderLayer tree."""
+    layer = {
+        "self_attn": _attn(state, p + ".self_attn"),
+        "attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+        "ffn": {
+            "fc1": _dense(state, p + ".ffn.w_1"),
+            "fc2": _dense(state, p + ".ffn.w_2"),
+        },
+        "ffn_norm": _norm(state, p + ".ffn_norm"),
+    }
+    if mode != "none" and p + ".s2_attn.q_proj.weight" in state:
+        layer["s2_attn"] = _attn(state, p + ".s2_attn")
+        if p + ".s2_norm.weight" in state:
+            layer["s2_norm"] = _norm(state, p + ".s2_norm")
+    if mode == "serial" and p + ".s2_attn_norm.weight" in state:
+        layer["s2_attn_norm"] = _norm(state, p + ".s2_attn_norm")
+    return layer
+
+
+def convert_multibranch(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    junior_state = {
+        **_substate(state, "encoder.junior_acoustic_encoder.", "encoder."),
+        **{k: v for k, v in state.items() if k.startswith("decoder.")},
+    }
+    junior_tree = convert_s2t_transformer(junior_state, cfg.junior)
+
+    enc: Dict[str, Any] = {"junior": junior_tree["encoder"]}
+    if cfg.junior.encoder_embed_norm:
+        enc["senior_embed_norm"] = _norm(
+            state, "encoder.senior_acoustic_encoder.embed_ln"
+        )
+    for i in range(cfg.senior_layers):
+        sl = _s2_speech_layer(
+            state, f"encoder.senior_acoustic_encoder.layers.{i}",
+            cfg.encoder_collaboration_mode,
+        )
+        enc[f"senior{i}"] = sl
+    for i in range(cfg.textual_layers):
+        tl = _s2_text_layer(
+            state, f"encoder.textual_encoder.layers.{i}",
+            cfg.encoder_collaboration_mode,
+        )
+        # the textual branch DOES apply s2_norm (s2_need_norm=True)
+        if (cfg.encoder_collaboration_mode != "none"
+                and f"encoder.textual_encoder.layers.{i}.s2_norm.weight" in state):
+            tl["s2_norm"] = _norm(
+                state, f"encoder.textual_encoder.layers.{i}.s2_norm"
+            )
+        enc[f"textual{i}"] = tl
+    if cfg.junior.encoder_normalize_before:
+        enc["senior_final_norm"] = _norm(
+            state, "encoder.senior_acoustic_encoder.layer_norm"
+        )
+        enc["textual_final_norm"] = _norm(state, "encoder.textual_encoder.layer_norm")
+
+    dec = junior_tree["decoder"]
+    if cfg.decoder_collaboration_mode != "none":
+        for i in range(cfg.junior.decoder_layers):
+            p = f"decoder.layers.{i}"
+            if p + ".s2_encoder_attn.q_proj.weight" in state:
+                dec[f"layer{i}"]["s2_cross_attn"] = _attn(
+                    state, p + ".s2_encoder_attn"
+                )
+            if (cfg.decoder_collaboration_mode == "serial"
+                    and p + ".s2_encoder_attn_layer_norm.weight" in state):
+                dec[f"layer{i}"]["s2_cross_norm"] = _norm(
+                    state, p + ".s2_encoder_attn_layer_norm"
+                )
+    return {"encoder": enc, "decoder": dec}
+
+
+def import_fairseq_multibranch(path: str, **overrides):
+    """One-call import: path → (params pytree, S2TMultiBranchConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_multibranch_config_from_args(args, state, **overrides)
+    return convert_multibranch(state, cfg), cfg

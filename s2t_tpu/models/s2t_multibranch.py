@@ -1,29 +1,38 @@
-"""Multi-branch speech model: junior acoustic → {senior acoustic, textual}.
+"""Multi-branch speech model, reference-faithful.
 
-(reference: fairseq/models/speech_to_text/s2t_multibranch.py:43 — a shared
-junior acoustic encoder feeds a senior acoustic (ASR/CTC) branch and a
-textual (translation) branch; the branches collaborate through cross-branch
-attention (--collaboration-direction), and the decoder attends both streams;
-trained with join_speech_and_text_loss.)
+(reference: fairseq/models/speech_to_text/s2t_multibranch.py:43 — a junior
+acoustic S2T encoder feeds a senior acoustic branch and a textual branch
+through (optional) PAE adapters; the branches advance in an interleaved
+collaboration schedule (--collaboration-direction acoustic/textual/both/none,
+--collaboration-start, --collaboration-step) where each branch's layers
+league-attend the OTHER branch's current state
+(modules/s2t_transformer_s2_layer.py for the senior, transformer_s2_layer.py
+for the textual); a TransformerS2 decoder attends the senior stream (s1) and
+the textual stream (s2).  Branch input paths (s2t_multibranch.py:556-648):
+senior = adapter → zero-pads → embed_ln → scale → abs positions → dropout
+(S2TTransformerS2Encoder.forward_input:879-903); textual = adapter → abs
+positions → dropout; both pad-zeroed before the collaboration loop.)
 """
 
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from s2t_tpu.models.s2t_dual import DualDecoderLayer
+from s2t_tpu.models.s2t_transformer import (
+    S2TTransformerConfig,
+    S2TTransformerEncoder,
+    s2t_transformer_s,
+)
+from s2t_tpu.models.transformer_decoder import TransformerDecoder
 from s2t_tpu.modules.adapter import Adapter
-from s2t_tpu.modules.attention import MultiHeadAttention, padding_bias
-from s2t_tpu.modules.ctc_head import CTCHead
+from s2t_tpu.modules.attention import padding_bias
 from s2t_tpu.modules.layers import S2TEncoderLayer
 from s2t_tpu.modules.positional import fairseq_sinusoidal_encoding
-from s2t_tpu.modules.subsampling import Conv1dSubsampling
 from s2t_tpu.registry import register_model, register_model_architecture
 from s2t_tpu.utils.masking import lengths_to_mask
 from s2t_tpu.modules.dropout import Dropout as _FastDropout
@@ -31,35 +40,26 @@ from s2t_tpu.modules.dropout import Dropout as _FastDropout
 
 @dataclass(frozen=True)
 class S2TMultiBranchConfig:
-    input_feat_per_channel: int = 80
-    input_channels: int = 1
-    subsampling_layers: int = 2
-    subsampling_filter: int = 1024
-    subsampling_kernel: int = 5
-    subsampling_stride: int = 2
-    encoder_embed_dim: int = 256
-    encoder_ffn_embed_dim: int = 2048
-    encoder_attention_heads: int = 4
-    junior_layers: int = 6
+    # the junior acoustic encoder is a full s2t encoder (subsampler, abs
+    # positions, optional embed-norm, CTC) — reference builds
+    # S2TTransformerEncoder(args) verbatim (s2t_multibranch.py:413-416)
+    junior: S2TTransformerConfig = dataclasses.field(
+        default_factory=S2TTransformerConfig
+    )
     senior_layers: int = 6
     textual_layers: int = 6
     # none | acoustic (textual→senior) | textual (senior→textual) | both
     collaboration_direction: str = "both"
-    textual_adapter: str = "league"  # PAE bridging senior CTC → textual
-    decoder_layers: int = 6
-    decoder_embed_dim: int = 256
-    decoder_ffn_embed_dim: int = 2048
-    decoder_attention_heads: int = 4
-    dropout: float = 0.1
-    attention_dropout: float = 0.1
-    activation_dropout: float = 0.1
-    activation_fn: str = "relu"
-    vocab_size: int = 1000
-    src_vocab_size: int = -1
-    max_source_positions: int = 6000
-    max_target_positions: int = 1024
-    pad_id: int = 1
-    dtype_str: str = "float32"
+    collaboration_start: Tuple[int, int] = (0, 0)
+    collaboration_step: Tuple[int, int] = (1, 1)
+    encoder_collaboration_mode: str = "parallel"  # none | serial | parallel
+    decoder_collaboration_mode: str = "parallel"
+    encoder_league_s1_ratio: float = 0.5
+    encoder_league_s2_ratio: float = 0.5
+    decoder_league_s1_ratio: float = 0.5
+    decoder_league_s2_ratio: float = 0.5
+    acoustic_adapter: str = "none"  # PAE bridging junior CTC → senior input
+    textual_adapter: str = "none"
     consumes_transcript: bool = False
 
     def replace(self, **kw):
@@ -67,30 +67,31 @@ class S2TMultiBranchConfig:
 
     @property
     def dtype(self):
-        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+        return self.junior.dtype
+
+    @property
+    def vocab_size(self):
+        return self.junior.vocab_size
 
     @property
     def ctc_vocab_size(self):
-        return self.src_vocab_size if self.src_vocab_size > 0 else self.vocab_size
+        return self.junior.ctc_vocab_size
 
+    @property
+    def decoder_layers(self):
+        return self.junior.decoder_layers
 
-class CollaborationBlock(nn.Module):
-    """Cross-branch attention injection (reference: collaboration modules)."""
+    @property
+    def max_target_positions(self):
+        return self.junior.max_target_positions
 
-    dim: int
-    num_heads: int
-    dropout: float = 0.1
-    dtype: Any = jnp.float32
+    @property
+    def subsampling_layers(self):
+        return self.junior.subsampling_layers
 
-    @nn.compact
-    def __call__(self, x, other, other_valid, deterministic=True):
-        res = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        h, _ = MultiHeadAttention(
-            self.dim, self.num_heads, self.dropout, dtype=self.dtype,
-            name="cross_attn",
-        )(h, other, other, padding_bias(other_valid, x.dtype), deterministic)
-        return res + _FastDropout(self.dropout)(h, deterministic=deterministic)
+    @property
+    def subsampling_stride(self):
+        return self.junior.subsampling_stride
 
 
 class S2TMultiBranchEncoder(nn.Module):
@@ -98,95 +99,144 @@ class S2TMultiBranchEncoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        dt = cfg.dtype
-        D = cfg.encoder_embed_dim
+        jc = cfg.junior
+        dt = jc.dtype
+        D = jc.encoder_embed_dim
+        self.junior = S2TTransformerEncoder(jc, name="junior")
+        if cfg.acoustic_adapter != "none":
+            self.ae_adapter = Adapter(
+                D, cfg.ctc_vocab_size, cfg.acoustic_adapter, dtype=dt,
+                name="ae_adapter",
+            )
+        if cfg.textual_adapter != "none":
+            self.te_adapter = Adapter(
+                D, cfg.ctc_vocab_size, cfg.textual_adapter, dtype=dt,
+                name="te_adapter",
+            )
+        if jc.encoder_embed_norm:
+            # the senior branch's OWN embed norm (forward_input:883)
+            self.senior_embed_norm = nn.LayerNorm(dtype=dt, name="senior_embed_norm")
 
-        def stack(n, prefix):
+        def s2_layers(n, prefix):
             return [
                 S2TEncoderLayer(
-                    D, cfg.encoder_ffn_embed_dim, cfg.encoder_attention_heads,
-                    cfg.dropout, cfg.attention_dropout, cfg.activation_dropout,
-                    cfg.activation_fn, True, "abs", False, False, 31, dt,
-                    name=f"{prefix}{i}",
+                    D, jc.encoder_ffn_embed_dim, jc.encoder_attention_heads,
+                    jc.dropout, jc.attention_dropout, jc.activation_dropout,
+                    jc.activation_fn, jc.encoder_normalize_before, "abs",
+                    collaboration_mode=cfg.encoder_collaboration_mode,
+                    league_s1_ratio=cfg.encoder_league_s1_ratio,
+                    league_s2_ratio=cfg.encoder_league_s2_ratio,
+                    # both branch stacks apply s2_norm: the multibranch
+                    # forward passes s2_need_norm=True (reference
+                    # s2t_multibranch.py:674,699,716,730)
+                    s2_apply_norm=True,
+                    dtype=dt, name=f"{prefix}{i}",
                 )
                 for i in range(n)
             ]
 
-        self.subsample = Conv1dSubsampling(
-            cfg.subsampling_layers, cfg.subsampling_filter, D,
-            cfg.subsampling_kernel, cfg.subsampling_stride, "none", "glu",
-            True, dt, name="subsample",
-        )
-        self.junior = stack(cfg.junior_layers, "junior")
-        self.senior = stack(cfg.senior_layers, "senior")
-        self.textual = stack(cfg.textual_layers, "textual")
-        self.junior_norm = nn.LayerNorm(dtype=dt, name="junior_norm")
-        self.senior_norm = nn.LayerNorm(dtype=dt, name="senior_norm")
-        self.textual_norm = nn.LayerNorm(dtype=dt, name="textual_norm")
-        self.ctc_head = CTCHead(cfg.ctc_vocab_size, cfg.dropout, dtype=dt,
-                                name="ctc_head")
-        if cfg.textual_adapter != "none":
-            self.adapter = Adapter(
-                D, cfg.ctc_vocab_size, cfg.textual_adapter, dtype=dt,
-                name="adapter",
-            )
-        if cfg.collaboration_direction in ("acoustic", "both"):
-            self.collab_to_senior = CollaborationBlock(
-                D, cfg.encoder_attention_heads, cfg.dropout, dt,
-                name="collab_to_senior",
-            )
-        if cfg.collaboration_direction in ("textual", "both"):
-            self.collab_to_textual = CollaborationBlock(
-                D, cfg.encoder_attention_heads, cfg.dropout, dt,
-                name="collab_to_textual",
-            )
-        self.drop = _FastDropout(cfg.dropout)
+        self.senior_stack = s2_layers(cfg.senior_layers, "senior")
+        self.textual_stack = s2_layers(cfg.textual_layers, "textual")
+        if jc.encoder_normalize_before:
+            self.senior_final_norm = nn.LayerNorm(dtype=dt, name="senior_final_norm")
+            self.textual_final_norm = nn.LayerNorm(dtype=dt, name="textual_final_norm")
+        self.drop = _FastDropout(jc.dropout)
 
-    def __call__(self, features, lengths, deterministic: bool = True):
+    def _collab_schedule(self):
+        """Yield ("senior"|"textual", layer_idx, collaborate: bool) in the
+        reference's interleaved order."""
         cfg = self.cfg
-        x, lengths = self.subsample(features.astype(cfg.dtype), lengths)
-        x = x * jnp.sqrt(cfg.encoder_embed_dim).astype(x.dtype)
-        T = x.shape[1]
-        x = x + fairseq_sinusoidal_encoding(
-            T, cfg.encoder_embed_dim, cfg.pad_id, x.dtype
-        )[None]
-        x = self.drop(x, deterministic=deterministic)
-        valid = lengths_to_mask(lengths, T)
-        bias = padding_bias(valid, x.dtype)
+        s_i = t_i = -1
+        order = []
+        while s_i < cfg.senior_layers - 1 or t_i < cfg.textual_layers - 1:
+            if cfg.collaboration_direction == "acoustic":
+                # textual first (no s2), then senior attending textual
+                for _ in range(cfg.collaboration_step[1]):
+                    t_i += 1
+                    if t_i < cfg.textual_layers:
+                        order.append(("textual", t_i, False))
+                for _ in range(cfg.collaboration_step[0]):
+                    s_i += 1
+                    if s_i < cfg.senior_layers:
+                        order.append(
+                            ("senior", s_i, s_i >= cfg.collaboration_start[0])
+                        )
+            else:
+                for _ in range(cfg.collaboration_step[0]):
+                    s_i += 1
+                    if s_i < cfg.senior_layers:
+                        collab = (
+                            cfg.collaboration_direction == "both"
+                            and s_i >= cfg.collaboration_start[0]
+                        )
+                        order.append(("senior", s_i, collab))
+                for _ in range(cfg.collaboration_step[1]):
+                    t_i += 1
+                    if t_i < cfg.textual_layers:
+                        collab = (
+                            cfg.collaboration_direction in ("textual", "both")
+                            and t_i >= cfg.collaboration_start[1]
+                        )
+                        order.append(("textual", t_i, collab))
+        return order
 
-        for layer in self.junior:
-            x = layer(x, valid, bias, None, deterministic)
-        junior = self.junior_norm(x)
+    def __call__(self, features, lengths, deterministic: bool = True, **kw):
+        cfg = self.cfg
+        jc = cfg.junior
+        jout = self.junior(features, lengths, deterministic, **kw)
+        jx = jout["encoder_out"]
+        jlen = jout["encoder_lengths"]
+        ctc_logits = jout["ctc_logits"]
+        T = jx.shape[1]
+        valid = lengths_to_mask(jlen, T)
+        bias = padding_bias(valid, jx.dtype)
 
-        # senior acoustic branch (ASR): CTC over transcripts
-        s = junior
-        for layer in self.senior:
-            s = layer(s, valid, bias, None, deterministic)
-        s = self.senior_norm(s)
-        ctc_logits = self.ctc_head(s, deterministic)
+        # senior input path (forward_input)
+        ae = jx
+        if cfg.acoustic_adapter != "none":
+            ae = self.ae_adapter(ae, ctc_logits, deterministic=deterministic)
+        ae = jnp.where(valid[..., None], ae, 0.0)
+        if jc.encoder_embed_norm:
+            ae = self.senior_embed_norm(ae)
+        if not jc.encoder_no_scale_embedding:
+            ae = ae * jnp.sqrt(jc.encoder_embed_dim).astype(ae.dtype)
+        pe = fairseq_sinusoidal_encoding(T, jc.encoder_embed_dim, jc.pad_id, ae.dtype)
+        ae = ae + pe[None]
+        ae = self.drop(ae, deterministic=deterministic)
 
-        # textual branch: PAE adapter re-injects CTC predictions
-        t = junior
+        # textual input path: adapter + positions + dropout (no norm/scale)
+        te = jx
         if cfg.textual_adapter != "none":
-            t = self.adapter(t, ctc_logits, deterministic=deterministic)
-        for layer in self.textual:
-            t = layer(t, valid, bias, None, deterministic)
-        t = self.textual_norm(t)
+            te = self.te_adapter(te, ctc_logits, deterministic=deterministic)
+        te = te + pe[None].astype(te.dtype)
+        te = self.drop(te, deterministic=deterministic)
 
-        # collaboration between branches
-        if cfg.collaboration_direction in ("acoustic", "both"):
-            s = self.collab_to_senior(s, t, valid, deterministic)
-        if cfg.collaboration_direction in ("textual", "both"):
-            t = self.collab_to_textual(t, s, valid, deterministic)
+        # both streams pad-zeroed before the loop (reference :640-648)
+        ae = jnp.where(valid[..., None], ae, 0.0)
+        te = jnp.where(valid[..., None], te, 0.0)
+
+        for branch, idx, collab in self._collab_schedule():
+            if branch == "senior":
+                ae = self.senior_stack[idx](
+                    ae, valid, bias, None, deterministic,
+                    s2=te if collab else None, s2_bias=bias if collab else None,
+                )
+            else:
+                te = self.textual_stack[idx](
+                    te, valid, bias, None, deterministic,
+                    s2=ae if collab else None, s2_bias=bias if collab else None,
+                )
+        if jc.encoder_normalize_before:
+            ae = self.senior_final_norm(ae)
+            te = self.textual_final_norm(te)
 
         return {
-            "encoder_out": t,
-            "senior_out": s,
-            "encoder_lengths": lengths,
+            **jout,
+            "encoder_out": ae,  # s1 stream for the decoder (reference :762)
+            "s2_encoder_out": te,
+            "junior_out": jx,
+            "encoder_lengths": jlen,
             "ctc_logits": ctc_logits,
-            "inter_ctc_logits": (),
-            "xctc_logits": None,
-            "inter_xctc_logits": (),
             "mixup": None,
         }
 
@@ -197,50 +247,68 @@ class S2TMultiBranchModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        jc = cfg.junior
         self.encoder = S2TMultiBranchEncoder(cfg, name="encoder")
-        self.embed_tokens = nn.Embed(
-            cfg.vocab_size, cfg.decoder_embed_dim, dtype=cfg.dtype,
-            embedding_init=nn.initializers.normal(cfg.decoder_embed_dim**-0.5),
-            name="embed_tokens",
+        self.decoder = TransformerDecoder(
+            vocab_size=jc.vocab_size,
+            embed_dim=jc.decoder_embed_dim,
+            ffn_dim=jc.decoder_ffn_embed_dim,
+            num_layers=jc.decoder_layers,
+            num_heads=jc.decoder_attention_heads,
+            dropout=jc.dropout,
+            attention_dropout=jc.attention_dropout,
+            activation_dropout=jc.activation_dropout,
+            activation=jc.activation_fn,
+            normalize_before=jc.decoder_normalize_before,
+            share_input_output_embed=jc.share_decoder_input_output_embed,
+            max_positions=jc.max_target_positions,
+            collaboration_mode=cfg.decoder_collaboration_mode,
+            league_s1_ratio=cfg.decoder_league_s1_ratio,
+            league_s2_ratio=cfg.decoder_league_s2_ratio,
+            dtype=jc.dtype, name="decoder",
         )
-        self.dec_layers = [
-            DualDecoderLayer(
-                cfg.decoder_embed_dim, cfg.decoder_ffn_embed_dim,
-                cfg.decoder_attention_heads, cfg.dropout, cfg.dtype,
-                name=f"dec_layer{i}",
-            )
-            for i in range(cfg.decoder_layers)
-        ]
-        self.final_norm = nn.LayerNorm(dtype=cfg.dtype, name="final_norm")
-
-    def _decode(self, prev_tokens, enc, deterministic):
-        cfg = self.cfg
-        valid = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
-        x = self.embed_tokens(prev_tokens) * jnp.sqrt(
-            cfg.decoder_embed_dim
-        ).astype(cfg.dtype)
-        x = x + fairseq_sinusoidal_encoding(
-            x.shape[1], cfg.decoder_embed_dim, cfg.pad_id, x.dtype
-        )[None]
-        b = padding_bias(valid, x.dtype)
-        for layer in self.dec_layers:
-            # decoder cross-attends BOTH branches (textual + senior)
-            x, _ = layer(x, enc["encoder_out"], b, enc["senior_out"], b,
-                         deterministic)
-        x = self.final_norm(x)
-        return self.embed_tokens.attend(x)
 
     def __call__(self, features, feat_lengths, prev_tokens,
                  deterministic: bool = True, **kw) -> Dict[str, Any]:
         enc = self.encoder(features, feat_lengths, deterministic)
-        logits = self._decode(prev_tokens, enc, deterministic)
+        valid = lengths_to_mask(enc["encoder_lengths"], enc["encoder_out"].shape[1])
+        s2_kw = {}
+        if self.cfg.decoder_collaboration_mode != "none":
+            s2_kw = {"s2_out": enc["s2_encoder_out"], "s2_valid_mask": valid}
+        logits = self.decoder(
+            prev_tokens, enc["encoder_out"], valid, deterministic, **s2_kw
+        )
         return {"decoder_logits": logits, **enc}
 
     def encode(self, features, feat_lengths, deterministic: bool = True):
         return self.encoder(features, feat_lengths, deterministic)
 
 
+def _route_mb_ctx(kw):
+    kw = dict(kw)
+    junior_layers = kw.pop("junior_layers", None)
+    j_kw = {k[len("junior_"):]: v for k, v in kw.items() if k.startswith("junior_")}
+    rest = {k: v for k, v in kw.items() if not k.startswith("junior_")}
+    if junior_layers is not None:
+        j_kw["encoder_layers"] = junior_layers
+    for key in ("vocab_size", "src_vocab_size", "input_feat_per_channel",
+                "input_channels", "max_source_positions", "max_target_positions",
+                "encoder_embed_dim", "encoder_ffn_embed_dim",
+                "encoder_attention_heads", "subsampling_filter",
+                "decoder_layers", "decoder_embed_dim", "decoder_ffn_embed_dim",
+                "decoder_attention_heads", "dropout", "attention_dropout",
+                "activation_dropout", "encoder_embed_norm",
+                "encoder_no_scale_embedding", "dtype_str"):
+        if key in rest:
+            j_kw[key] = rest.pop(key)
+    return j_kw, rest
+
+
 @register_model_architecture("s2t_multibranch", "s2t_multibranch")
 @register_model_architecture("s2t_multibranch", "s2t_multibranch_s")
 def s2t_multibranch_s(**kw) -> S2TMultiBranchConfig:
-    return S2TMultiBranchConfig().replace(**kw)
+    j_kw, rest = _route_mb_ctx(kw)
+    junior = s2t_transformer_s(use_ctc=True, **j_kw)
+    return S2TMultiBranchConfig(junior=junior).replace(**{
+        k: (tuple(v) if isinstance(v, list) else v) for k, v in rest.items()
+    })

@@ -54,6 +54,12 @@ class TransformerDecoder(nn.Module):
     # "abs" | "relative" (Shaw clipped relative-key) self-attention
     self_attn_type: str = "abs"
     max_relative_length: int = 0
+    # second-stream cross-attention league (dual/multibranch decoders;
+    # reference: transformer_s2.py TransformerS2Decoder + the
+    # decoder-collaboration-mode / decoder-league-* args)
+    collaboration_mode: str = "none"
+    league_s1_ratio: float = 0.5
+    league_s2_ratio: float = 0.5
 
     def setup(self):
         if self.shared_embed is not None:
@@ -80,7 +86,10 @@ class TransformerDecoder(nn.Module):
                 self.normalize_before, self.dtype,
                 has_cross_attention=not self.no_cross_attention,
                 self_attn_type=self.self_attn_type,
-                max_relative_length=self.max_relative_length, name=f"layer{i}",
+                max_relative_length=self.max_relative_length,
+                collaboration_mode=self.collaboration_mode,
+                league_s1_ratio=self.league_s1_ratio,
+                league_s2_ratio=self.league_s2_ratio, name=f"layer{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -120,6 +129,8 @@ class TransformerDecoder(nn.Module):
         encoder_valid_mask: jnp.ndarray,
         deterministic: bool = True,
         mix: Optional[dict] = None,
+        s2_out: Optional[jnp.ndarray] = None,
+        s2_valid_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Hidden states before the output projection: (B, U, D).  Used by
         NAT models whose extra heads (deletion / mask-insertion) read decoder
@@ -141,9 +152,12 @@ class TransformerDecoder(nn.Module):
         self_bias = causal_bias(U, x.dtype) if self.causal else 0.0
         self_bias = self_bias + padding_bias(tgt_valid, x.dtype)
         cross_bias = padding_bias(encoder_valid_mask, x.dtype)
+        s2_bias = (padding_bias(s2_valid_mask, x.dtype)
+                   if s2_valid_mask is not None else None)
         for layer in self.layers:
             x, _ = layer(
-                x, encoder_out, self_bias, cross_bias, deterministic=deterministic
+                x, encoder_out, self_bias, cross_bias,
+                deterministic=deterministic, s2_out=s2_out, s2_bias=s2_bias,
             )
         if self.normalize_before:
             x = self.final_norm(x)
@@ -159,10 +173,13 @@ class TransformerDecoder(nn.Module):
         encoder_valid_mask: jnp.ndarray,
         deterministic: bool = True,
         mix: Optional[dict] = None,
+        s2_out: Optional[jnp.ndarray] = None,
+        s2_valid_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Teacher-forced forward: (B, U) tokens -> (B, U, V) logits."""
         x = self.forward_features(
-            prev_tokens, encoder_out, encoder_valid_mask, deterministic, mix
+            prev_tokens, encoder_out, encoder_valid_mask, deterministic, mix,
+            s2_out=s2_out, s2_valid_mask=s2_valid_mask,
         )
         return self._output(x)
 

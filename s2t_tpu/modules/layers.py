@@ -139,6 +139,18 @@ class S2TEncoderLayer(nn.Module):
     # squeeze-excitation channel gate after the FFN (reference:
     # modules/squeeze_excitation.py SEAttention, --squeeze-excitation)
     use_se: bool = False
+    # cross-stream "league" collaboration (reference:
+    # modules/{transformer_s2_layer,s2t_transformer_s2_layer}.py — the
+    # dual/multibranch S2 layers): "none" | "parallel" (self-attn and
+    # s2-attn from the same normed input, combined s1·r1 + s2·r2 before the
+    # residual) | "serial" (own pre-norm s2 block after the self-attn block)
+    collaboration_mode: str = "none"
+    league_s1_ratio: float = 0.5
+    league_s2_ratio: float = 0.5
+    # LayerNorm the incoming s2 stream before attending (the reference's
+    # s2_norm, applied when the caller passes s2_need_norm=True —
+    # multibranch does, dual does not)
+    s2_apply_norm: bool = False
     # conv-module knobs matching the reference layer exactly
     # (reference: modules/convolution.py ConvolutionModule args,
     # modules/pds_layer.py conv_stride/expand_embed_dim)
@@ -160,6 +172,8 @@ class S2TEncoderLayer(nn.Module):
         attn_bias: Optional[jnp.ndarray] = None,
         pos_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        s2: Optional[jnp.ndarray] = None,
+        s2_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         drop = _FastDropout(self.dropout)
         ffn_scale = 0.5 if self.macaron_style else 1.0
@@ -210,9 +224,35 @@ class S2TEncoderLayer(nn.Module):
                 init_mask_weight=self.init_mask_weight, dtype=self.dtype,
                 name="self_attn",
             )(h, h, h, attn_bias, deterministic, valid_mask=valid_mask)
-        x = res + drop(h, deterministic=deterministic)
-        if not self.normalize_before:
-            x = norm_attn_norm(x)
+        attn_in = norm_attn_norm(res) if self.normalize_before else res
+        h = drop(h, deterministic=deterministic)
+        if s2 is not None and self.collaboration_mode == "parallel":
+            # reference parallel league (transformer_s2_layer.py:300-319 /
+            # s2t_transformer_s2_layer.py:377-398): both attentions read the
+            # SAME normed input; combine before the single residual add
+            s2v = (nn.LayerNorm(dtype=self.dtype, name="s2_norm")(s2)
+                   if self.s2_apply_norm else s2)
+            h2, _ = MultiHeadAttention(
+                self.dim, self.num_heads, self.attention_dropout,
+                dtype=self.dtype, name="s2_attn",
+            )(attn_in, s2v, s2v, s2_bias, deterministic)
+            h2 = drop(h2, deterministic=deterministic)
+            h = h * self.league_s1_ratio + h2 * self.league_s2_ratio
+            x = res + h
+        else:
+            x = res + h
+            if not self.normalize_before:
+                x = norm_attn_norm(x)
+            if s2 is not None and self.collaboration_mode == "serial":
+                s2v = (nn.LayerNorm(dtype=self.dtype, name="s2_norm")(s2)
+                       if self.s2_apply_norm else s2)
+                res = x
+                h = nn.LayerNorm(dtype=self.dtype, name="s2_attn_norm")(x)
+                h, _ = MultiHeadAttention(
+                    self.dim, self.num_heads, self.attention_dropout,
+                    dtype=self.dtype, name="s2_attn",
+                )(h, s2v, s2v, s2_bias, deterministic)
+                x = res + drop(h, deterministic=deterministic)
 
         if self.use_cnn_module:
             expand = self.conv_expand_dim or self.dim
@@ -300,6 +340,13 @@ class TransformerDecoderLayer(nn.Module):
     # s2t_transformer_s_relative sets max_decoder_relative_length=20
     self_attn_type: str = "abs"
     max_relative_length: int = 0
+    # second-stream cross-attention league (reference:
+    # transformer_s2_layer.py TransformerS2DecoderLayer:630-714): "none" |
+    # "parallel" (both cross-attentions from the same normed input, league
+    # s1·r1 + s2·r2 before the residual) | "serial" (own pre-norm s2 block)
+    collaboration_mode: str = "none"
+    league_s1_ratio: float = 0.5
+    league_s2_ratio: float = 0.5
 
     def setup(self):
         # setup-style (not @compact) so cross_kv() can reuse the
@@ -320,6 +367,15 @@ class TransformerDecoderLayer(nn.Module):
                 self.dim, self.num_heads, self.attention_dropout,
                 dtype=self.dtype, sow_attn=True, name="cross_attn",
             )
+            if self.collaboration_mode != "none":
+                self.s2_cross_attn_mod = MultiHeadAttention(
+                    self.dim, self.num_heads, self.attention_dropout,
+                    dtype=self.dtype, name="s2_cross_attn",
+                )
+                if self.collaboration_mode == "serial":
+                    self.s2_cross_norm_mod = nn.LayerNorm(
+                        dtype=self.dtype, name="s2_cross_norm"
+                    )
         self.ffn_norm_mod = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
         self.ffn_mod = FeedForward(
             self.dim, self.ffn_dim, self.activation, self.dropout,
@@ -342,6 +398,8 @@ class TransformerDecoderLayer(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         enc_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_ancestry: Optional[jnp.ndarray] = None,
+        s2_out: Optional[jnp.ndarray] = None,
+        s2_bias: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[dict]]:
         drop = self.drop_mod
 
@@ -358,13 +416,30 @@ class TransformerDecoderLayer(nn.Module):
         if self.has_cross_attention:
             res = x
             h = self.cross_attn_norm_mod(x) if self.normalize_before else x
+            cross_in = h
             h, _ = self.cross_attn_mod(
                 h, encoder_out, encoder_out, cross_bias, deterministic,
                 kv_override=enc_kv,
             )
-            x = res + drop(h, deterministic=deterministic)
-            if not self.normalize_before:
-                x = self.cross_attn_norm_mod(x)
+            h = drop(h, deterministic=deterministic)
+            if s2_out is not None and self.collaboration_mode == "parallel":
+                h2, _ = self.s2_cross_attn_mod(
+                    cross_in, s2_out, s2_out, s2_bias, deterministic,
+                )
+                h2 = drop(h2, deterministic=deterministic)
+                h = h * self.league_s1_ratio + h2 * self.league_s2_ratio
+                x = res + h
+            else:
+                x = res + h
+                if not self.normalize_before:
+                    x = self.cross_attn_norm_mod(x)
+                if s2_out is not None and self.collaboration_mode == "serial":
+                    res = x
+                    h = self.s2_cross_norm_mod(x)
+                    h, _ = self.s2_cross_attn_mod(
+                        h, s2_out, s2_out, s2_bias, deterministic,
+                    )
+                    x = res + drop(h, deterministic=deterministic)
 
         res = x
         h = self.ffn_norm_mod(x) if self.normalize_before else x

@@ -93,21 +93,22 @@ class TestMultiBranch:
         import numpy as np
 
         from s2t_tpu.criterions.build import build_criterion
-        from s2t_tpu.models.s2t_multibranch import (
-            S2TMultiBranchConfig, S2TMultiBranchModel,
-        )
 
         B, T, V = 2, 40, 24
-        cfg = S2TMultiBranchConfig(
-            encoder_embed_dim=32, encoder_ffn_embed_dim=64,
-            encoder_attention_heads=2, junior_layers=1, senior_layers=1,
-            textual_layers=1, decoder_layers=1, decoder_embed_dim=32,
-            decoder_ffn_embed_dim=64, decoder_attention_heads=2,
-            subsampling_filter=32, vocab_size=V, dropout=0.0,
-            attention_dropout=0.0, activation_dropout=0.0,
-            collaboration_direction="both",
+        model = build_model(
+            "s2t_multibranch_s",
+            {
+                "encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+                "encoder_attention_heads": 2, "junior_layers": 1,
+                "senior_layers": 1, "textual_layers": 1, "decoder_layers": 1,
+                "decoder_embed_dim": 32, "decoder_ffn_embed_dim": 64,
+                "decoder_attention_heads": 2, "subsampling_filter": 32,
+                "dropout": 0.0, "attention_dropout": 0.0,
+                "activation_dropout": 0.0,
+                "collaboration_direction": "both",
+            },
+            vocab_size=V,
         )
-        model = S2TMultiBranchModel(cfg)
         rng = np.random.default_rng(0)
         feats = jnp.asarray(rng.normal(size=(B, T, 80)), jnp.float32)
         lens = jnp.full((B,), T, jnp.int32)
@@ -116,7 +117,9 @@ class TestMultiBranch:
         out = model.apply(params, feats, lens, prev)
         assert out["decoder_logits"].shape == (B, 5, V)
         assert out["ctc_logits"] is not None
-        assert out["senior_out"].shape == out["encoder_out"].shape
+        # senior stream is s1 ("encoder_out"), textual is s2 (reference
+        # s2t_multibranch.py:762-766)
+        assert out["s2_encoder_out"].shape == out["encoder_out"].shape
 
         crit = build_criterion(
             "join_speech_and_text_loss",

@@ -689,3 +689,182 @@ class TestBerardParity:
     def test_three_decoder_layers(self, tmp_path):
         cfg = self._roundtrip(tmp_path, decoder_num_layers=3)
         assert cfg.decoder_layers == 3
+
+
+class TestDualParity:
+    """(reference: s2t_dual.py:36).  Two pinned facts: the upstream forward
+    is bit-rotted and crashes (s2t_dual.py:334 binds the speech tensor to
+    return_all_hiddens), and this repo's model numerically matches the
+    evidently-intended set_s2 wiring (transformer_s2.py:70) of the SAME
+    reference modules — asr encoder, league MT encoder, decoder."""
+
+    def _build(self, tmp_path, **overrides):
+        from build_reference import build_dual_model
+
+        kw = dict(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=2,
+            decoder_attention_heads=2, mt_encoder_layers=2,
+            subsampling_filter=32, ctc_weight=0.3,
+            encoder_collaboration_mode="parallel",
+            decoder_collaboration_mode="parallel",
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        )
+        kw.update(overrides)
+        return build_dual_model(**kw)
+
+    def test_upstream_forward_is_broken(self, tmp_path):
+        import torch
+
+        model, args, d = self._build(tmp_path)
+        sp = torch.randn(2, 40, 80)
+        spl = torch.tensor([40, 33])
+        txt = torch.tensor([[4, 5, 6, 2], [5, 6, 2, 1]])
+        txtl = torch.tensor([4, 3])
+        prev = torch.tensor([[2, 4, 5], [2, 5, 6]])
+        with pytest.raises(RuntimeError):
+            with torch.no_grad():
+                model(sp, spl, txt, txtl, prev)
+
+    def test_repaired_reference_parity(self, tmp_path):
+        import torch
+
+        from build_reference import dual_repaired_encoder_forward
+        from s2t_tpu.interop.fairseq_import import import_fairseq_dual
+        from s2t_tpu.models.s2t_dual import S2TDualModel
+
+        model, args, d = self._build(tmp_path)
+        ckpt = tmp_path / "dual.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_dual(str(ckpt))
+        assert cfg.encoder_collaboration_mode == "parallel"
+        assert cfg.speech.encoder_layers == 12  # hard-set upstream (:299)
+
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(2, 40, 80)).astype(np.float32)
+        lens = np.array([40, 33], np.int32)
+        feats[1, 33:] = 0.0
+        txt = np.array([[4, 5, 6, 2], [5, 6, 2, 1]], np.int64)
+        txtl = np.array([4, 3], np.int64)
+        prev = np.array([[2, 4, 5], [2, 5, 6]], np.int64)
+
+        with torch.no_grad():
+            enc = dual_repaired_encoder_forward(
+                model.encoder, torch.tensor(feats), torch.tensor(lens),
+                torch.tensor(txt), torch.tensor(txtl),
+            )
+            r_text = enc["encoder_out"][0].transpose(0, 1).numpy()
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        jmodel = S2TDualModel(cfg)
+        out = jmodel.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True, transcript=txt.astype(np.int32),
+            transcript_lengths=txtl.astype(np.int32),
+        )
+        j_text = np.asarray(out["text_encoder_out"], np.float32)
+        j_logits = np.asarray(out["decoder_logits"], np.float32)
+        for b, L in enumerate([4, 3]):
+            np.testing.assert_allclose(
+                j_text[b, :L], r_text[b, :L], atol=3e-4, rtol=1e-4,
+                err_msg=f"text-stream encoder mismatch b={b}",
+            )
+        np.testing.assert_allclose(
+            j_logits, r_logits, atol=3e-4, rtol=1e-4,
+            err_msg="decoder logits mismatch",
+        )
+
+
+class TestMultiBranchParity:
+    """(reference: s2t_multibranch.py:43 — works upstream; direct parity on
+    both encoder streams and the dual-stream league decoder)."""
+
+    def _roundtrip(self, tmp_path, **overrides):
+        import torch
+
+        from build_reference import build_multibranch_model
+        from s2t_tpu.interop.fairseq_import import import_fairseq_multibranch
+
+        kw = dict(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+            encoder_attention_heads=2, encoder_layers=2,
+            decoder_embed_dim=32, decoder_ffn_embed_dim=64, decoder_layers=2,
+            decoder_attention_heads=2, subsampling_filter=32,
+            senior_acoustic_encoder_layers=2, textual_encoder_layers=2,
+            collaboration_direction="both",
+            encoder_collaboration_mode="parallel",
+            decoder_collaboration_mode="parallel",
+            ctc_weight=0.3, encoder_embed_norm=True,
+            encoder_no_scale_embedding=True,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        )
+        kw.update(overrides)
+        model, args, d = build_multibranch_model(**kw)
+        ckpt = tmp_path / "mb.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_multibranch(str(ckpt))
+        assert cfg.senior_layers == kw["senior_acoustic_encoder_layers"]
+
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(2, 40, 80)).astype(np.float32)
+        lens = np.array([40, 33], np.int32)
+        feats[1, 33:] = 0.0
+        prev = np.array([[2, 4, 5, 6], [2, 5, 6, 7]], np.int64)
+
+        with torch.no_grad():
+            enc = model.encoder(torch.tensor(feats), torch.tensor(lens))
+            r_senior = enc["encoder_out"][0].transpose(0, 1).numpy()
+            r_textual = enc["s2_encoder_out"][0].transpose(0, 1).numpy()
+            r_lens = (~enc["encoder_padding_mask"][0]).sum(-1).numpy()
+            r_logits = model.decoder(
+                prev_output_tokens=torch.tensor(prev), encoder_out=enc
+            )[0].numpy()
+
+        import jax
+
+        from s2t_tpu.models.s2t_multibranch import S2TMultiBranchModel
+
+        jmodel = S2TMultiBranchModel(cfg)
+        out = jmodel.apply(
+            {"params": params}, feats, lens, prev.astype(np.int32),
+            deterministic=True,
+        )
+        j_lens = np.asarray(out["encoder_lengths"])
+        np.testing.assert_array_equal(j_lens, r_lens)
+        _assert_close(r_senior, np.asarray(out["encoder_out"], np.float32),
+                      j_lens, "senior stream")
+        _assert_close(r_textual, np.asarray(out["s2_encoder_out"], np.float32),
+                      j_lens, "textual stream")
+        np.testing.assert_allclose(
+            np.asarray(out["decoder_logits"], np.float32), r_logits,
+            atol=3e-4, rtol=1e-4, err_msg="decoder logits mismatch",
+        )
+        return cfg
+
+    def test_parallel_both(self, tmp_path):
+        cfg = self._roundtrip(tmp_path)
+        assert cfg.collaboration_direction == "both"
+
+    def test_serial_textual(self, tmp_path):
+        cfg = self._roundtrip(
+            tmp_path, collaboration_direction="textual",
+            encoder_collaboration_mode="serial",
+            decoder_collaboration_mode="serial",
+        )
+        assert cfg.encoder_collaboration_mode == "serial"
+
+    def test_no_encoder_collaboration(self, tmp_path):
+        # decoder stays parallel: the reference decoder layer with
+        # collaboration_mode "none" but an s2 stream present (multibranch
+        # always emits s2_encoder_out) SKIPS the cross-attn residual add
+        # entirely (transformer_s2_layer.py:660-663 falls through both
+        # branches) — an upstream dead-mode quirk no recipe uses, so it is
+        # not reproduced here
+        self._roundtrip(
+            tmp_path, collaboration_direction="none",
+            encoder_collaboration_mode="none",
+            decoder_collaboration_mode="parallel",
+        )

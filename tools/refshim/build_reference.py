@@ -286,6 +286,106 @@ def build_berard_model(arch="berard_256_3_3", dictionary=None,
     return model, args, d
 
 
+def build_dual_model(arch="base_architecture", dictionary=None, **arg_overrides):
+    """Construct a reference S2TDualModel
+    (reference: fairseq/models/speech_to_text/s2t_dual.py:36).
+
+    NOTE the upstream forward is bit-rotted (S2TDualEncoder.forward:334
+    passes the speech tensor as ``return_all_hiddens`` and the padding mask
+    as ``token_embeddings``); use ``dual_repaired_encoder_forward`` for the
+    evidently-intended set_s2 wiring.  Returns (model.eval(), args, dict)."""
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import s2t_dual as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+        @staticmethod
+        def get_source_dictionary(i):
+            return d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.S2TDualModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 6000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch, ref_mod.base_architecture)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.S2TDualModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
+def dual_repaired_encoder_forward(encoder, speech, speech_lengths, text,
+                                  text_lengths):
+    """The evidently-intended S2TDualEncoder wiring: feed the speech stream
+    to the MT encoder through its set_s2 hook (transformer_s2.py:70) instead
+    of the broken 4-positional call (s2t_dual.py:334)."""
+    asr_out = encoder.asr_encoder(speech, speech_lengths)
+    rep = asr_out["encoder_out"][0]
+    mask = asr_out["encoder_padding_mask"][0]
+    encoder.mt_encoder.set_s2(rep, mask)
+    try:
+        out = encoder.mt_encoder(text, text_lengths)
+    finally:
+        encoder.mt_encoder.set_s2(None, None)
+    out["ctc_logit"] = asr_out["ctc_logit"]
+    out["ctc_padding_mask"] = asr_out["encoder_padding_mask"]
+    return out
+
+
+def build_multibranch_model(arch="base_architecture", dictionary=None,
+                            **arg_overrides):
+    """Construct a reference S2TMultiBranchModel
+    (reference: fairseq/models/speech_to_text/s2t_multibranch.py:43).
+
+    Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models.speech_to_text import s2t_multibranch as ref_mod
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+
+        @staticmethod
+        def get_source_dictionary(i):
+            return d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_mod.S2TMultiBranchModel.add_args(group)
+    args = parser.parse_args([])
+    args.max_source_positions = 6000
+    args.max_target_positions = 1024
+    args.input_feat_per_channel = 80
+    args.input_channels = 1
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    arch_fn = getattr(ref_mod, arch, ref_mod.base_architecture)
+    arch_fn(args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_mod.S2TMultiBranchModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
                    **arg_overrides):
     """Construct a reference MT TransformerModel (fairseq/models/transformer.py).
