@@ -313,13 +313,14 @@ def bench_pipeline(jax, jnp):
     next(batches(1))  # touch pages / warm the zip TOC
     t0 = time.perf_counter()
     host_frames = 0
-    mb_per_batch = 0.0
+    mb_sum = 0.0
     for b in batches(K_HOST):
         host_frames += int(b["features"].shape[0] * b["features"].shape[1])
-        mb_per_batch = sum(
+        mb_sum += sum(
             v.nbytes for v in b.values() if hasattr(v, "nbytes")) / 1e6
     host_wall = time.perf_counter() - t0
     host_fps = host_frames / host_wall
+    mb_per_batch = mb_sum / K_HOST  # mean over the loop, not the last batch
 
     # --- end to end: same iterator feeding the real jitted train step.
     # K real batches are stacked into ONE host->device transfer and the K
@@ -355,42 +356,55 @@ def bench_pipeline(jax, jnp):
         return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
 
     np.asarray(run_k(state, jax.device_put(stack_k()), trainer.base_rng))
+
+    # --- per-segment decomposition (VERDICT r4 #4): MEASURE each stage of
+    # the same fused window — host batch assembly, host->device transfer of
+    # the actual stacked tree, device compute on device-resident data —
+    # then the combined window; the residual is reported, never attributed
+    # by elimination. ---
+    @jax.jit
+    def _touch(tree):
+        # consume one element of every leaf: forces all uploads to complete
+        # before the host read returns (block_until_ready is unreliable
+        # through the axon tunnel — docs/design.md "Measuring through...")
+        import jax.numpy as _jnp
+
+        return sum(_jnp.sum(v.ravel()[:1]) for v in jax.tree.leaves(tree))
+
+    t0 = time.perf_counter()
+    stacked_host = stack_k()
+    host_stack_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stacked_dev = jax.device_put(stacked_host)
+    np.asarray(_touch(stacked_dev))
+    put_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    np.asarray(run_k(state, stacked_dev, trainer.base_rng))
+    dev_wall = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     stacked = jax.device_put(stack_k())  # real host batches, real transfer
     np.asarray(run_k(state, stacked, trainer.base_rng))
     e2e_wall = time.perf_counter() - t0
     e2e_sps = K_E2E / e2e_wall
 
-    # name the measured bottleneck: host, device, or the transfer link
-    transfer_s = mb_per_batch / max(1e-9, _device_put_mb_s(jax))
-    host_s = (B_TGT * T) / host_fps
-    bound = "transfer" if transfer_s > 0.5 / e2e_sps else (
-        "host" if host_s > 0.5 / e2e_sps else "device")
+    segs = {"host": host_stack_wall, "put": put_wall, "device": dev_wall}
+    residual = e2e_wall - sum(segs.values())
+    bound = max(segs, key=segs.get)
     tmp.cleanup()
     return {
         "pipeline_host_frames_per_sec": round(host_fps, 0),
         "pipeline_steps_per_sec": round(e2e_sps, 3),
         "pipeline_transfer_mb_per_batch": round(mb_per_batch, 1),
-        "pipeline_transfer_mb_s": round(_device_put_mb_s(jax), 1),
+        "pipeline_segment_host_s_per_step": round(host_stack_wall / K_E2E, 4),
+        "pipeline_segment_put_s_per_step": round(put_wall / K_E2E, 4),
+        "pipeline_segment_device_s_per_step": round(dev_wall / K_E2E, 4),
+        "pipeline_segment_residual_s_per_step": round(residual / K_E2E, 4),
+        "pipeline_residual_frac": round(residual / e2e_wall, 3),
         "pipeline_bound": bound,
     }
-
-
-_MEASURED_PUT_MB_S = None
-
-
-def _device_put_mb_s(jax):
-    """Host->device link rate for a train-batch-sized array (cached)."""
-    global _MEASURED_PUT_MB_S
-    if _MEASURED_PUT_MB_S is None:
-        x = np.zeros((40, 1000, 80), np.float32)  # 12.8 MB
-        d = jax.device_put(x)
-        np.asarray(d[0, 0, 0])
-        t0 = time.perf_counter()
-        d = jax.device_put(x)
-        np.asarray(d[0, 0, 0])
-        _MEASURED_PUT_MB_S = x.nbytes / 1e6 / (time.perf_counter() - t0)
-    return _MEASURED_PUT_MB_S
 
 
 def bench_wer_sanity(jax, jnp):

@@ -47,11 +47,16 @@ class SPMTokenizer:
         # real SPM always has <unk> (id 0): OOV input must degrade to the
         # unk piece, never raise (Dictionary maps "<unk>" to its unk index).
         # Bites in practice when ST source text hits a target-language model.
+        # dedup: a caller that already passes <unk> must not hand the HF
+        # trainer a duplicated special-token list
+        specials = ["<unk>"] + [
+            t for t in (special_tokens or []) if t != "<unk>"
+        ]
         if cls.kind == "unigram":
             tok = Tokenizer(models.Unigram())
             trainer = trainers.UnigramTrainer(
                 vocab_size=vocab_size,
-                special_tokens=["<unk>"] + (special_tokens or []),
+                special_tokens=specials,
                 unk_token="<unk>",
                 shrinking_factor=0.75,
             )
@@ -59,7 +64,7 @@ class SPMTokenizer:
             tok = Tokenizer(models.BPE(unk_token="<unk>"))
             trainer = trainers.BpeTrainer(
                 vocab_size=vocab_size,
-                special_tokens=["<unk>"] + (special_tokens or []),
+                special_tokens=specials,
             )
         tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
         tok.decoder = decoders.Metaspace(replacement="▁")
@@ -87,8 +92,12 @@ class SPMTokenizer:
     def decode(self, pieces: List[str] | str) -> str:
         if isinstance(pieces, str):
             pieces = pieces.split()
-        return "".join(p for p in pieces if p != "<unk>").replace(
-            "▁", " ").strip()
+        # OOV pieces stay visible in detokenized output (the reference's
+        # post_process("sentencepiece") keeps the unk piece; silently
+        # deleting it would mask coverage problems in CLI/interactive output)
+        return "".join(
+            " ⁇ " if p == "<unk>" else p for p in pieces
+        ).replace("▁", " ").strip()
 
     def vocab(self) -> List[str]:
         v = self.tok.get_vocab()

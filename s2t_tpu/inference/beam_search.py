@@ -374,18 +374,68 @@ def beam_search(
         )
         return ~all_filled | can_improve
 
-    def chunk_cond(carry):
-        state, ci = carry
-        return (ci < n_full) & should_continue(state, ci * CHUNK)
+    # TIERED KV-CACHE PREFIX: the per-step cache reorder and the attention
+    # cache reads are the decode loop's dominant traffic, and both scale
+    # with the cache LENGTH — yet at step i only positions <= i hold data.
+    # Static shapes forbid slicing to i, but the chunked loop gives static
+    # bounds: the full-chunk region is split into a few TIERS; within a
+    # tier all cache work runs on a lax.slice'd prefix of l_hi positions
+    # (the suffix is still unwritten), written back into the full buffer at
+    # tier exit.  Exact-by-construction (every touched index < l_hi), and
+    # reorder+read bytes become ~2/3 triangular instead of rectangular.
+    # Tier count stays small because each distinct l_hi traces its own
+    # step body (compile time).  Skipped for the lazy-ancestry path, whose
+    # (B, K, L) map would need its own slicing rule.
+    def _sliceable(x):
+        # eager-only: the lazy path's (B, K, L) ancestry map indexes length
+        # on axis 2 and must not be touched
+        if reorder_fn is not None:
+            return False
+        return hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == L
 
-    def chunk_body(carry):
-        state, ci = carry
-        state, _ = jax.lax.scan(step, state, ci * CHUNK + jnp.arange(CHUNK))
-        return state, ci + 1
+    def slice_cache(cache, l_hi):
+        return jax.tree.map(
+            lambda x: jax.lax.slice_in_dim(x, 0, l_hi, axis=1)
+            if _sliceable(x) else x,
+            cache,
+        )
 
-    state, _ = jax.lax.while_loop(
-        chunk_cond, chunk_body, (state, jnp.zeros((), jnp.int32))
-    )
+    def restore_cache(full, part):
+        return jax.tree.map(
+            lambda xf, xp: jax.lax.dynamic_update_slice_in_dim(
+                xf, xp, 0, axis=1
+            ) if _sliceable(xf) else xp,
+            full, part,
+        )
+
+    def run_tiers(state, edges):
+        ci = jnp.zeros((), jnp.int32)
+        for hi_chunks in edges:
+            l_hi = hi_chunks * CHUNK
+            part = state._replace(cache=slice_cache(state.cache, l_hi))
+
+            def cond(carry, hi_chunks=hi_chunks):
+                s, c = carry
+                return (c < hi_chunks) & should_continue(s, c * CHUNK)
+
+            def body(carry):
+                s, c = carry
+                s, _ = jax.lax.scan(step, s, c * CHUNK + jnp.arange(CHUNK))
+                return s, c + 1
+
+            part, ci = jax.lax.while_loop(cond, body, (part, ci))
+            state = part._replace(
+                cache=restore_cache(state.cache, part.cache)
+            )
+        return state
+
+    if n_full > 0:
+        if reorder_fn is None and n_full >= 3:
+            third = -(-n_full // 3)
+            edges = sorted({third, 2 * third, n_full})
+        else:
+            edges = [n_full]
+        state = run_tiers(state, edges)
     if rem:
         def tail(s):
             s, _ = jax.lax.scan(step, s, n_full * CHUNK + jnp.arange(rem))

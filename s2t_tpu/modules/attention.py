@@ -19,7 +19,6 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from s2t_tpu.modules.positional import apply_rope, rope_tables
 from s2t_tpu.modules.dropout import Dropout as _FastDropout
@@ -278,12 +277,15 @@ class MultiHeadAttention(nn.Module):
             # (B*K, L, H, Dh) cache — each beam writes its row at its OWN
             # slot and ``cache_ancestry`` (B, K, L) int32 maps (beam, t) to
             # the physical slot holding its token-t key/value (already
-            # including this step's row = own slot).  Attention scores every
-            # query against ALL K slots (K x the tiny decode matmul) and a
-            # 0/1 one-hot einsum selects the ancestor slot — exactly the
-            # scores the eagerly-reordered cache produces, with none of the
-            # per-step 2x(read+write) cache traffic (the reorder was the
-            # decode loop's single most expensive op, docs/serving.md).
+            # including this step's row = own slot).  The per-position
+            # ancestor rows are selected with a plain take_along_axis gather
+            # over the slot axis: exactly the bytes attention must read
+            # anyway, fused by XLA into the Tq==1 score/output reductions.
+            # (The round-3 formulation scored every query against ALL K
+            # slots and one-hot-selected — K x the score flops plus (K, K)
+            # selection tensors padding 5->8 on two sublane dims — and lost
+            # end-to-end, docs/design.md.  This gather form replaces it;
+            # same math, none of that overhead.)
             assert "k_scale" not in cache, "ancestry + int8 KV unsupported"
             assert q.shape[1] == 1 and self.attention_type in ("abs", "rope")
             k_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -295,25 +297,21 @@ class MultiHeadAttention(nn.Module):
             new_cache = {"k": k_cache, "v": v_cache}
             Bs, Kb, L = cache_ancestry.shape
             H, Dh = self.num_heads, self.head_dim
-            kc = k_cache.reshape(Bs, Kb, L, H, Dh)
-            vc = v_cache.reshape(Bs, Kb, L, H, Dh)
-            q2 = q.reshape(Bs, Kb, H, Dh)
-            # scores vs every slot j: (B, H, K, Kj, L)
-            s_all = jnp.einsum(
-                "bkhd,bjlhd->bhkjl", q2, kc,
-                preferred_element_type=jnp.float32,
-            ) / np.sqrt(Dh)
-            oh = jax.nn.one_hot(cache_ancestry, Kb, dtype=jnp.float32)
-            s = jnp.einsum("bhkjl,bklj->bhkl", s_all, oh)
+            kc = k_cache.reshape(Bs, Kb, L, H * Dh)
+            vc = v_cache.reshape(Bs, Kb, L, H * Dh)
+            idx3 = cache_ancestry[..., None]  # (B, K, L, 1)
+            k_sel = jnp.take_along_axis(kc, idx3, axis=1).reshape(
+                Bs * Kb, L, H, Dh
+            )
+            v_sel = jnp.take_along_axis(vc, idx3, axis=1).reshape(
+                Bs * Kb, L, H, Dh
+            )
             step_mask = jnp.arange(L)[None, None, None, :] <= cache_index
-            s = jnp.where(step_mask, s, NEG)
-            p = jax.nn.softmax(s, axis=-1)  # (B, H, K, L) f32
-            pj = jnp.einsum("bhkl,bklj->bhkjl", p, oh)
-            out = jnp.einsum(
-                "bhkjl,bjlhd->bkhd", pj.astype(q.dtype), vc,
-                preferred_element_type=jnp.float32,
-            ).astype(q.dtype)
-            out = out.reshape(Bs * Kb, 1, self.embed_dim)
+            step_bias = jnp.where(step_mask, 0.0, NEG).astype(q.dtype)
+            bias = step_bias if bias is None else bias + step_bias
+            w = dot_attention_weights(q, k_sel, bias, q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", w, v_sel)
+            out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
             return self.out_proj(out), new_cache
         if cache is not None and "k_scale" in cache:
             # int8 KV cache (generation.kv_cache_dtype=int8): each step's

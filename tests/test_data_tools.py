@@ -68,6 +68,21 @@ class TestTokenizers:
         dec = t.decode(enc)
         assert dec.startswith("Hello,")
 
+    def test_spm_unk_rendered_not_dropped(self, tmp_path):
+        # decode() must keep OOV spans visible (SPM renders unk as " ⁇ ";
+        # the reference's post_process("sentencepiece") keeps the piece) —
+        # silently deleting <unk> masks coverage problems (ADVICE r4)
+        from s2t_tpu.data.tokenizer import SPMTokenizer
+
+        tok = SPMTokenizer.train(
+            ["abc abd bcd"] * 5, 24, tmp_path / "spm.json",
+            special_tokens=["<unk>", "<lang:de>"],  # pre-deduped <unk>
+        )
+        out = tok.decode(["▁abc", "<unk>", "▁bcd"])
+        assert "⁇" in out and out.startswith("abc") and out.endswith("bcd")
+        # the explicit <unk> in special_tokens must not duplicate id rows
+        assert tok.vocab().count("<unk>") == 1
+
     def test_gpt2_bpe_train_encode_decode(self, tmp_path):
         from s2t_tpu.data.tokenizer import GPT2Tokenizer
 

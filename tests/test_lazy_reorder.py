@@ -68,6 +68,26 @@ class TestLazyReorder:
             np.asarray(s_eager), np.asarray(s_lazy), rtol=1e-5, atol=1e-6
         )
 
+    def test_tiered_prefix_cache_identical_long_maxlen(self):
+        # max_len >= 3*CHUNK exercises the eager path's tiered KV-cache
+        # prefix (beam_search.py run_tiers: sliced cache per tier); the lazy
+        # path never slices, so agreement proves the tiers are exact
+        model, params, feats, lengths = self._setup()
+        batch = {"features": feats, "feat_lengths": lengths}
+        kw = dict(max_len_b=52, max_target_positions=64)
+        t_eager, s_eager, _ = SequenceGenerator(
+            model, beam_size=4, eos_id=2, pad_id=1,
+            lazy_beam_reorder=False, **kw,
+        ).generate(params, batch)
+        t_lazy, s_lazy, _ = SequenceGenerator(
+            model, beam_size=4, eos_id=2, pad_id=1,
+            lazy_beam_reorder=True, **kw,
+        ).generate(params, batch)
+        np.testing.assert_array_equal(np.asarray(t_eager), np.asarray(t_lazy))
+        np.testing.assert_allclose(
+            np.asarray(s_eager), np.asarray(s_lazy), rtol=1e-5, atol=1e-6
+        )
+
     def test_identical_beam_2_and_8(self):
         model, params, feats, lengths = self._setup(B=2)
         batch = {"features": feats, "feat_lengths": lengths}

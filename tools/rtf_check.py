@@ -26,6 +26,9 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     beam = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     kv = sys.argv[3] if len(sys.argv) > 3 else "model"
+    lazy = kv == "lazy"  # lazy ancestry reorder (fp cache)
+    if lazy:
+        kv = "model"
     T, N, VOCAB, MAX_LEN = 1000, 2, 10000, 100
     cfg = s2t_transformer_s(
         vocab_size=VOCAB, dtype_str="bfloat16", max_target_positions=1024
@@ -39,7 +42,7 @@ def main():
     )["params"]
     gen = SequenceGenerator(
         model, beam_size=beam, max_len_a=0.0, max_len_b=MAX_LEN, lenpen=1.0,
-        kv_cache_dtype=kv,
+        kv_cache_dtype=kv, lazy_beam_reorder=lazy,
     )
     toks, _, _ = gen.generate(params, {"features": feats, "feat_lengths": lens})
     np.asarray(toks)  # compile + warm
@@ -56,7 +59,8 @@ def main():
     wall = time.perf_counter() - t0
     print(
         f"RTF {B * N * T * 0.01 / wall:.1f}x realtime | "
-        f"{B * N / wall:.1f} utt/s | wall {wall:.2f}s | B={B} beam={beam} kv={kv}"
+        f"{B * N / wall:.1f} utt/s | wall {wall:.2f}s | B={B} beam={beam} "
+        f"kv={kv} lazy={lazy}"
     )
 
 
