@@ -58,6 +58,35 @@ def dot_attention_weights(q, k, bias, dtype, std_scale: float = 0.0):
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
 
 
+def _attn_core(q, k, v, bias, key, k_u8):
+    """scores -> masked softmax -> (regen) dropout -> PV, checkpointed with
+    nothing saved: the backward recomputes the whole core from q/k/v/bias
+    instead of storing (B, H, Tq, Tk)-shaped residuals across fwd->bwd —
+    the dense-path equivalent of the Pallas kernel's in-VMEM recompute
+    (ops/attention_pallas.py), at XLA's own layouts.  Dropout draws the
+    identical uint8 bits on recompute (same key), keeping modules/dropout.py
+    threshold semantics."""
+    w = dot_attention_weights(q, k, bias, q.dtype)
+    if key is not None:
+        bits = jax.random.bits(key, w.shape, dtype=jnp.uint8)
+        scale = jnp.asarray(1.0 / (1.0 - k_u8 / 256.0), w.dtype)
+        w = jnp.where(bits >= jnp.uint8(k_u8), w * scale, 0)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+_attn_core_remat = jax.checkpoint(
+    _attn_core,
+    policy=jax.checkpoint_policies.nothing_saveable,
+    static_argnums=(5,),
+)
+
+
+def _attn_remat_enabled() -> bool:
+    import os
+
+    return os.environ.get("S2T_ATTN_REMAT", "0") not in ("0", "false")
+
+
 class MultiHeadAttention(nn.Module):
     """Standard / rotary multi-head attention.
 
@@ -387,6 +416,25 @@ class MultiHeadAttention(nn.Module):
             )
             rel = self._relative_bias(q, key_pos, q_pos)
             bias = rel if bias is None else bias + rel
+
+        if (
+            cache is None
+            and not self.sow_attn
+            and self.attention_std_scale == 0
+            and not (self.attention_type == "local"
+                     and self.gauss_mask_sigma != 0)
+            and q.shape[1] > 1
+            and _attn_remat_enabled()
+        ):
+            key = None
+            k_u8 = 0
+            if not deterministic and self.dropout > 0:
+                k_u8 = min(max(int(round(self.dropout * 256)), 0), 255)
+                if k_u8 > 0:
+                    key = self.make_rng("dropout")
+            out = _attn_core_remat(q, k, v, bias, key, k_u8)
+            out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
+            return self.out_proj(out), new_cache
 
         w = dot_attention_weights(q, k, bias, q.dtype, self.attention_std_scale)
         if self.attention_type == "local" and self.gauss_mask_sigma != 0 \

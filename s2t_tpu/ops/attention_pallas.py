@@ -163,6 +163,110 @@ def _blk(hb, Tp, D):
     )
 
 
+# ---- (B, T, H, D) native-layout variant (NEGATIVE RESULT, opt-in) --------
+# Motivation: the head-major kernel above needs HBM transposes on every
+# operand and cotangent, and in-model those cost more than the kernel saves
+# (docs/design.md round-3 item 2; re-measured r5: 41.4 -> 47.2 ms/step at
+# T'=250).  These kernels take the model's native (B, T, H, D) layout and
+# relayout to head-major INSIDE the kernel instead.  Measured r5 on v5e at
+# (40, 250, 8, 64): 1.285 ms/call fwd+bwd vs 0.593 head-major and 0.560
+# dense — the Mosaic sublane relayouts (8 per bwd program) dominate, and
+# Mosaic cannot batch dot_generals over a middle dim (it requires leading
+# batch dims, so the relayout cannot be elided).  Kept as the
+# S2T_PALLAS_ATTN_LAYOUT=btd opt-in for future Mosaic versions.
+
+_VMEM_BUDGET_BTD = 15 * 1024 * 1024
+
+
+def _btd_fits(H: int, Tp: int, D: int) -> bool:
+    """Full-H block working set against the (looser) btd budget: Mosaic
+    requires the block's head dim to equal H, so there is no head chunking
+    — btd only applies when all heads' buffers fit at once."""
+    work = 4 * H * Tp * Tp * 4 + 8 * H * Tp * _round_up(D, _LANE) * 2
+    return work < _VMEM_BUDGET_BTD
+
+
+def _blk_btd(hb, Tp, D):
+    return pl.BlockSpec(
+        (1, Tp, hb, D), lambda b, g, *_: (b, 0, g, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _hmaj(ref):
+    """(1, Tp, hb, D) ref -> (hb, Tp, D) head-major VMEM value (Mosaic only
+    lowers dot_generals with leading batch dims, so relayout once here)."""
+    return jnp.transpose(ref[0], (1, 0, 2))
+
+
+def _probs_hm(q, k, len_ref, b, scale):
+    """(hb, T, T) f32 masked softmax from head-major (hb, Tp, D) values."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    T = s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+    s = jnp.where(col < len_ref[b], s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel_btd(len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+                    *, scale, rate_u8, keep_scale):
+    b = pl.program_id(0)
+    q, k = _hmaj(q_ref), _hmaj(k_ref)
+    p = _probs_hm(q, k, len_ref, b, scale)
+    if rate_u8 > 0:
+        _seed(seed_ref, b)
+        keep = _dropout_mask(p.shape, rate_u8)
+        p = jnp.where(keep, p * keep_scale, 0.0)
+    v = _hmaj(v_ref)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (hb, Tq, D)
+    o_ref[0] = jnp.transpose(o, (1, 0, 2)).astype(o_ref.dtype)
+
+
+def _bwd_kernel_btd(len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale, rate_u8, keep_scale):
+    b = pl.program_id(0)
+    q, k = _hmaj(q_ref), _hmaj(k_ref)
+    p = _probs_hm(q, k, len_ref, b, scale)
+    if rate_u8 > 0:
+        _seed(seed_ref, b)
+        keep = _dropout_mask(p.shape, rate_u8)
+        pd = jnp.where(keep, p * keep_scale, 0.0)
+    else:
+        pd = p
+    v = _hmaj(v_ref)
+    do = _hmaj(do_ref)
+    cdt = v.dtype
+    # identical math to _bwd_kernel, on the relayouted values
+    dv = jax.lax.dot_general(
+        pd.astype(cdt), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if rate_u8 > 0:
+        dp = jnp.where(keep, dp * keep_scale, 0.0)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = jnp.transpose(dq, (1, 0, 2)).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.transpose(dk, (1, 0, 2)).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.transpose(dv, (1, 0, 2)).astype(dv_ref.dtype)
+
+
 def _pallas_attention_padded(q, k, v, lengths, seed, rate_u8, interpret=False):
     """q/k/v: (B, H, Tp, D) head-major with Tp already lane-aligned."""
     B, H, Tp, D = q.shape
@@ -208,6 +312,89 @@ def _pallas_attention_bwd_padded(q, k, v, do, lengths, seed, rate_u8,
         out_shape=[sds, sds, sds],
         interpret=interpret,
     )(lengths, seed, q, k, v, do)
+
+
+def _pallas_attention_padded_btd(q, k, v, lengths, seed, rate_u8,
+                                 interpret=False):
+    """q/k/v: (B, Tp, H, D) native layout, Tp lane-aligned."""
+    B, Tp, H, D = q.shape
+    hb = H  # full-H block (see _btd_fits)
+    scale = 1.0 / float(np.sqrt(D))
+    keep_scale = 1.0 / (1.0 - rate_u8 / 256.0) if rate_u8 > 0 else 1.0
+    blk = _blk_btd(hb, Tp, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H // hb),
+        in_specs=[blk, blk, blk],
+        out_specs=blk,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_btd, scale=scale, rate_u8=rate_u8,
+            keep_scale=keep_scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BTD * 3
+        ),
+        interpret=interpret,
+    )(lengths, seed, q, k, v)
+
+
+def _pallas_attention_bwd_padded_btd(q, k, v, do, lengths, seed, rate_u8,
+                                     interpret=False):
+    B, Tp, H, D = q.shape
+    hb = H  # full-H block (see _btd_fits)
+    scale = 1.0 / float(np.sqrt(D))
+    keep_scale = 1.0 / (1.0 - rate_u8 / 256.0) if rate_u8 > 0 else 1.0
+    blk = _blk_btd(hb, Tp, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H // hb),
+        in_specs=[blk, blk, blk, blk],
+        out_specs=[blk, blk, blk],
+    )
+    sds = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_btd, scale=scale, rate_u8=rate_u8,
+            keep_scale=keep_scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[sds, sds, sds],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BTD * 3
+        ),
+        interpret=interpret,
+    )(lengths, seed, q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention_btd(q, k, v, lengths, seed, rate_u8, interpret):
+    return _pallas_attention_padded_btd(
+        q, k, v, lengths, seed, rate_u8, interpret
+    )
+
+
+def _fused_attention_btd_fwd(q, k, v, lengths, seed, rate_u8, interpret):
+    out = _pallas_attention_padded_btd(
+        q, k, v, lengths, seed, rate_u8, interpret
+    )
+    return out, (q, k, v, lengths, seed)
+
+
+def _fused_attention_btd_bwd(rate_u8, interpret, res, g):
+    q, k, v, lengths, seed = res
+    dq, dk, dv = _pallas_attention_bwd_padded_btd(
+        q, k, v, g, lengths, seed, rate_u8, interpret
+    )
+    zero_i = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    zero_s = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, zero_i, zero_s
+
+
+_fused_attention_btd.defvjp(_fused_attention_btd_fwd, _fused_attention_btd_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -285,6 +472,20 @@ def fused_attention(
         )
     else:
         seed = jnp.zeros((1,), jnp.int32)
+    import os
+
+    if (os.environ.get("S2T_PALLAS_ATTN_LAYOUT", "bhtd") == "btd"
+            and _btd_fits(H, Tp, D)):
+        # native-layout kernels: no HBM transposes at the boundary — the
+        # (B, T, H, D) operands are bitcast views of the projection outputs
+        # and the relayout happens in VMEM inside the kernel
+        if Tp != T:
+            pad = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        out = _fused_attention_btd(q, k, v, lengths, seed, rate_u8, interpret)
+        return out[:, :T]
     # head-major layout for the kernel (contiguous (T, D) per-head slices)
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)

@@ -234,7 +234,9 @@ def ctc_forward_alphas(
         active = (t < input_lengths)[:, None]
         return jnp.where(active, new, alpha), None
 
-    alpha, _ = jax.lax.scan(step, init, (t_idx, emits_t, force_t))
+    alpha, _ = jax.lax.scan(
+        step, init, (t_idx, emits_t, force_t), unroll=8
+    )
     return alpha, ext
 
 
@@ -385,7 +387,9 @@ def ctc_best_alignment(
         back = jnp.where(active, back, 0)
         return new, back
 
-    alpha, backs = jax.lax.scan(fwd, init, (t_idx, emits_t))  # backs: (T-1, B, S)
+    alpha, backs = jax.lax.scan(
+        fwd, init, (t_idx, emits_t), unroll=8
+    )  # backs: (T-1, B, S)
 
     # choose final state between last blank / last label
     last_label = (2 * label_lengths - 1).clip(0)
@@ -406,7 +410,9 @@ def ctc_best_alignment(
 
     # reverse scan yields the state occupied at each frame 1..T-1 and the
     # final carry is the state at frame 0
-    state0, states_rev = jax.lax.scan(bwd, final_state, (t_idx, backs), reverse=True)
+    state0, states_rev = jax.lax.scan(
+        bwd, final_state, (t_idx, backs), reverse=True, unroll=8
+    )
     states = jnp.concatenate([state0[:, None], jnp.moveaxis(states_rev, 0, 1)], axis=1)
     states = jnp.minimum(states, 2 * label_lengths[:, None])
 

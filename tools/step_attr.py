@@ -171,3 +171,12 @@ for mid, ps in self_tot.most_common(35):
     nm, tf_op, cat, shape = info.get(mid, ("?", "", "", ""))
     short = nm.split(" = ")[0]
     print(f"{ps/1e9/K:8.3f} ms  {cat:<12.12s} {short[:28]:<28} {tf_op[-70:]}")
+
+print("\n== async copies by shape ==")
+copies = collections.Counter()
+for mid, ps in self_tot.items():
+    nm, tf_op, cat, shape = info.get(mid, ("?", "", "", ""))
+    if cat in ("copy-start", "slice-start", "async-start"):
+        copies[shape or nm.split(" = ")[0]] += ps
+for sh, ps in copies.most_common(25):
+    print(f"{ps/1e9/K:8.3f} ms  {sh[:110]}")
