@@ -216,9 +216,13 @@ def beam_search(
             for g in range(G):
                 lp_g = lp_groups[:, g] - diverse_strength * div_buf[:, None, :]
                 penalised.append(lp_g)
-                # tokens group g would pick: its top Kg continuations
+                # tokens group g would pick: its top 2*Kg candidates — the
+                # reference's inner BeamSearch.step returns 2*beam
+                # candidates and the diversity buffer counts ALL of them
+                # (search.py:597-613 scatter_add over indices_buf)
                 total_g = state.alive_scores.reshape(B, G, K // G)[:, g][..., None] + lp_g
-                _, top_g = jax.lax.top_k(total_g.reshape(B, Kg * V), Kg)
+                kk = min(2 * Kg, Kg * V - 1)
+                _, top_g = jax.lax.top_k(total_g.reshape(B, Kg * V), kk)
                 picked = jax.nn.one_hot(top_g % V, V, dtype=jnp.float32).sum(1)
                 div_buf = div_buf + picked
             logprobs = jnp.stack(penalised, axis=1).reshape(B, K, V)

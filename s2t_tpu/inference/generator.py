@@ -270,6 +270,8 @@ class SequenceGenerator:
                     blank_id=self.blank_id,
                     temperature=1.0,  # decode_step already applies temperature
                     topk=self.sampling_topk, topp=self.sampling_topp,
+                    min_len=self.min_len,
+                    noise_uniforms=getattr(self, "sampling_noise", None),
                 )
                 return tokens, scores, enc
 

@@ -52,10 +52,21 @@ def sampling_decode(
     temperature: float = 1.0,
     topk: int = -1,
     topp: float = -1.0,
+    min_len: int = 1,
+    noise_uniforms=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens (B, K, L), scores (B, K) total logprob of sampled seq)."""
+    """Returns (tokens (B, K, L), scores (B, K) total logprob of sampled seq).
+
+    ``noise_uniforms``: optional (L, B*K) uniforms for a deterministic
+    inverse-CDF draw over the DESCENDING-sorted candidate list — the same
+    contract a torch.multinomial(probs, 1) draw has given the same uniform,
+    used to pin token-level parity against the reference Sampling strategy
+    (reference: search.py:622-744) under a fixed noise source."""
     B, K, L = batch_size, num_samples, max_len
     N = B * K
+    if noise_uniforms is not None:
+        noise_uniforms = jnp.asarray(noise_uniforms, jnp.float32)
+        assert noise_uniforms.shape == (L, N), noise_uniforms.shape
 
     def step(carry, i):
         tokens, scores, finished, cache, rng = carry
@@ -73,10 +84,26 @@ def sampling_decode(
             # reference fork bans index 0 in every decode
             # (sequence_generator.py:74,401)
             logprobs = logprobs.at[:, blank_id].set(NEG)
+        # no EOS before min_len (reference: sequence_generator.py min-len
+        # masking applies to every search strategy, sampling included)
+        V = logprobs.shape[-1]
+        logprobs = jnp.where(
+            (i < min_len) & (jnp.arange(V)[None, :] == eos_id), NEG, logprobs
+        )
         filtered = _filter_topp(_filter_topk(logprobs, topk), topp)
         filtered = jax.nn.log_softmax(filtered, axis=-1)
-        rng, sub = jax.random.split(rng)
-        samp = jax.random.categorical(sub, filtered, axis=-1)  # (N,)
+        if noise_uniforms is not None:
+            kk = topk if topk > 0 else filtered.shape[-1]
+            top_lp, top_idx = jax.lax.top_k(filtered, kk)
+            cdf = jnp.cumsum(jnp.exp(top_lp), axis=-1)
+            u = noise_uniforms[i] * cdf[..., -1]
+            pos = jnp.minimum(
+                jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=-1), kk - 1
+            )
+            samp = jnp.take_along_axis(top_idx, pos[:, None], axis=-1)[:, 0]
+        else:
+            rng, sub = jax.random.split(rng)
+            samp = jax.random.categorical(sub, filtered, axis=-1)  # (N,)
         # at max_len force EOS; finished rows emit pad
         samp = jnp.where(i == L - 1, eos_id, samp)
         samp = jnp.where(finished, pad_id, samp).astype(jnp.int32)

@@ -1627,3 +1627,88 @@ def import_fairseq_multibranch(path: str, **overrides):
     state, args = load_fairseq_checkpoint(path)
     cfg = infer_multibranch_config_from_args(args, state, **overrides)
     return convert_multibranch(state, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# Transformer LM checkpoints (reference: fairseq/models/transformer_lm.py:172
+# — decoder-only TransformerDecoder with no_encoder_attn=True; the
+# --lm-path model for shallow-fusion decoding and eval_lm).
+# --------------------------------------------------------------------------- #
+def infer_lm_config_from_args(args: Any, state: Dict[str, np.ndarray],
+                              **overrides):
+    from s2t_tpu.models.transformer_lm import TransformerLMConfig
+
+    vocab, dim = state["decoder.embed_tokens.weight"].shape
+    layers = 1 + max(
+        int(m.group(1)) for k in state
+        if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+    )
+    learned = "decoder.embed_positions.weight" in state
+    max_tgt = int(_get(args, "max_target_positions", 1024))
+    if learned:
+        max_tgt = state["decoder.embed_positions.weight"].shape[0] - 2
+    cfg = TransformerLMConfig(
+        decoder_embed_dim=dim,
+        decoder_ffn_embed_dim=state["decoder.layers.0.fc1.weight"].shape[0],
+        decoder_layers=layers,
+        decoder_attention_heads=int(_get(args, "decoder_attention_heads", 8)),
+        # fairseq couples the LM's pre-norm layers with a final layer_norm
+        # (unless no_decoder_final_norm); this framework couples them the
+        # same way, so presence of the final norm keys decides both
+        decoder_normalize_before="decoder.layer_norm.weight" in state,
+        decoder_learned_pos=learned,
+        share_decoder_input_output_embed=(
+            "decoder.output_projection.weight" not in state
+            or np.array_equal(
+                state["decoder.output_projection.weight"],
+                state["decoder.embed_tokens.weight"],
+            )
+        ),
+        dropout=float(_get(args, "dropout", 0.1)),
+        activation_fn=_get(args, "activation_fn", "relu"),
+        vocab_size=vocab,
+        max_target_positions=max_tgt,
+        pad_id=1,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def convert_lm(state: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a reference transformer_lm state dict to this framework's pytree
+    (TransformerLM wraps a no-cross-attention TransformerDecoder named
+    'decoder')."""
+    dec: Dict[str, Any] = {
+        "embed_tokens": {"embedding": state["decoder.embed_tokens.weight"]}
+    }
+    if "decoder.embed_positions.weight" in state:
+        # fairseq's learned positions reserve pad+1 leading slots
+        dec["embed_positions"] = {
+            "embedding": state["decoder.embed_positions.weight"][2:]
+        }
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _attn(state, p + ".self_attn"),
+            "self_attn_norm": _norm(state, p + ".self_attn_layer_norm"),
+            "ffn": {
+                "fc1": _dense(state, p + ".fc1"),
+                "fc2": _dense(state, p + ".fc2"),
+            },
+            "ffn_norm": _norm(state, p + ".final_layer_norm"),
+        }
+    if "decoder.layer_norm.weight" in state:
+        dec["final_norm"] = _norm(state, "decoder.layer_norm")
+    if not cfg.share_decoder_input_output_embed:
+        dec["output_proj"] = {
+            "kernel": np.ascontiguousarray(
+                state["decoder.output_projection.weight"].T
+            )
+        }
+    return {"decoder": dec}
+
+
+def import_fairseq_lm(path: str, **overrides):
+    """One-call LM import: path → (params pytree, TransformerLMConfig)."""
+    state, args = load_fairseq_checkpoint(path)
+    cfg = infer_lm_config_from_args(args, state, **overrides)
+    return convert_lm(state, cfg), cfg

@@ -562,3 +562,463 @@ class TestMTBeamDecodeParity:
             np.testing.assert_allclose(
                 scores[b, 0], float(ref[b][0]["score"]), atol=5e-3
             )
+
+
+class TestLMFusionDecodeParity:
+    """Shallow LM fusion (reference: sequence_generator.py:390-397 —
+    lprobs += lm_weight * log_softmax(lm(tokens)) at every step) must
+    produce the same hypotheses as the reference generator running the
+    same torch LM."""
+
+    def test_shallow_fusion_hypothesis_parity(self, tmp_path):
+        import torch
+
+        from build_reference import (
+            build_lm_model, build_mt_model, save_fairseq_checkpoint,
+        )
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.interop.fairseq_import import (
+            import_fairseq_lm, import_fairseq_mt,
+        )
+        from s2t_tpu.models.transformer import TransformerModel
+        from s2t_tpu.models.transformer_lm import TransformerLM
+
+        mt, args, d = build_mt_model(
+            arch="transformer_iwslt_de_en",
+            encoder_layers=2, decoder_layers=2, encoder_embed_dim=64,
+            decoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            decoder_ffn_embed_dim=128, encoder_attention_heads=2,
+            decoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        n, S = 4, 5
+        rng = np.random.default_rng(0)
+        src = rng.integers(4, len(d), size=(n, S)).astype(np.int64)
+        src[:, -1] = d.eos()
+        tgt = src.copy()
+        prev = np.roll(tgt, 1, 1)
+        prev[:, 0] = d.eos()
+        src_t = torch.tensor(src)
+        lens_t = torch.full((n,), S, dtype=torch.long)
+        mt.train()
+        opt = torch.optim.Adam(mt.parameters(), lr=3e-3)
+        for _ in range(200):
+            opt.zero_grad()
+            out = mt(src_t, lens_t, torch.tensor(prev))
+            logits = out[0]
+            loss = torch.nn.functional.cross_entropy(
+                logits.reshape(-1, logits.size(-1)),
+                torch.tensor(tgt).reshape(-1),
+            )
+            loss.backward()
+            opt.step()
+        mt.eval()
+        assert float(loss) < 0.2, float(loss)
+
+        lm, lm_args, _ = build_lm_model(
+            dictionary=d, decoder_layers=2, decoder_embed_dim=64,
+            decoder_ffn_embed_dim=128, decoder_attention_heads=2,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            share_decoder_input_output_embed=True,
+        )
+        lm_ckpt = tmp_path / "lm.pt"
+        save_fairseq_checkpoint(lm, lm_args, str(lm_ckpt))
+        lm_params, lm_cfg = import_fairseq_lm(str(lm_ckpt))
+        assert lm_cfg.decoder_layers == 2
+        assert lm_cfg.share_decoder_input_output_embed
+
+        import jax.numpy as jnp
+
+        # the fork BROKE upstream's decoder-only forward: its
+        # TransformerDecoder.extract_features unconditionally subscripts
+        # encoder_out (transformer.py:1285 bak_encoder_out = ...[0]), so a
+        # plain lm(tokens) call — what the reference generator does at
+        # sequence_generator.py:391 — crashes.  Pin the regression, then
+        # drive the reference's real layers through a minimal shim that
+        # feeds the null encoder_out the decoder's own per-layer guards
+        # expect (``[None]`` entries, skipped by no_encoder_attn layers).
+        with torch.no_grad(), pytest.raises(TypeError):
+            lm(torch.tensor(prev))
+
+        class _LMShim(torch.nn.Module):
+            def __init__(self, lm):
+                super().__init__()
+                self.lm = lm
+
+            def forward(self, tokens):
+                return self.lm.decoder(
+                    tokens,
+                    encoder_out={"encoder_out": [None],
+                                 "encoder_padding_mask": [None]},
+                )
+
+            def get_normalized_probs(self, out, log_probs, sample=None):
+                return self.lm.get_normalized_probs(out, log_probs, sample)
+
+        shim = _LMShim(lm)
+
+        # forward parity of the imported LM itself
+        my_lm = TransformerLM(lm_cfg)
+        with torch.no_grad():
+            ref_logits = shim(torch.tensor(prev))[0].float().numpy()
+        my_logits = np.asarray(
+            my_lm.apply(
+                {"params": lm_params}, jnp.asarray(prev.astype(np.int32))
+            )["decoder_logits"],
+            np.float32,
+        )
+        np.testing.assert_allclose(my_logits, ref_logits, atol=5e-4, rtol=1e-4)
+
+        setup_paths()
+        from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+        LM_W = 0.35
+        gen = RefGen([mt], d, beam_size=BEAM, max_len_a=0, max_len_b=10,
+                     len_penalty=1.0, lm_model=shim, lm_weight=LM_W)
+        sample = {"net_input": {"src_tokens": src_t, "src_lengths": lens_t}}
+        with torch.no_grad():
+            ref = gen.forward(sample)
+
+        ckpt = tmp_path / "mt.pt"
+        save_fairseq_checkpoint(mt, args, str(ckpt))
+        params, cfg = import_fairseq_mt(str(ckpt))
+        my = TransformerModel(cfg)
+        g = MyGen(my, beam_size=BEAM, max_len_a=0.0, max_len_b=10,
+                  lenpen=1.0, max_target_positions=64,
+                  input_keys=("src_tokens", "src_lengths"),
+                  lm_model=my_lm, lm_params=lm_params, lm_weight=LM_W)
+        toks, scores, _ = g.generate(
+            params,
+            {"src_tokens": jnp.asarray(src.astype(np.int32)),
+             "src_lengths": jnp.full((n,), S, jnp.int32)},
+        )
+        toks = np.asarray(toks)
+        for b in range(n):
+            ref_toks = ref[b][0]["tokens"].numpy()
+            mine = [int(t) for t in toks[b, 0]]
+            assert 2 in mine
+            mine = mine[: mine.index(2) + 1]
+            np.testing.assert_array_equal(
+                mine, ref_toks,
+                err_msg=f"LM-fused hypothesis differs at b={b}",
+            )
+
+
+class TestCTCSelfEnsembleParity:
+    """--ctc-self-ensemble (reference: s2t_ctc.py:176-192,313-320).
+
+    Measured reference behaviour, pinned here:
+      * pure-CTC models: generate() first binds inter_logits from the
+        (empty) inter_XCTC list, so the self-ensemble loop never runs —
+        --ctc-self-ensemble is a silent NO-OP (s2t_ctc.py:266-275,313).
+      * models where both inter-XCTC and inter-CTC taps exist: the loop
+        body reads an undefined name (``logits`` for ``logit``,
+        s2t_ctc.py:320) and generate() raises — the flag has never worked.
+    This framework implements the evidently-intended semantics (sum of
+    log-softmaxes of final + every same-scale inter tap, then greedy
+    collapse), verified below against that formula computed from the
+    reference encoder's own tensors."""
+
+    def test_pure_ctc_reference_noop_and_intended_semantics(self, tmp_path):
+        import argparse
+        import itertools
+
+        import torch
+
+        from build_reference import build_s2t_ctc_model, save_fairseq_checkpoint
+        from s2t_tpu.inference.ctc_decoder import CTCDecoder as MyCTC
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t_ctc
+        from s2t_tpu.models.s2t_ctc import S2TCTCModel
+
+        setup_paths()
+        from fairseq.models.speech_to_text.s2t_ctc import CTCDecoder as RefCTC
+
+        model, args, d = build_s2t_ctc_model(
+            encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            encoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, ctc_weight=1.0,
+            inter_ctc_weight=0.2, inter_ctc_layers="1",
+        )
+        parity = TestNASTDecodeParity()
+        feats, lens, tgts, loss = parity._train_ctc_decisive(model, d)
+        assert loss < 0.3, loss
+
+        def ref_decode(self_ensemble):
+            a = argparse.Namespace(
+                beam=0, ctc_self_ensemble=self_ensemble, ctc_inter_logit=0,
+                kenlm_model=None, lm_weight=0, cal_flops=False,
+            )
+            dec = RefCTC([model], a, d, blank_idx=0)
+            sample = {"net_input": {
+                "src_tokens": torch.tensor(feats),
+                "src_lengths": torch.tensor(lens),
+            }}
+            with torch.no_grad():
+                return dec.generate([model], sample)
+
+        # 1. the reference flag is a no-op on pure-CTC models
+        ref_on = ref_decode(True)
+        ref_off = ref_decode(False)
+        for b in range(len(feats)):
+            np.testing.assert_array_equal(
+                ref_on[b][0]["tokens"].numpy(), ref_off[b][0]["tokens"].numpy()
+            )
+
+        # 2. our self_ensemble implements the intended formula: argmax of
+        #    log_softmax(final) + sum_i log_softmax(inter_i), collapsed
+        ckpt = tmp_path / "nast.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t_ctc(str(ckpt))
+
+        import jax.numpy as jnp
+
+        my = S2TCTCModel(cfg)
+        enc = my.apply({"params": params}, jnp.asarray(feats),
+                       jnp.asarray(lens.astype(np.int32)), method=my.encode)
+        toks, out_lens = MyCTC(self_ensemble=True).decode_greedy(enc)
+        toks, out_lens = np.asarray(toks), np.asarray(out_lens)
+
+        with torch.no_grad():
+            r_out = model.encoder(torch.tensor(feats), torch.tensor(lens))
+        final = r_out["ctc_logit"][0].transpose(0, 1).float()
+        item = r_out["inter_ctc_logits"][0]
+        tap = (item[0] if isinstance(item, list) else item).transpose(0, 1).float()
+        summed = torch.log_softmax(final, -1) + torch.log_softmax(tap, -1)
+        r_lens = (~r_out["encoder_padding_mask"][0]).sum(-1).numpy()
+        for b in range(len(feats)):
+            L = int(r_lens[b])
+            ids = summed[b, :L].argmax(-1).numpy()
+            want = [int(t) for t, _ in itertools.groupby(ids) if t != 0]
+            mine = [int(t) for t in toks[b, :out_lens[b]]]
+            assert mine == want, f"self-ensemble tokens differ at b={b}"
+            assert mine == tgts[b]
+
+    def test_xctc_chain_reference_raises(self, tmp_path):
+        import argparse
+
+        import torch
+
+        from build_reference import build_s2t_ctc_model
+
+        setup_paths()
+        from fairseq.models.speech_to_text.s2t_ctc import CTCDecoder as RefCTC
+
+        model, args, d = build_s2t_ctc_model(
+            encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            encoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, ctc_weight=0.5,
+            inter_ctc_weight=0.2, inter_ctc_layers="1",
+            xctc_weight=1.0, inter_xctc_weight=0.2, inter_xctc_layers="1",
+        )
+        a = argparse.Namespace(
+            beam=0, ctc_self_ensemble=True, ctc_inter_logit=0,
+            kenlm_model=None, lm_weight=0, cal_flops=False,
+        )
+        dec = RefCTC([model], a, d, blank_idx=0)
+        feats = np.random.default_rng(0).normal(size=(2, T, D)).astype(np.float32)
+        sample = {"net_input": {
+            "src_tokens": torch.tensor(feats),
+            "src_lengths": torch.full((2,), T, dtype=torch.long),
+        }}
+        with torch.no_grad(), pytest.raises((NameError, UnboundLocalError)):
+            dec.generate([model], sample)
+
+
+class TestSearchStrategyParity:
+    """Diverse beam / diverse siblings / sampling vs the reference search
+    strategies (reference: search.py:552-815).  Diverse variants are
+    deterministic; sampling is pinned under a FIXED noise source: the
+    reference's torch.multinomial is replaced (in-test) by an explicit
+    inverse-CDF over the supplied uniforms, and our sampler consumes the
+    SAME uniforms through its noise_uniforms path — everything except the
+    physical RNG (pruning, renormalisation, candidate order, min-len/EOS
+    handling, score bookkeeping) must then agree token-for-token."""
+
+    def _model(self, tmp_path):
+        from build_reference import make_dictionary
+        from s2t_tpu.interop.fairseq_import import import_fairseq_s2t
+
+        # vocab > 2*beam: the reference DiverseSiblingsSearch takes
+        # per-beam top-(2*beam) (search.py:777-795) and crashes on the
+        # default 8-symbol test dictionary
+        d12 = make_dictionary(tuple(f"s{i}" for i in range(12)))
+        model, args, d = build_s2t_model(
+            arch="s2t_transformer_s", dictionary=d12,
+            encoder_layers=2, decoder_layers=2, encoder_embed_dim=64,
+            decoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            decoder_ffn_embed_dim=128, encoder_attention_heads=2,
+            decoder_attention_heads=2, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        feats, lens, tgts, tr_loss = _train_decisive(model, d)
+        assert tr_loss < 0.2, tr_loss
+        feats, lens = feats[:B], lens[:B].astype(np.int32)
+        ckpt = tmp_path / "ref.pt"
+        save_fairseq_checkpoint(model, args, str(ckpt))
+        params, cfg = import_fairseq_s2t(str(ckpt))
+        return model, d, feats, lens, params, cfg
+
+    def _ref_gen_with_strategy(self, model, d, feats, lens, strategy, beam):
+        import torch
+
+        setup_paths()
+        from fairseq.sequence_generator import SequenceGenerator
+
+        gen = SequenceGenerator(
+            [model], d, beam_size=beam, max_len_a=0, max_len_b=MAX_LEN,
+            len_penalty=1.0, search_strategy=strategy,
+        )
+        sample = {"net_input": {
+            "src_tokens": torch.tensor(feats),
+            "src_lengths": torch.tensor(lens),
+        }}
+        with torch.no_grad():
+            return gen.forward(sample)
+
+    @staticmethod
+    def _hypo_set(ref_hypos, b):
+        return {tuple(int(t) for t in h["tokens"].numpy()) for h in ref_hypos[b]}
+
+    @staticmethod
+    def _my_hypo_set(tokens, b):
+        out = set()
+        for k in range(tokens.shape[1]):
+            mine = [int(t) for t in tokens[b, k]]
+            if 2 in mine:
+                out.add(tuple(mine[: mine.index(2) + 1]))
+        return out
+
+    def test_diverse_beam_search(self, tmp_path):
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+        model, d, feats, lens, params, cfg = self._model(tmp_path)
+        setup_paths()
+        from fairseq import search as ref_search
+
+        G, STRENGTH = 2, 0.5
+        ref = self._ref_gen_with_strategy(
+            model, d, feats, lens,
+            ref_search.DiverseBeamSearch(d, G, STRENGTH), BEAM + 1,
+        )
+
+        import jax.numpy as jnp
+
+        gen = MyGen(
+            S2TTransformerModel(cfg), beam_size=BEAM + 1, max_len_a=0.0,
+            max_len_b=MAX_LEN, lenpen=1.0, max_target_positions=64,
+            diverse_beam_groups=G, diverse_beam_strength=STRENGTH,
+        )
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": jnp.asarray(feats), "feat_lengths": jnp.asarray(lens)},
+        )
+        tokens = np.asarray(tokens)
+        for b in range(B):
+            ref_top = tuple(int(t) for t in ref[b][0]["tokens"].numpy())
+            mine = [int(t) for t in tokens[b, 0]]
+            assert 2 in mine
+            assert tuple(mine[: mine.index(2) + 1]) == ref_top, b
+            # beyond the top hypothesis the engines legitimately diverge:
+            # fairseq freezes a sentence at its first beam_size finished
+            # hypotheses while ours keeps the best K over the horizon (see
+            # _train_decisive), and the diversity penalty un-orders the
+            # tail — same standard as TestBeamDecodeParity: top-1 exact
+
+    def test_diverse_siblings_search(self, tmp_path):
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+        model, d, feats, lens, params, cfg = self._model(tmp_path)
+        setup_paths()
+        from fairseq import search as ref_search
+
+        GAMMA = 0.8
+        ref = self._ref_gen_with_strategy(
+            model, d, feats, lens,
+            ref_search.DiverseSiblingsSearch(d, GAMMA), BEAM,
+        )
+
+        import jax.numpy as jnp
+
+        gen = MyGen(
+            S2TTransformerModel(cfg), beam_size=BEAM, max_len_a=0.0,
+            max_len_b=MAX_LEN, lenpen=1.0, max_target_positions=64,
+            diversity_rate=GAMMA,
+        )
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": jnp.asarray(feats), "feat_lengths": jnp.asarray(lens)},
+        )
+        tokens = np.asarray(tokens)
+        for b in range(B):
+            ref_top = tuple(int(t) for t in ref[b][0]["tokens"].numpy())
+            mine = [int(t) for t in tokens[b, 0]]
+            assert 2 in mine
+            assert tuple(mine[: mine.index(2) + 1]) == ref_top, b
+
+    def test_sampling_topk_fixed_noise(self, tmp_path):
+        import torch
+
+        from s2t_tpu.inference.generator import SequenceGenerator as MyGen
+        from s2t_tpu.models.s2t_transformer import S2TTransformerModel
+
+        model, d, feats, lens, params, cfg = self._model(tmp_path)
+        setup_paths()
+        from fairseq import search as ref_search
+
+        K, TOPK = 3, 8
+        n = feats.shape[0]
+        rng = np.random.default_rng(42)
+        # uniforms consumed step-by-step; both sides read the same layout
+        uniforms = rng.random((MAX_LEN + 4, n * K)).astype(np.float64)
+
+        calls = {"i": 0}
+        real_multinomial = torch.multinomial
+
+        def fake_multinomial(probs, num_samples, replacement=False, **kw):
+            # deterministic inverse-CDF over the given (R, M) probs rows,
+            # consuming uniforms row-major — the contract our sampler's
+            # noise_uniforms path implements on its candidate lists
+            R, M = probs.shape
+            u = torch.tensor(
+                uniforms[calls["i"]][: R * num_samples]
+                .reshape(R, num_samples)
+            )
+            calls["i"] += 1
+            cdf = probs.double().cumsum(-1)
+            total = cdf[:, -1:]
+            idx = (cdf.unsqueeze(1) <= (u * total).unsqueeze(-1)).sum(-1)
+            return idx.clamp(max=M - 1).long()
+
+        torch.multinomial = fake_multinomial
+        try:
+            ref = self._ref_gen_with_strategy(
+                model, d, feats, lens,
+                ref_search.Sampling(d, sampling_topk=TOPK), K,
+            )
+        finally:
+            torch.multinomial = real_multinomial
+
+        import jax.numpy as jnp
+
+        gen = MyGen(
+            S2TTransformerModel(cfg), beam_size=K, max_len_a=0.0,
+            max_len_b=MAX_LEN, lenpen=1.0, max_target_positions=64,
+            sampling=True, sampling_topk=TOPK,
+        )
+        max_len = gen._max_len_for(0)  # max_len_a == 0 -> MAX_LEN
+        gen.sampling_noise = uniforms[:max_len, :]
+        tokens, scores, _ = gen.generate(
+            params,
+            {"features": jnp.asarray(feats), "feat_lengths": jnp.asarray(lens)},
+        )
+        tokens = np.asarray(tokens)
+        for b in range(n):
+            ref_seqs = {
+                tuple(int(t) for t in h["tokens"].numpy()) for h in ref[b]
+            }
+            mine = self._my_hypo_set(tokens, b)
+            assert mine == ref_seqs, (
+                f"sampled sequences differ at b={b}: {mine} vs {ref_seqs}"
+            )

@@ -419,6 +419,45 @@ def build_mt_model(arch="transformer_iwslt_de_en", dictionary=None,
     return model, args, d
 
 
+def build_lm_model(arch="transformer_lm", dictionary=None, **arg_overrides):
+    """Construct a reference decoder-only TransformerLanguageModel
+    (fairseq/models/transformer_lm.py:172 — the --lm-path shallow-fusion /
+    eval_lm model).  Returns (model.eval(), args, dictionary)."""
+    setup_paths()
+    import torch
+    from fairseq.models import ARCH_CONFIG_REGISTRY
+    from fairseq.models import transformer_lm as ref_lm
+
+    d = dictionary if dictionary is not None else make_dictionary()
+
+    class _Task:
+        target_dictionary = d
+        source_dictionary = d
+        dictionary = d
+
+    parser = argparse.ArgumentParser()
+    group = parser.add_argument_group("model", argument_default=argparse.SUPPRESS)
+    ref_lm.TransformerLanguageModel.add_args(group)
+    args = parser.parse_args([])
+    args.tokens_per_sample = 1024
+    args.max_target_positions = 1024
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    ARCH_CONFIG_REGISTRY[arch](args)
+    for k, v in arg_overrides.items():
+        setattr(args, k, v)
+    # the S2T fork's TransformerDecoder reads fork-added attrs the LM arch
+    # functions were never updated to set (transformer.py:878 use_dec_dlcl)
+    for k, v in (("use_dec_dlcl", False), ("decoder_history_type", "learnable_dense"),
+                 ("max_decoder_relative_length", -1), ("k_only", True)):
+        if not hasattr(args, k):
+            setattr(args, k, v)
+    torch.manual_seed(0)
+    model = ref_lm.TransformerLanguageModel.build_model(args, _Task())
+    model.eval()
+    return model, args, d
+
+
 def build_w2v2_model(**overrides):
     """Construct a reference Wav2Vec2Model from its dataclass config
     (reference: fairseq/models/wav2vec/wav2vec2.py:222).
