@@ -54,6 +54,10 @@ class SequenceGenerator:
         sampling_topk: int = -1,
         sampling_topp: float = -1.0,
         sampling_seed: int = 0,
+        # optional (max_len, B*K) uniforms for a deterministic inverse-CDF
+        # draw — parity/testing hook mirroring torch.multinomial's contract
+        # (inference/sampling.py noise_uniforms)
+        sampling_noise=None,
         prefix_size: int = 0,
         diverse_beam_groups: int = -1,
         diverse_beam_strength: float = 0.5,
@@ -99,6 +103,7 @@ class SequenceGenerator:
         self.sampling_topk = sampling_topk
         self.sampling_topp = sampling_topp
         self.sampling_seed = sampling_seed
+        self.sampling_noise = sampling_noise
         # --prefix-size target forcing (reference: sequence_generator.py:616)
         self.prefix_size = prefix_size
         # DiverseBeamSearch groups (reference: search.py:552)
@@ -271,7 +276,7 @@ class SequenceGenerator:
                     temperature=1.0,  # decode_step already applies temperature
                     topk=self.sampling_topk, topp=self.sampling_topp,
                     min_len=self.min_len,
-                    noise_uniforms=getattr(self, "sampling_noise", None),
+                    noise_uniforms=self.sampling_noise,
                 )
                 return tokens, scores, enc
 
